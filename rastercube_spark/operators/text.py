@@ -1,0 +1,70 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, fingerprinting. All pure column expressions
+(codegen'd); the DuckDB-equivalent SQL fragments live next to the queries
+in queries/datapipe.py so both engines compute the identical definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "los", "que", "de"),
+    "de": ("der", "die", "das", "und", "ist"),
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish proxy: count of word/number/punct units (regex)."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(text, r"[^\.,;:!\?]", ""))
+    return n_punct / F.greatest(F.length(text), F.lit(1)).cast("double")
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = F.split(F.lower(text), r"\s+")
+    markers = LANG_MARKERS[lang]
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*markers)))
+    return n_stop / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence −
+    punctuation excess. Deterministic, SQL-mirrorable."""
+    len_ok = F.when((F.length(text) >= 100) & (F.length(text) <= 20000), 0.4).otherwise(0.0)
+    stop_ok = F.when(stopword_ratio(text) > 0.01, 0.4).otherwise(0.0)
+    punct_pen = F.when(punct_ratio(text) > 0.1, -0.2).otherwise(0.0)
+    return F.round(F.lit(0.2) + len_ok + stop_ok + punct_pen, 6)
+
+
+def lang_guess(text: Column) -> Column:
+    """Stopword-marker language ID: pick the language with the most marker
+    hits (ties → lexicographic order of language code, 'und' if none)."""
+    toks = F.split(F.lower(text), r"\s+")
+    scored = [
+        F.struct(
+            F.size(F.filter(toks, lambda t: t.isin(*marks))).alias("hits"),
+            F.lit(code).alias("code"),
+        )
+        for code, marks in sorted(LANG_MARKERS.items())
+    ]
+    # strict > keeps the lexicographically-first code on ties
+    expr = F.struct(F.lit(-1).alias("hits"), F.lit("und").alias("code"))
+    for s in scored:
+        expr = F.when(
+            (s["hits"] > expr["hits"]),
+            s,
+        ).otherwise(expr)
+    return F.when(expr["hits"] <= 0, F.lit("und")).otherwise(expr["code"])

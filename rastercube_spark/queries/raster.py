@@ -1,0 +1,175 @@
+"""Raster-cube operators from the reference's core surface (SURVEY.md §2.1-
+§2.3): windowed reads with nodata fill (S3), polygon-mask queries (P3/P4),
+chunk-catalog set algebra (S5, J3, J4), and date-coverage reporting (J6).
+
+These run against the long-layout fixtures; the RasterCube class
+(sources/raster.py) provides the same operations on partitioned cubes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rastercube_spark.operators.polygon import POINTS_IN_POLYGON_SQL, points_in_polygon
+from rastercube_spark.queries._util import davg, davg_sql
+from rastercube_spark.registry import query
+from rastercube_spark.sources.tables import fixture_path, load
+
+# window for the S3 read: x ∈ [30, 90), y ∈ [25, 75), t ∈ [2, 9)
+_WIN = dict(x0=30, x1=90, y0=25, y1=75, t0=2, t1=9)
+
+
+@query(
+    "qr01_windowed_read_fill",
+    oracle=f"""
+        SELECT g.x, g.y, g.t,
+               coalesce(p.ndvi, -3000) AS ndvi_filled
+        FROM (
+            SELECT xs.range AS x, ys.range AS y, ts.range AS t
+            FROM range({_WIN['x0']}, {_WIN['x1']}) xs,
+                 range({_WIN['y0']}, {_WIN['y1']}) ys,
+                 range({_WIN['t0']}, {_WIN['t1']}) ts
+        ) g
+        LEFT JOIN read_parquet('{fixture_path('ndvi_pixels')}') p
+          ON p.x = g.x AND p.y = g.y AND p.t = g.t
+        ORDER BY g.x, g.y, g.t
+    """,
+)
+def qr01(spark, sf_dir):
+    """S3 windowed read (reference jgrid3.py:491-586 load_slice_xy): filter
+    prunes partitions/row-groups; dense nodata fill reproduced with a left
+    join against the generated window frame + coalesce (F7).
+
+    At scale the dense frame is generated, not stored — spark.range is a
+    zero-IO source — and the join shuffles only the window's rows.
+    """
+    w = _WIN
+    frame = (
+        spark.range(w["x0"], w["x1"])
+        .select(F.col("id").cast("int").alias("x"))
+        .crossJoin(spark.range(w["y0"], w["y1"]).select(F.col("id").cast("int").alias("y")))
+        .crossJoin(spark.range(w["t0"], w["t1"]).select(F.col("id").cast("int").alias("t")))
+    )
+    px = load(spark, sf_dir, "ndvi_pixels").select("x", "y", "t", "ndvi")
+    return (
+        frame.join(px, ["x", "y", "t"], "left")
+        .select(
+            "x",
+            "y",
+            "t",
+            F.coalesce(F.col("ndvi").cast("int"), F.lit(-3000)).alias("ndvi_filled"),
+        )
+        .orderBy("x", "y", "t")
+    )
+
+
+@query(
+    "qr02_polygon_mask",
+    oracle=f"""
+        SELECT frac_num, x, y,
+               {davg_sql('CASE WHEN ndvi = -3000 THEN NULL ELSE ndvi END')} AS avg_ndvi
+        FROM (
+            {POINTS_IN_POLYGON_SQL.format(
+                points=f"SELECT frac_num, x, y, ndvi FROM read_parquet('{fixture_path('ndvi_pixels')}')",
+                poly_path=fixture_path('region_polygons'),
+                region='poly_4frac',
+                x='x',
+                y='y',
+            )}
+        )
+        GROUP BY frac_num, x, y
+        ORDER BY frac_num, x, y
+    """,
+)
+def qr02(spark, sf_dir):
+    """P3/P4 polygon query (reference jgrid/utils.py:27-51): bbox prefilter
+    prunes chunks, relational ray-cast replaces the PIL raster burn."""
+    px = load(spark, sf_dir, "ndvi_pixels").select("frac_num", "x", "y", "ndvi")
+    poly = load(spark, sf_dir, "region_polygons")
+    inside = points_in_polygon(px, poly, "poly_4frac")
+    valid = F.when(F.col("ndvi") == -3000, None).otherwise(F.col("ndvi"))
+    return (
+        inside.groupBy("frac_num", "x", "y")
+        .agg(davg(valid).alias("avg_ndvi"))
+        .orderBy("frac_num", "x", "y")
+    )
+
+
+@query(
+    "qr03_availability_semi_join",
+    oracle=f"""
+        SELECT frac_num, time_chunk
+        FROM read_parquet('{fixture_path('chunk_catalog')}')
+        WHERE grid_name = 'ndvi'
+          AND (frac_num, time_chunk) IN (
+              SELECT (frac_num, time_chunk)
+              FROM read_parquet('{fixture_path('chunk_catalog')}')
+              WHERE grid_name = 'qa'
+          )
+        ORDER BY frac_num, time_chunk
+    """,
+)
+def qr03(spark, sf_dir):
+    """J3 (reference hadoop/spark.py:166-167): chunks present in ALL input
+    grids — left-semi join on the catalog, no data movement of chunk data."""
+    cat = load(spark, sf_dir, "chunk_catalog")
+    ndvi = cat.where(F.col("grid_name") == "ndvi").select("frac_num", "time_chunk")
+    qa = cat.where(F.col("grid_name") == "qa").select("frac_num", "time_chunk")
+    return ndvi.join(qa, ["frac_num", "time_chunk"], "left_semi").orderBy(
+        "frac_num", "time_chunk"
+    )
+
+
+@query(
+    "qr04_incremental_anti_join",
+    oracle=f"""
+        SELECT frac_num, time_chunk
+        FROM read_parquet('{fixture_path('chunk_catalog')}')
+        WHERE grid_name = 'ndvi'
+          AND (frac_num, time_chunk) NOT IN (
+              SELECT (frac_num, time_chunk)
+              FROM read_parquet('{fixture_path('chunk_catalog')}')
+              WHERE grid_name = 'out'
+          )
+        ORDER BY frac_num, time_chunk
+    """,
+)
+def qr04(spark, sf_dir):
+    """J4 (reference hadoop/spark.py:171-177): lazy/incremental recompute —
+    chunks still to produce = inputs' catalog MINUS sink's catalog."""
+    cat = load(spark, sf_dir, "chunk_catalog")
+    ndvi = cat.where(F.col("grid_name") == "ndvi").select("frac_num", "time_chunk")
+    out = cat.where(F.col("grid_name") == "out").select("frac_num", "time_chunk")
+    return ndvi.join(out, ["frac_num", "time_chunk"], "left_anti").orderBy(
+        "frac_num", "time_chunk"
+    )
+
+
+@query(
+    "qr05_date_coverage",
+    oracle=f"""
+        SELECT time_chunk, count(DISTINCT frac_num) AS n_fracs
+        FROM read_parquet('{fixture_path('chunk_catalog')}')
+        WHERE grid_name = 'out'
+        GROUP BY time_chunk
+        HAVING count(DISTINCT frac_num) < (
+            SELECT count(DISTINCT frac_num)
+            FROM read_parquet('{fixture_path('chunk_catalog')}')
+            WHERE grid_name = 'out'
+        )
+        ORDER BY time_chunk
+    """,
+)
+def qr05(spark, sf_dir):
+    """J6 (reference ndvi_hdf_stats.py:42-59): report time chunks with
+    incomplete spatial coverage."""
+    out = load(spark, sf_dir, "chunk_catalog").where(F.col("grid_name") == "out")
+    total = out.agg(F.countDistinct("frac_num").alias("n_total"))
+    return (
+        out.groupBy("time_chunk")
+        .agg(F.countDistinct("frac_num").alias("n_fracs"))
+        .join(F.broadcast(total))
+        .where(F.col("n_fracs") < F.col("n_total"))
+        .select("time_chunk", "n_fracs")
+        .orderBy("time_chunk")
+    )

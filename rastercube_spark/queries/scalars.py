@@ -1,0 +1,226 @@
+"""Q60-Q66 — scalar / elementwise functions (SURVEY.md §2.9, §2.5).
+
+All JVM-side column expressions (whole-stage codegen); no Python UDFs.
+Q63 is the engine's F1 (MODIS QA decode, reference modis_qa.pyx:22-120) as
+pure bit arithmetic; Q65 is F5 (affine geotransform) as column math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rastercube_spark.functions.qa import QACONF_SQL, qaconf_col
+from rastercube_spark.queries._util import davg, davg_sql
+from rastercube_spark.registry import query
+from rastercube_spark.sources.tables import fixture_path, load
+
+
+@query(
+    "q60_string_funcs",
+    oracle=r"""
+        SELECT p_partkey,
+               upper(p_name) AS name_upper,
+               substr(p_name, 1, 5) AS name_pfx,
+               length(p_name) AS name_len,
+               concat(p_brand, '-', p_type) AS brand_type,
+               (p_name LIKE '%or%') AS has_or,
+               regexp_extract(p_name, '([a-z]+)', 1) AS first_word
+        FROM part
+        ORDER BY p_partkey
+    """,
+)
+def q60(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_pfx"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.col("p_name").like("%or%").alias("has_or"),
+        F.regexp_extract("p_name", r"([a-z]+)", 1).alias("first_word"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "q61_date_funcs",
+    oracle="""
+        SELECT o_orderkey,
+               year(o_orderdate) AS o_year,
+               month(o_orderdate) AS o_month,
+               dayofyear(o_orderdate) AS o_doy,
+               CAST(CAST(o_orderdate AS DATE) + 30 AS DATE) AS ship_by,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INTEGER)
+                   AS days_to_98
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+)
+def q61(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofyear("o_orderdate").alias("o_doy"),
+        F.date_add(d, 30).alias("ship_by"),
+        F.datediff(F.lit("1998-01-01").cast("date"), d).alias("days_to_98"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "q62_math_funcs",
+    oracle="""
+        SELECT c_custkey,
+               ROUND(abs(c_acctbal), 6) AS abs_bal,
+               ROUND(c_acctbal, 1) AS bal_r1,
+               ROUND(sqrt(abs(c_acctbal)), 6) AS sqrt_bal,
+               CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
+               ROUND(log10(abs(c_acctbal) + 1.0), 6) AS log_bal,
+               c_custkey // 7 AS key_div,
+               c_custkey % 7 AS key_mod
+        FROM customer
+        ORDER BY c_custkey
+    """,
+)
+def q62(spark, sf_dir):
+    """Math scalars incl. the integer div/mod of the reference's chunk
+    arithmetic (P2, jgrid3.py:459-489)."""
+    c = load(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.round(F.abs(bal), 6).alias("abs_bal"),
+        F.round(bal, 1).alias("bal_r1"),
+        F.round(F.sqrt(F.abs(bal)), 6).alias("sqrt_bal"),
+        F.floor(bal).alias("floor_bal"),
+        F.round(F.log10(F.abs(bal) + F.lit(1.0)), 6).alias("log_bal"),
+        F.expr("c_custkey div 7").alias("key_div"),
+        (F.col("c_custkey") % 7).alias("key_mod"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "q63_qa_bitops",
+    oracle=f"""
+        SELECT frac_num,
+               {davg_sql(QACONF_SQL.format(qa='qa'))} AS avg_qaconf,
+               count(CASE WHEN ({QACONF_SQL.format(qa='qa')}) > 0 THEN 1 END) AS n_usable
+        FROM read_parquet('{fixture_path('ndvi_pixels')}')
+        GROUP BY frac_num
+        ORDER BY frac_num
+    """,
+)
+def q63(spark, sf_dir):
+    """F1 as pure column expressions — the codegen'd fast path the
+    pandas-UDF variant (Q80) must hash-match."""
+    px = load(spark, sf_dir, "ndvi_pixels").select(
+        "frac_num", qaconf_col(F.col("qa")).alias("qaconf")
+    )
+    return (
+        px.groupBy("frac_num")
+        .agg(
+            davg("qaconf").alias("avg_qaconf"),
+            F.count(F.when(F.col("qaconf") > 0, 1)).alias("n_usable"),
+        )
+        .orderBy("frac_num")
+    )
+
+
+@query(
+    "q64_nodata_case",
+    oracle=f"""
+        SELECT frac_num,
+               count(CASE WHEN ndvi = -3000 THEN 1 END) AS n_nodata,
+               {davg_sql('CASE WHEN ndvi = -3000 THEN NULL ELSE ndvi END')} AS avg_valid,
+               {davg_sql('coalesce(CASE WHEN ndvi = -3000 THEN NULL ELSE ndvi END, 0)')}
+                   AS avg_filled
+        FROM read_parquet('{fixture_path('ndvi_pixels')}')
+        GROUP BY frac_num
+        ORDER BY frac_num
+    """,
+)
+def q64(spark, sf_dir):
+    """Nodata sentinel → NULL → coalesce fill (F7, reference
+    jgrid3.py:335-336 nodata prefill)."""
+    px = load(spark, sf_dir, "ndvi_pixels")
+    valid = F.when(F.col("ndvi") == -3000, None).otherwise(F.col("ndvi"))
+    return (
+        px.groupBy("frac_num")
+        .agg(
+            F.count(F.when(F.col("ndvi") == -3000, 1)).alias("n_nodata"),
+            davg(valid).alias("avg_valid"),
+            davg(F.coalesce(valid, F.lit(0))).alias("avg_filled"),
+        )
+        .orderBy("frac_num")
+    )
+
+
+# test-grid geotransform for Q65 (arbitrary but fixed; exercises F5's math)
+_GT = (-20015109.354, 231.65635826395825, 0.0, 10007554.677, 0.0, -231.65635826395825)
+
+
+@query(
+    "q65_affine_transform",
+    oracle=f"""
+        SELECT frac_num,
+               ROUND(CAST(SUM(CAST(({_GT[0]} + x * {_GT[1]} + y * {_GT[2]})
+                   AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_xgeo,
+               ROUND(CAST(SUM(CAST(({_GT[3]} + x * {_GT[4]} + y * {_GT[5]})
+                   AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_ygeo
+        FROM read_parquet('{fixture_path('ndvi_pixels')}')
+        WHERE t = 0
+        GROUP BY frac_num
+        ORDER BY frac_num
+    """,
+)
+def q65(spark, sf_dir):
+    from rastercube_spark.functions.geo import affine_xy2geo
+
+    px = load(spark, sf_dir, "ndvi_pixels").where(F.col("t") == 0)
+    xg, yg = affine_xy2geo(F.col("x").cast("double"), F.col("y").cast("double"), _GT)
+    return (
+        px.select("frac_num", xg.alias("xg"), yg.alias("yg"))
+        .groupBy("frac_num")
+        .agg(
+            F.round(F.sum(F.col("xg").cast("decimal(28,6)")).cast("double"), 6).alias("sum_xgeo"),
+            F.round(F.sum(F.col("yg").cast("decimal(28,6)")).cast("double"), 6).alias("sum_ygeo"),
+        )
+        .orderBy("frac_num")
+    )
+
+
+@query(
+    "q66_array_json",
+    oracle=f"""
+        SELECT x, y,
+               len(list(t ORDER BY t)) AS n_ts,
+               list(t ORDER BY t)[1] AS first_t,
+               list(t ORDER BY t)[-1] AS last_t,
+               to_json({{'x': x, 'y': y, 'n': len(list(t ORDER BY t))}}) AS js
+        FROM read_parquet('{fixture_path('ndvi_pixels')}')
+        WHERE frac_num = 0
+        GROUP BY x, y
+        ORDER BY x, y
+    """,
+)
+def q66(spark, sf_dir):
+    """Array build + JSON encode (reference's header JSON encode/decode,
+    jgrid3.py:634-680, generalized)."""
+    px = load(spark, sf_dir, "ndvi_pixels").where(F.col("frac_num") == 0)
+    return (
+        px.groupBy("x", "y")
+        .agg(F.sort_array(F.collect_list("t")).alias("ts"))
+        .select(
+            "x",
+            "y",
+            F.size("ts").alias("n_ts"),
+            F.element_at("ts", 1).alias("first_t"),
+            F.element_at("ts", -1).alias("last_t"),
+            F.to_json(
+                F.struct(F.col("x"), F.col("y"), F.size("ts").alias("n"))
+            ).alias("js"),
+        )
+        .orderBy("x", "y")
+    )

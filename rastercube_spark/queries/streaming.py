@@ -1,0 +1,197 @@
+"""Q70-Q74 — event-time windowing surface (SURVEY.md §2.9).
+
+Spark's `window()` / `session_window()` work identically in batch and in
+Structured Streaming, so the registered queries here run them in batch
+(deterministic, oracle-checkable) and `rastercube_spark.streaming.replay`
+re-runs the same aggregations through a real readStream→writeStream
+pipeline with watermarks; the conformance test (tests/test_streaming.py)
+asserts the terminal sink state matches these batch results (SURVEY §5.2.5).
+
+The reference's only streaming analog is the idempotent time-append (D2,
+reference complete_ndvi_worldgrid.py:59-134); the full event-time surface
+is engine-provided (§2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from rastercube_spark.queries._util import davg, davg_sql
+from rastercube_spark.registry import query
+from rastercube_spark.sources.tables import load
+
+
+@query(
+    "q70_tumbling_window",
+    oracle=f"""
+        SELECT event_type,
+               time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+               count(*) AS cnt,
+               {davg_sql('value')} AS avg_value
+        FROM events
+        GROUP BY event_type, window_start
+        ORDER BY event_type, window_start
+    """,
+)
+def q70(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"), davg("value").alias("avg_value"))
+        .select(
+            "event_type",
+            F.col("w.start").alias("window_start"),
+            "cnt",
+            "avg_value",
+        )
+        .orderBy("event_type", "window_start")
+    )
+
+
+@query(
+    "q71_sliding_window",
+    oracle=f"""
+        SELECT event_type, window_start, count(*) AS cnt, {davg_sql('value')} AS avg_value
+        FROM (
+            SELECT event_type, value,
+                   time_bucket(INTERVAL '5 minutes', ts) - k.k * INTERVAL '5 minutes'
+                       AS window_start,
+                   ts
+            FROM events
+            CROSS JOIN (VALUES (0), (1)) k(k)
+        )
+        WHERE ts >= window_start AND ts < window_start + INTERVAL '10 minutes'
+        GROUP BY event_type, window_start
+        ORDER BY event_type, window_start
+    """,
+)
+def q71(spark, sf_dir):
+    """10-minute windows sliding every 5: each event lands in 2 windows.
+    The oracle reproduces Spark's epoch-aligned window assignment with
+    time_bucket arithmetic."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"), davg("value").alias("avg_value"))
+        .select(
+            "event_type",
+            F.col("w.start").alias("window_start"),
+            "cnt",
+            "avg_value",
+        )
+        .orderBy("event_type", "window_start")
+    )
+
+
+@query(
+    "q72_session_window",
+    oracle="""
+        SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        FROM (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN ts - lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) <= INTERVAL '30 minutes'
+                            THEN 0 ELSE 1 END AS is_new
+                FROM events
+            )
+        )
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_start
+    """,
+)
+def q72(spark, sf_dir):
+    """Session windows, 30-minute gap. Spark's session_window() in batch;
+    the oracle uses the classic gap-islands formulation (lag + cumulative
+    sum), which is also how an engine without native sessionization would
+    express it."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
+        .select("user_id", "session_start", "n_events")
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "q73_watermark_late_data",
+    oracle=f"""
+        -- watermark semantics on the arrival stream (arrival order =
+        -- event_id order in TESTDATA): a row is DROPPED iff its event time
+        -- is more than 15 minutes behind the max event time already seen.
+        SELECT event_type,
+               time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+               count(*) AS cnt
+        FROM (
+            SELECT event_type, ts,
+                   max(ts) OVER (
+                       ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS max_seen
+            FROM events
+        )
+        WHERE max_seen IS NULL OR ts >= max_seen - INTERVAL '15 minutes'
+        GROUP BY event_type, window_start
+        ORDER BY event_type, window_start
+    """,
+)
+def q73(spark, sf_dir):
+    """Watermark/late-data semantics, expressed relationally: drop rows
+    whose event time lags the running max by > 15 minutes (what
+    withWatermark('ts', '15 minutes') drops on replay in arrival order).
+    The true Structured Streaming replay of this query lives in
+    rastercube_spark/streaming/replay.py and is conformance-tested against
+    this batch form (SURVEY §5.2.5 / Q73)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    kept = (
+        e.withColumn("max_seen", F.max("ts").over(w))
+        .where(
+            F.col("max_seen").isNull()
+            | (F.col("ts") >= F.col("max_seen") - F.expr("INTERVAL 15 minutes"))
+        )
+    )
+    return (
+        kept.groupBy("event_type", F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select("event_type", F.col("w.start").alias("window_start"), "cnt")
+        .orderBy("event_type", "window_start")
+    )
+
+
+@query(
+    "q74_stateful_dedup",
+    oracle="""
+        SELECT event_id, ts, user_id, event_type, value
+        FROM (
+            SELECT event_id, ts, user_id, event_type, value,
+                   row_number() OVER (
+                       PARTITION BY event_id ORDER BY ts, user_id
+                   ) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+        ORDER BY event_id
+    """,
+)
+def q74(spark, sf_dir):
+    """Stateful dedup on event_id (earliest wins — deterministic form of
+    dropDuplicates(['event_id']); the streaming variant with watermark state
+    is in streaming/replay.py)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_id").orderBy("ts", "user_id")
+    return (
+        e.select("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("event_id")
+    )

@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults mirror the scale guidance in SURVEY.md §6: AQE on (runtime
+coalescing + skew-join handling), Arrow for every pandas interchange,
+shuffle partitions sized for the local harness but overridable for a real
+cluster, UTC session time so timestamp semantics are engine-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "rastercube-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession with engine defaults.
+
+    On a real cluster, only ``master`` and sizing confs change; the
+    semantic confs (AQE, Arrow, UTC, partition-overwrite) stay.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # Idempotent re-runs of cube appends overwrite only touched
+        # partitions (reference idempotence: complete_ndvi_worldgrid).
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # ~128 MB scan splits, mirroring the reference's one-fraction ≈
+        # one-HDFS-block layout target (grids.py:115-123).
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    if SparkSession.getActiveSession() is None:
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()
