@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Queries execute via the noop sink — full plan execution (scan → shuffle →
+agg/join/window/UDF) without driver-side collection, so timings measure
+the engine, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+# A representative slice of the surface: scans, sort-merge + broadcast
+# joins, hash agg, windows, top-k, QA decode, grouped-map UDF, raster
+# window read, minhash-LSH dedup, brute-force + LSH kNN, text metrics.
+HEADLINE = [
+    "q01_scan_count",
+    "q02_project_filter",
+    "q12_sort_merge_join",
+    "q20_tpch_q1_agg",
+    "q21_count_distinct",
+    "q18_copartitioned_zip",
+    "q30_ranking",
+    "q33_running_total",
+    "q40_global_topk",
+    "q63_qa_bitops",
+    "q81_grouped_map_udf",
+    "qr01_windowed_read_fill",
+    "q90_text_metrics",
+    "q92_minhash_lsh_pairs",
+    "q96_knn_bruteforce",
+    "q97_lsh_knn",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from rastercube_spark import registry
+    from rastercube_spark.session import get_spark
+
+    spark = get_spark("rastercube-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm (JIT, shuffle files)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

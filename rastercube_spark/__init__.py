@@ -16,4 +16,11 @@ pandas UDFs where built-ins genuinely cannot express the semantics.
 __version__ = "0.1.0"
 
 from rastercube_spark.session import get_spark  # noqa: F401
-from rastercube_spark.registry import queries, oracle_sql  # noqa: F401
+
+# NOTE: the registry accessors are exported under get_* names only — a
+# re-export named `queries` would collide with the `rastercube_spark.queries`
+# subpackage (importing the subpackage rebinds the attribute to the module).
+from rastercube_spark.registry import (  # noqa: F401
+    queries as get_queries,
+    oracle_sql as get_oracle_sql,
+)

@@ -5,7 +5,7 @@
   exact-jaccard verify. Every step is a DataFrame op: the only shuffles are
   the groupBys on (doc, shingle) and the band-bucket self-join, which at
   100 TB is the standard minhash-dedup topology (candidates ≪ pairs).
-- simhash: 64-bit simhash from token hashes; near-dups = same band key.
+- simhash: 32-bit simhash from token hashes; near-dups = same band key.
 
 Cross-engine determinism: token/shingle hashes are derived from md5 (same
 bytes in Spark and DuckDB), then mixed with fixed (a·h + b) mod P
@@ -44,6 +44,24 @@ def content_fingerprint(col):
     text (the reference's closest analog is its chunk checksum comparison,
     tests/scripts/test_complete_ndvi_worldgrid.py:19-39)."""
     return F.md5(F.regexp_replace(F.trim(F.lower(col)), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: one row per distinct content fingerprint with the
+    keeper (min id) and copy count. Single shuffle on the md5 fingerprint —
+    the 100 TB-safe exact-dedup topology (no text comparison, fixed-width
+    key)."""
+    return (
+        docs.select(
+            content_fingerprint(F.col(text_col)).alias("fingerprint"),
+            F.col(id_col).alias("doc_id"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
 
 
 def shingles_df(docs: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
@@ -122,23 +140,38 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
 
 
 def pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
-    """Exact jaccard for (doc_a, doc_b): |A∩B| / |A∪B| via a shingle
-    self-join. If ``pairs`` given, restricted to those (semi-join first)."""
+    """Exact jaccard for (doc_a, doc_b): |A∩B| / |A∪B|.
+
+    With ``pairs`` (the LSH candidate set — the scale path), the
+    intersection is computed by joining the candidate pairs to the shingle
+    relation on each side, so only candidate documents' shingles ever meet:
+    cost is O(|pairs| · shingles/doc), never the all-pairs self-join.
+    Without ``pairs`` it degrades to the full shingle self-join — an oracle/
+    small-data formulation only.
+    """
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_inter"))
-    )
     if pairs is not None:
-        inter = inter.join(pairs, ["doc_a", "doc_b"], "left_semi")
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            pairs.join(a, "doc_a")
+            .join(b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count("*").alias("n_inter"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     return (

@@ -56,13 +56,15 @@ def brute_force_knn(
     ).select(
         F.col(q_id),
         F.col(c_id),
-        cosine(F.col(q_vec), F.col(c_vec)).alias("cos"),
+        # rank on the 6-dp rounded score: fp-identical across engines, so
+        # the top-k set is deterministic (ties broken by corpus id)
+        F.round(cosine(F.col(q_vec), F.col(c_vec)), 6).alias("cosine"),
     )
-    w = Window.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(c_id))
+    w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(q_id, c_id, F.round("cos", 6).alias("cosine"), "rank")
+        .select(q_id, c_id, "cosine", "rank")
     )
 
 
@@ -124,11 +126,11 @@ def lsh_knn(
     ).select(
         F.col(q_id),
         F.col(c_id),
-        cosine(F.col(q_vec), F.col(c_vec)).alias("cos"),
+        F.round(cosine(F.col(q_vec), F.col(c_vec)), 6).alias("cosine"),
     )
-    w = Window.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(c_id))
+    w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(q_id, c_id, F.round("cos", 6).alias("cosine"), "rank")
+        .select(q_id, c_id, "cosine", "rank")
     )

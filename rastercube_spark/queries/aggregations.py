@@ -184,12 +184,19 @@ def q25(spark, sf_dir):
     )
 
 
+# pre-expand: the QA gate must be spliced into the davg_sql argument as SQL
+# text (a nested literal would leave "{QACONF_SQL...}" unexpanded).
+_Q26_GATED = (
+    f"CASE WHEN ({QACONF_SQL.format(qa='p.qa')}) > 0.5 THEN p.ndvi_v END"
+)
+
+
 @query(
     "q26_zonal_stats",
     oracle=f"""
         SELECT
             g.zone_id,
-            {davg_sql("CASE WHEN ({QACONF_SQL.format(qa='p.qa')}) > 0.5 THEN p.ndvi_v END")} AS avg_ndvi,
+            {davg_sql(_Q26_GATED)} AS avg_ndvi,
             min(p.ndvi_v) AS min_ndvi,
             max(p.ndvi_v) AS max_ndvi,
             count(p.ndvi_v) AS n

@@ -1,0 +1,541 @@
+"""Q90-QA0 — large-scale training-data pipeline surface (SURVEY.md §2.10).
+
+Deduplication (exact / MinHash-LSH / n-gram Jaccard / SimHash /
+embedding-cosine), similarity search (brute-force + LSH ANN), text analysis
+(tokens, quality, language ID, rolling-hash fingerprints) and multimodal
+binary columns — over the driver's ``documents`` and ``embeddings`` tables.
+
+Cross-engine determinism: every hash is md5-derived (identical bytes in
+Spark and DuckDB), every score is ranked on its 6-dp rounded value with id
+tie-breaks, and every aggregate is aliased identically on both sides.
+
+The reference has no LLM-data surface; these are the net-new operators the
+builder brief requires. Closest reference analog is the chunk checksum
+comparison in tests/scripts/test_complete_ndvi_worldgrid.py:19-39 (exact
+content equality), generalized here to near-duplicate detection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rastercube_spark.operators.dedup import (
+    N_BANDS,
+    P,
+    MINHASH_PERMS,
+    ROWS_PER_BAND,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    pair_jaccard,
+    shingles_df,
+    simhash_df,
+)
+from rastercube_spark.operators.multimodal import attach_payload, decode_metrics
+from rastercube_spark.operators.similarity import (
+    _hyperplanes,
+    brute_force_knn,
+    lsh_knn,
+)
+from rastercube_spark.operators.text import (
+    LANG_MARKERS,
+    bpe_ish_token_count,
+    lang_guess,
+    punct_ratio,
+    quality_score,
+    token_count,
+)
+from rastercube_spark.registry import query
+from rastercube_spark.sources.tables import load
+
+EMB_DIM = 64  # driver's embeddings table (TESTDATA.md)
+
+
+# --- shared DuckDB fragments -------------------------------------------
+
+def _in_list(vals: tuple[str, ...]) -> str:
+    return ", ".join(f"'{v}'" for v in vals)
+
+
+def _hits_sql(code: str) -> str:
+    return (
+        "len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+        f"t -> t IN ({_in_list(LANG_MARKERS[code])})))"
+    )
+
+
+# word k-gram shingles, identical to operators.dedup.shingles_df
+def _shingles_cte(k: int) -> str:
+    parts = " || ' ' || ".join(f"tk[i + {j}]" for j in range(k))
+    return f"""
+        toks AS (
+            SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, {parts} AS shingle
+            FROM toks, UNNEST(range(1, len(tk) - {k - 2})) u(i)
+        )
+    """
+
+
+# md5-derived 32-bit hash of a string expr (≡ dedup._shingle_hash)
+def _h32(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+_PERMS_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PERMS)
+)
+
+# minhash signature + LSH banding pipeline (≡ minhash_signatures +
+# lsh_candidate_pairs); continues from _shingles_cte(3)
+_LSH_CTES = f"""
+        hashed AS (
+            SELECT doc_id, {_h32('shingle')} % {P} AS h FROM sh
+        ),
+        perms(i, pa, pb) AS (VALUES {_PERMS_VALUES}),
+        sig AS (
+            SELECT doc_id, i, min((pa * h + pb) % {P}) AS mh
+            FROM hashed, perms
+            GROUP BY doc_id, i
+        ),
+        bands AS (
+            SELECT doc_id, (i // {ROWS_PER_BAND}) AS band,
+                   string_agg(mh::VARCHAR, '-' ORDER BY i) AS bsig
+            FROM sig GROUP BY doc_id, band
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b
+              ON a.band = b.band AND a.bsig = b.bsig
+             AND a.doc_id < b.doc_id
+        )
+"""
+
+_COS = (
+    "list_dot_product(qv, cv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+)
+
+
+# --- text analysis ------------------------------------------------------
+
+@query(
+    "q90_text_metrics",
+    oracle=f"""
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_units,
+               ROUND(length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g'))
+                   / CAST(greatest(length(text), 1) AS DOUBLE), 6)
+                   AS punct_ratio,
+               CAST(ROUND(CAST(0.2 AS DOUBLE)
+                   + (CASE WHEN length(text) BETWEEN 100 AND 20000
+                           THEN 0.4 ELSE 0.0 END)
+                   + (CASE WHEN {_hits_sql('en')}
+                           / CAST(greatest(len(regexp_split_to_array(
+                               lower(text), '\\s+')), 1) AS DOUBLE) > 0.01
+                           THEN 0.4 ELSE 0.0 END)
+                   + (CASE WHEN length(regexp_replace(text,
+                           '[^\\.,;:!\\?]', '', 'g'))
+                           / CAST(greatest(length(text), 1) AS DOUBLE) > 0.1
+                           THEN -0.2 ELSE 0.0 END), 6) AS DOUBLE) AS quality,
+               CASE WHEN greatest({_hits_sql('de')}, {_hits_sql('en')},
+                                  {_hits_sql('es')}, {_hits_sql('fr')}) <= 0
+                    THEN 'und'
+                    WHEN {_hits_sql('de')} >= {_hits_sql('en')}
+                     AND {_hits_sql('de')} >= {_hits_sql('es')}
+                     AND {_hits_sql('de')} >= {_hits_sql('fr')} THEN 'de'
+                    WHEN {_hits_sql('en')} >= {_hits_sql('es')}
+                     AND {_hits_sql('en')} >= {_hits_sql('fr')} THEN 'en'
+                    WHEN {_hits_sql('es')} >= {_hits_sql('fr')} THEN 'es'
+                    ELSE 'fr' END AS lang_guess
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def q90(spark, sf_dir):
+    """Per-document text metrics: whitespace + BPE-ish token counts,
+    punctuation ratio, composite quality score, stopword-marker language
+    ID. All pure column expressions — whole-stage codegen, no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_units"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        quality_score(t).alias("quality"),
+        lang_guess(t).alias("lang_guess"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q91_exact_dedup",
+    oracle="""
+        SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                   AS fingerprint,
+               min(doc_id) AS keeper_doc_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY fingerprint
+        ORDER BY fingerprint
+    """,
+)
+def q91(spark, sf_dir):
+    """Exact dedup by content fingerprint (md5 of normalized text): one
+    shuffle on a fixed-width key — the only topology that survives 100 TB
+    (no text ever crosses the wire, just 16-byte hashes)."""
+    d = load(spark, sf_dir, "documents")
+    return exact_dedup(d, "doc_id", "text").orderBy("fingerprint")
+
+
+@query(
+    "q92_minhash_lsh_pairs",
+    oracle=f"""
+        WITH {_shingles_cte(3)}, {_LSH_CTES}
+        SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b
+    """,
+)
+def q92(spark, sf_dir):
+    """MinHash-LSH near-dup candidates: 3-gram shingles → 16-permutation
+    minhash signature → 4-band bucketing → band-equality self-join.
+
+    Scale shape: the self-join is on (band, band-signature) — candidate
+    pairs ≪ all pairs; no full-text comparison anywhere. Shuffles:
+    (doc, shingle) distinct, signature groupBy, band groupBy, bucket join.
+    """
+    d = load(spark, sf_dir, "documents")
+    sh = shingles_df(d, "doc_id", "text", k=3)
+    sig = minhash_signatures(sh)
+    return lsh_candidate_pairs(sig).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "q93_lsh_jaccard",
+    oracle=f"""
+        WITH {_shingles_cte(3)}, {_LSH_CTES},
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+            FROM cand p
+            JOIN sh a ON a.doc_id = p.doc_a
+            JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+            GROUP BY p.doc_a, p.doc_b
+        )
+        SELECT i.doc_a, i.doc_b,
+               ROUND(i.n_inter /
+                   CAST(sa.n + sb.n - i.n_inter AS DOUBLE), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        ORDER BY doc_a, doc_b
+    """,
+)
+def q93(spark, sf_dir):
+    """Exact-Jaccard verification of the LSH candidate pairs (the standard
+    minhash-dedup second stage). The candidate set drives the join — only
+    candidate documents' shingles ever meet."""
+    d = load(spark, sf_dir, "documents")
+    sh = shingles_df(d, "doc_id", "text", k=3)
+    pairs = lsh_candidate_pairs(minhash_signatures(sh))
+    return pair_jaccard(sh, pairs).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "q94_ngram_jaccard_topk",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i + 1] AS shingle
+            FROM toks, UNNEST(range(1, len(tk))) u(i)
+        ),
+        rare AS (
+            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50
+        ),
+        shp AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shp GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM shp a
+            JOIN shp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY doc_a, doc_b
+        )
+        SELECT i.doc_a, i.doc_b,
+               ROUND(i.n_inter /
+                   CAST(sa.n + sb.n - i.n_inter AS DOUBLE), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        ORDER BY jaccard DESC, doc_a, doc_b
+        LIMIT 20
+    """,
+)
+def q94(spark, sf_dir):
+    """Top-20 near-dup pairs by exact bigram Jaccard via the inverted-index
+    join, with hot-shingle pruning (df > 50 dropped) — the standard
+    positional-filtering trick that keeps the co-occurrence join from
+    degenerating on stop-bigrams at scale."""
+    d = load(spark, sf_dir, "documents")
+    sh = shingles_df(d, "doc_id", "text", k=2)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= 50)
+        .select("shingle")
+    )
+    shp = sh.join(rare, "shingle", "left_semi")
+    return (
+        pair_jaccard(shp)
+        .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+@query(
+    "q95_simhash",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+            FROM documents
+        ),
+        th AS (SELECT doc_id, {_h32('t')} AS h FROM tok),
+        contrib AS (
+            SELECT doc_id, bit,
+                   CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END AS c
+            FROM th, UNNEST(range(0, 32)) u(bit)
+        ),
+        persum AS (
+            SELECT doc_id, bit, sum(c) AS s
+            FROM contrib GROUP BY doc_id, bit
+        )
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0
+                             THEN (CAST(1 AS BIGINT) << bit)
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM persum GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q95(spark, sf_dir):
+    """32-bit SimHash per document (token-hash bit voting). Two shuffles
+    (per-bit vote, per-doc pack); near-dups share fingerprints, so the
+    downstream dedup is a groupBy on the fingerprint."""
+    d = load(spark, sf_dir, "documents")
+    return simhash_df(d, "doc_id", "text").orderBy("doc_id")
+
+
+# --- similarity search --------------------------------------------------
+
+@query(
+    "q96_knn_bruteforce",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 10
+        ),
+        c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT q_id, vec_id, ROUND({_COS}, 6) AS cosine
+            FROM c, q WHERE q_id <> vec_id
+        ),
+        ranked AS (
+            SELECT q_id, vec_id, cosine,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY cosine DESC, vec_id
+                   ) AS rank
+            FROM scored
+        )
+        SELECT q_id, vec_id, cosine, rank
+        FROM ranked WHERE rank <= 10
+        ORDER BY q_id, rank
+    """,
+)
+def q96(spark, sf_dir):
+    """Exact top-10 cosine neighbors for a 10-query probe set — the
+    brute-force baseline / recall oracle. Query side broadcast; the corpus
+    is never shuffled, scores stream through a per-query top-k window."""
+    e = load(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return brute_force_knn(qs, e, k=10).orderBy("q_id", "rank")
+
+
+def _bucket_sql(vec_expr: str) -> str:
+    planes = _hyperplanes(EMB_DIM, 8, seed=7)
+    terms = []
+    for i, plane in enumerate(planes):
+        lits = ", ".join(repr(v) for v in plane)
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, [{lits}]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@query(
+    "q97_lsh_knn",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,
+                   {_bucket_sql('CAST(embedding AS DOUBLE[])')} AS bucket
+            FROM embeddings WHERE vec_id < 10
+        ),
+        c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv,
+                   {_bucket_sql('CAST(embedding AS DOUBLE[])')} AS bucket
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT q_id, vec_id, ROUND({_COS}, 6) AS cosine
+            FROM c JOIN q USING (bucket) WHERE q_id <> vec_id
+        ),
+        ranked AS (
+            SELECT q_id, vec_id, cosine,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY cosine DESC, vec_id
+                   ) AS rank
+            FROM scored
+        )
+        SELECT q_id, vec_id, cosine, rank
+        FROM ranked WHERE rank <= 10
+        ORDER BY q_id, rank
+    """,
+)
+def q97(spark, sf_dir):
+    """LSH-bucketed approximate kNN: 8 fixed random hyperplanes hash every
+    vector to a sign-pattern bucket; scoring happens only inside the
+    query's bucket. The cross join of the brute-force path becomes an
+    equi-join on the bucket key — the shape that survives a corpus too
+    large to cross-join. Recall is graded against q96 in tests."""
+    e = load(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return lsh_knn(qs, e, dim=EMB_DIM, k=10, n_planes=8).orderBy("q_id", "rank")
+
+
+@query(
+    "q98_cosine_pairs_topk",
+    oracle=f"""
+        WITH c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_dot_product(a.v, b.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) *
+                        sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+            FROM c a JOIN c b ON a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, cosine
+        FROM scored
+        ORDER BY cosine DESC, vec_a, vec_b
+        LIMIT 20
+    """,
+)
+def q98(spark, sf_dir):
+    """Embedding near-dup detection: top-20 most-similar pairs by cosine.
+
+    Oracle-scale formulation is the half-matrix self-join; the 100 TB path
+    is q97's bucketed join with a cosine threshold — same scoring column
+    expression, different candidate generation.
+    """
+    from rastercube_spark.operators.similarity import cosine
+
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_a", "vec_b")
+        .limit(20)
+    )
+
+
+# --- fingerprinting + multimodal ---------------------------------------
+
+@query(
+    "q99_winnow_fingerprint",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, substr(text, i, 16) AS win
+            FROM documents, UNNEST(range(1, length(text) - 14)) u(i)
+        ),
+        h AS (SELECT doc_id, {_h32('win')} AS hv FROM w)
+        SELECT doc_id,
+               count(*) AS n_windows,
+               min(hv) AS fp_min,
+               count(DISTINCT hv) AS n_distinct
+        FROM h GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q99(spark, sf_dir):
+    """Rolling-hash document fingerprinting (winnowing-style): hash every
+    16-char window, keep the minimum as the fingerprint plus window/distinct
+    counts. Explode + hash aggregate — fully map-side-combinable."""
+    d = load(spark, sf_dir, "documents")
+    n = F.length("text")
+    idx = F.when(n >= 16, F.sequence(F.lit(1), n - 15)).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = F.transform(idx, lambda i: F.col("text").substr(i, F.lit(16)))
+    hv = F.explode(
+        F.transform(
+            wins,
+            lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint"),
+        )
+    ).alias("hv")
+    return (
+        d.select("doc_id", hv)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.min("hv").alias("fp_min"),
+            F.count_distinct(F.col("hv")).alias("n_distinct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "qa0_multimodal_decode",
+    oracle="""
+        SELECT doc_id,
+               'application/octet-stream' AS media_type,
+               octet_length(encode(text)) AS n_bytes,
+               64 + CAST(concat('0x', substr(md5(text), 1, 4)) AS INT) % 448
+                   AS width,
+               64 + CAST(concat('0x', substr(md5(text), 5, 4)) AS INT) % 448
+                   AS height,
+               1 + CAST(concat('0x', substr(md5(text), 9, 4)) AS INT) % 8
+                   AS n_frames
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def qa0(spark, sf_dir):
+    """Multimodal pipeline: binary payload column → Arrow-batched decode
+    stage (mapInPandas) → typed metadata. The codec is a deterministic
+    md5-derived stub (no media libs in this container) so the whole
+    pipeline — schema, batching, byte handling — is oracle-checked; see
+    operators/multimodal.py."""
+    d = load(spark, sf_dir, "documents")
+    media = attach_payload(d)
+    return decode_metrics(media).orderBy("doc_id")

@@ -178,7 +178,9 @@ def q16(spark, sf_dir):
         SELECT o_orderkey, last_event_ts
         FROM (
             SELECT o.o_orderkey,
-                   (SELECT max(e.ts) FROM events e
+                   (SELECT max(e.ts)
+                    FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+                          FROM events) e
                     WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
                    ) AS last_event_ts
             FROM orders o

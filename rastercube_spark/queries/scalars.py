@@ -164,10 +164,18 @@ _GT = (-20015109.354, 231.65635826395825, 0.0, 10007554.677, 0.0, -231.656358263
 @query(
     "q65_affine_transform",
     oracle=f"""
+        -- literals cast to DOUBLE up front: DuckDB otherwise types them as
+        -- wide DECIMALs and the row-level arithmetic overflows its decimal
+        -- inference. Spark computes in double then sums in DECIMAL(28,6);
+        -- mirror that exact order of operations.
         SELECT frac_num,
-               ROUND(CAST(SUM(CAST(({_GT[0]} + x * {_GT[1]} + y * {_GT[2]})
+               ROUND(CAST(SUM(CAST((CAST({_GT[0]} AS DOUBLE)
+                   + CAST(x AS DOUBLE) * CAST({_GT[1]} AS DOUBLE)
+                   + CAST(y AS DOUBLE) * CAST({_GT[2]} AS DOUBLE))
                    AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_xgeo,
-               ROUND(CAST(SUM(CAST(({_GT[3]} + x * {_GT[4]} + y * {_GT[5]})
+               ROUND(CAST(SUM(CAST((CAST({_GT[3]} AS DOUBLE)
+                   + CAST(x AS DOUBLE) * CAST({_GT[4]} AS DOUBLE)
+                   + CAST(y AS DOUBLE) * CAST({_GT[5]} AS DOUBLE))
                    AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_ygeo
         FROM read_parquet('{fixture_path('ndvi_pixels')}')
         WHERE t = 0

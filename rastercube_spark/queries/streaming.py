@@ -29,7 +29,7 @@ from rastercube_spark.sources.tables import load
                time_bucket(INTERVAL '10 minutes', ts) AS window_start,
                count(*) AS cnt,
                {davg_sql('value')} AS avg_value
-        FROM events
+        FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
         GROUP BY event_type, window_start
         ORDER BY event_type, window_start
     """,
@@ -58,7 +58,7 @@ def q70(spark, sf_dir):
                    time_bucket(INTERVAL '5 minutes', ts) - k.k * INTERVAL '5 minutes'
                        AS window_start,
                    ts
-            FROM events
+            FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
             CROSS JOIN (VALUES (0), (1)) k(k)
         )
         WHERE ts >= window_start AND ts < window_start + INTERVAL '10 minutes'
@@ -100,7 +100,7 @@ def q71(spark, sf_dir):
                                 PARTITION BY user_id ORDER BY ts, event_id
                             ) <= INTERVAL '30 minutes'
                             THEN 0 ELSE 1 END AS is_new
-                FROM events
+                FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
             )
         )
         GROUP BY user_id, session_id
@@ -136,7 +136,7 @@ def q72(spark, sf_dir):
                        ORDER BY event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                    ) AS max_seen
-            FROM events
+            FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
         )
         WHERE max_seen IS NULL OR ts >= max_seen - INTERVAL '15 minutes'
         GROUP BY event_type, window_start
@@ -176,7 +176,7 @@ def q73(spark, sf_dir):
                    row_number() OVER (
                        PARTITION BY event_id ORDER BY ts, user_id
                    ) AS rn
-            FROM events
+            FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
         )
         WHERE rn = 1
         ORDER BY event_id

@@ -8,7 +8,7 @@ jgrid3.py:675-680) collapsing to `spark.read.parquet`.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 TABLES = (
     "region",
@@ -39,6 +39,15 @@ FIXTURE_TABLES = (
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name in FIXTURE_TABLES:
         return spark.read.parquet(f"{FIXTURES_DIR}/{name}.parquet")
+    if name == "events":
+        # The driver's events.parquet stores ts as parquet TIMESTAMP(NANOS),
+        # which Spark 4 rejects outright. Read it as raw int64 nanos and
+        # truncate to microseconds — the same truncation DuckDB applies when
+        # casting TIMESTAMP_NS to its microsecond TIMESTAMP, so both engines
+        # see identical values.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
