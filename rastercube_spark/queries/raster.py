@@ -173,3 +173,76 @@ def qr05(spark, sf_dir):
         .select("time_chunk", "n_fracs")
         .orderBy("time_chunk")
     )
+
+
+# --- cube-backed windowed read (S1/S3/S10 end-to-end) -------------------
+
+_CUBE_ROOT = "/root/repo/fixtures/ndvi_cube"
+
+
+def _ndvi_cube(spark):
+    """Build the partitioned cube from the ndvi_pixels fixture once
+    (idempotent — header sidecar marks completion). Grid geometry per
+    FIXTURES.md: 160x120, frac 20x20, 11 dates, frac_ndates 5."""
+    import os
+
+    from rastercube_spark.sources.raster import CubeHeader, RasterCube
+
+    if os.path.exists(f"{_CUBE_ROOT}/header.json"):
+        return RasterCube.open(_CUBE_ROOT)
+    header = CubeHeader(
+        width=160,
+        height=120,
+        frac_width=20,
+        frac_height=20,
+        dtype="int16",
+        nodataval=-3000,
+        frac_ndates=5,
+        timestamps_ms=[0] * 11,  # cadence irrelevant for the window read
+        value_col="ndvi",
+    )
+    cube = RasterCube(_CUBE_ROOT, header)
+    px = load(spark, "", "ndvi_pixels").select(
+        "frac_num", "time_chunk", "x", "y", "t", "ndvi", "qa"
+    )
+    cube.write_long(spark, px)
+    return cube
+
+
+@query(
+    "qr06_cube_window_agg",
+    oracle=f"""
+        SELECT frac_num, time_chunk,
+               count(*) AS n_px,
+               {davg_sql('CASE WHEN ndvi = -3000 THEN NULL ELSE ndvi END')}
+                   AS avg_ndvi
+        FROM read_parquet('{fixture_path('ndvi_pixels')}')
+        WHERE x >= {_WIN['x0']} AND x < {_WIN['x1']}
+          AND y >= {_WIN['y0']} AND y < {_WIN['y1']}
+          AND t >= {_WIN['t0']} AND t < {_WIN['t1']}
+        GROUP BY frac_num, time_chunk
+        ORDER BY frac_num, time_chunk
+    """,
+)
+def qr06(spark, sf_dir):
+    """End-to-end cube path: long fixture → partitioned RasterCube write →
+    header-driven windowed read with generated prune predicates
+    (frac_num/time_chunk IN-lists hit the partition directories; reference
+    jgrid3.py:470-489 fracs_for_rect_xy) → per-chunk aggregate. Matching
+    the oracle (which reads the original long fixture) proves the cube
+    write/read round-trips byte-exact inside the correctness gate."""
+    w = _WIN
+    cube = _ndvi_cube(spark)
+    sliced = cube.load_slice_xy(
+        spark, (w["x0"], w["y0"]), (w["x1"], w["y1"]), w["t0"], w["t1"]
+    )
+    return (
+        sliced.groupBy("frac_num", "time_chunk")
+        .agg(
+            F.count("*").alias("n_px"),
+            davg(
+                F.when(F.col("ndvi") == -3000, None).otherwise(F.col("ndvi"))
+            ).alias("avg_ndvi"),
+        )
+        .orderBy("frac_num", "time_chunk")
+    )

@@ -1,0 +1,152 @@
+"""Streaming conformance (SURVEY §5.2.5): the batch queries Q70/Q72/Q74
+re-run through a real readStream → watermark → stateful agg → writeStream
+pipeline must produce the same result; watermark lateness is additionally
+tested against a file-granular batch emulation on a deliberately
+disordered replay (driver events are time-ordered, so disorder is
+synthesized)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from rastercube_spark.queries._util import davg
+from rastercube_spark.streaming.replay import EventReplay, run_to_completion
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_tumbling_window_conformance(spark, tmp_path):
+    replay = EventReplay(spark, SF, str(tmp_path), n_files=4)
+    s = replay.stream(max_files_per_trigger=None).withWatermark("ts", "15 minutes")
+    agg = (
+        s.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), davg("value").alias("avg_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "cnt", "avg_value"
+        )
+    )
+    sink = run_to_completion(agg, replay, "t70_sink").where(
+        F.col("event_type") != "__sentinel__"
+    )
+
+    from rastercube_spark.registry import queries
+
+    batch = queries()["q70_tumbling_window"](spark, SF)
+    cols = ["event_type", "window_start", "cnt", "avg_value"]
+    assert _rows(sink, cols) == _rows(batch, cols)
+
+
+def test_session_window_conformance(spark, tmp_path):
+    replay = EventReplay(spark, SF, str(tmp_path), n_files=4)
+    s = replay.stream(max_files_per_trigger=None).withWatermark("ts", "40 minutes")
+    agg = (
+        s.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
+        .select("user_id", "session_start", "n_events")
+    )
+    sink = run_to_completion(agg, replay, "t72_sink").where(F.col("user_id") >= 0)
+
+    from rastercube_spark.registry import queries
+
+    batch = queries()["q72_session_window"](spark, SF)
+    cols = ["user_id", "session_start", "n_events"]
+    assert _rows(sink, cols) == _rows(batch, cols)
+
+
+def test_stateful_dedup_conformance(spark, tmp_path):
+    replay = EventReplay(spark, SF, str(tmp_path), n_files=4)
+    replay.duplicate_files()  # every event arrives twice
+    s = replay.stream(max_files_per_trigger=2)
+    deduped = s.dropDuplicates(["event_id"]).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    sink = run_to_completion(deduped, replay, "t74_sink", flushes=1).where(
+        F.col("event_id") < 10**12
+    )
+
+    from rastercube_spark.registry import queries
+
+    batch = queries()["q74_stateful_dedup"](spark, SF)
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    assert _rows(sink, cols) == _rows(batch, cols)
+
+
+def test_watermark_drops_file_granular(spark, tmp_path):
+    """True late-data semantics: replay in a deterministic shuffled order
+    with one file per trigger; rows whose window end falls at or below the
+    watermark in effect for their file (max event time of prior files
+    minus the delay) are dropped. The sink must equal the file-granular
+    batch emulation."""
+    n_files, delay_min, win_min = 6, 15, 10
+    # deterministic disorder: order by md5(event_id)
+    from rastercube_spark.sources.tables import load
+
+    ev = (
+        load(spark, SF, "events")
+        .withColumn("__o", F.md5(F.col("event_id").cast("string")))
+        .orderBy("__o")
+        .drop("__o")
+        .toPandas()
+    )
+    ev = ev[["event_id", "ts", "user_id", "event_type", "value"]]
+    # stage files manually through the harness
+    replay = EventReplay.__new__(EventReplay)
+    replay.spark = spark
+    replay.work_dir = str(tmp_path)
+    import os
+
+    replay.input_dir = os.path.join(str(tmp_path), "input")
+    os.makedirs(replay.input_dir)
+    replay._file_seq = 0
+    replay.max_ts = ev["ts"].max()
+    replay.n_rows = len(ev)
+    chunk = (len(ev) + n_files - 1) // n_files
+    file_ids = []
+    for i in range(0, len(ev), chunk):
+        replay._write_file(ev.iloc[i : i + chunk])
+        file_ids.extend([i // chunk] * len(ev.iloc[i : i + chunk]))
+    ev = ev.assign(file_id=file_ids)
+
+    s = replay.stream(max_files_per_trigger=1).withWatermark("ts", f"{delay_min} minutes")
+    agg = (
+        s.groupBy(F.window("ts", f"{win_min} minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )
+    sink = run_to_completion(agg, replay, "t73_sink").where(
+        F.col("event_type") != "__sentinel__"
+    )
+
+    # batch emulation: the input-row filter for trigger i uses the
+    # watermark *committed before the trigger started*, which reflects
+    # files ≤ i−2 (empirical: trigger i−1's stats only update the
+    # watermark after trigger i is planned; the progress log reports the
+    # newer value, but numRowsDroppedByWatermark shows the older one is
+    # applied). Hence shift(2), not shift(1).
+    per_file_max = ev.groupby("file_id")["ts"].max().sort_index()
+    wm = per_file_max.cummax().shift(2) - pd.Timedelta(minutes=delay_min)
+    ev["wm"] = ev["file_id"].map(wm)
+    win_end = ev["ts"].dt.floor(f"{win_min}min") + pd.Timedelta(minutes=win_min)
+    kept = ev[ev["wm"].isna() | (win_end > ev["wm"])]
+    expect = (
+        kept.assign(window_start=kept["ts"].dt.floor(f"{win_min}min"))
+        .groupby(["event_type", "window_start"])
+        .size()
+        .reset_index(name="cnt")
+    )
+    got = sorted(
+        (r["event_type"], r["window_start"], r["cnt"])
+        for r in sink.collect()
+    )
+    want = sorted(
+        (r.event_type, r.window_start.to_pydatetime(), int(r.cnt))
+        for r in expect.itertuples()
+    )
+    assert got == want
