@@ -46,7 +46,9 @@ def asof_join(
         # tie-break: right rows at the same instant sort before left probes
         F.lit(1).alias("__side"),
         F.struct(*lcols).alias("__l"),
-        F.lit(None).cast("timestamp").alias("__rt"),
+        # derive the placeholder type from the right time column so
+        # non-timestamp keys (epoch ints, dates) survive the union
+        F.lit(None).cast(right.schema[right_time].dataType).alias("__rt"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
     )
     r = right.select(

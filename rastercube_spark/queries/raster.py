@@ -246,3 +246,112 @@ def qr06(spark, sf_dir):
         )
         .orderBy("frac_num", "time_chunk")
     )
+
+
+# --- reprojection / resampling (J2, R1-R4) ------------------------------
+
+# synthetic north-up geotransforms for the fixture grid: source at unit
+# pixel size, destination 4x coarser (downsample) / 2x finer (upsample)
+_SRC_GT = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+_DST_GT_DOWN = (0.0, 4.0, 0.0, 0.0, 0.0, -4.0)
+_DST_GT_UP = (0.0, 0.5, 0.0, 0.0, 0.0, -0.5)
+
+
+@query(
+    "qr07_resample_downsample",
+    oracle=f"""
+        WITH src AS (
+            SELECT x, y, ndvi AS v
+            FROM read_parquet('{fixture_path('ndvi_pixels')}')
+            WHERE t = 0 AND ndvi <> -3000
+        ),
+        mapped AS (
+            SELECT CAST(floor((0.0 + (x + 0.5) * 1.0 - 0.0) / 4.0) AS INT)
+                       AS dst_x,
+                   CAST(floor((0.0 + (y + 0.5) * -1.0 - 0.0) / -4.0) AS INT)
+                       AS dst_y,
+                   v
+            FROM src
+        ),
+        l1 AS (
+            SELECT dst_x, dst_y, v, count(*) AS cnt
+            FROM mapped GROUP BY dst_x, dst_y, v
+        ),
+        ranked AS (
+            SELECT dst_x, dst_y, v, cnt,
+                   row_number() OVER (
+                       PARTITION BY dst_x, dst_y ORDER BY cnt DESC, v ASC
+                   ) AS rn
+            FROM l1
+        )
+        SELECT l.dst_x, l.dst_y,
+               max(CASE WHEN r.rn = 1 THEN r.v END) AS mode_v,
+               ROUND(CAST(SUM(CAST(l.v AS DECIMAL(24,6)) * l.cnt)
+                   / SUM(l.cnt) AS DOUBLE), 6) AS avg_v,
+               SUM(l.cnt) AS n_src
+        FROM l1 l
+        JOIN ranked r ON r.dst_x = l.dst_x AND r.dst_y = l.dst_y
+                     AND r.v = l.v AND r.cnt = l.cnt
+        GROUP BY l.dst_x, l.dst_y
+        ORDER BY l.dst_x, l.dst_y
+    """,
+)
+def qr07(spark, sf_dir):
+    """J2/R1/R3: 4x downsampling warp as a relational aggregate — source
+    pixel centers map through the affine pair, 'average' and 'mode'
+    resampling come out of one two-level groupBy (reference
+    jgrid/utils.py:164-280 slice_and_reproject_to_grid with
+    interpolation='average'/'mode'). No GDAL, no UDF: the warp is codegen'd
+    column math and one shuffle on target pixels."""
+    from rastercube_spark.operators.resample import resample_downsample
+
+    px = (
+        load(spark, sf_dir, "ndvi_pixels")
+        .where((F.col("t") == 0) & (F.col("ndvi") != -3000))
+        .select("x", "y", F.col("ndvi").alias("v"))
+    )
+    return (
+        resample_downsample(px, _SRC_GT, _DST_GT_DOWN, value_col="v")
+        .orderBy("dst_x", "dst_y")
+    )
+
+
+@query(
+    "qr08_reproject_nearest",
+    oracle=f"""
+        WITH frame AS (
+            SELECT xs.range AS dst_x, ys.range AS dst_y
+            FROM range(0, 80) xs, range(0, 60) ys
+        ),
+        mapped AS (
+            SELECT dst_x, dst_y,
+                   CAST(floor((0.0 + (dst_x + 0.5) * 0.5 - 0.0) / 1.0) AS INT)
+                       AS x,
+                   CAST(floor((0.0 + (dst_y + 0.5) * -0.5 - 0.0) / -1.0) AS INT)
+                       AS y
+            FROM frame
+        )
+        SELECT m.dst_x, m.dst_y, p.ndvi AS v
+        FROM mapped m
+        JOIN read_parquet('{fixture_path('ndvi_pixels')}') p
+          ON p.x = m.x AND p.y = m.y
+        WHERE p.t = 0
+        ORDER BY dst_x, dst_y
+    """,
+)
+def qr08(spark, sf_dir):
+    """R2 'near' upsampling gather: generated target frame (zero IO)
+    equi-joined to the source on the inverse-mapped pixel index (reference
+    interpolation='near'). The 80x60 target window keeps the gate result
+    bounded; the operator itself takes any extent."""
+    from rastercube_spark.operators.resample import gather_nearest
+
+    px = (
+        load(spark, sf_dir, "ndvi_pixels")
+        .where(F.col("t") == 0)
+        .select("x", "y", F.col("ndvi").alias("v"))
+    )
+    out = gather_nearest(
+        spark, px, _SRC_GT, _DST_GT_UP, dst_width=80, dst_height=60, value_col="v"
+    )
+    return out.orderBy("dst_x", "dst_y")

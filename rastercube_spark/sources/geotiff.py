@@ -1,0 +1,277 @@
+"""Raster ingest + GeoTIFF export (S6/S8/S12, D3).
+
+Spark-first re-expression of the reference's tile ingest
+(reference rastercube/scripts/create_ndvi_worldgrid.py:185-337: collect
+tile files → per-tile decode → write fractions) and GeoTIFF export
+(reference rastercube/tiff.py:92-122 write_int16_to_tiff):
+
+- **ingest**: ``spark.read.format("binaryFile")`` distributes whole tile
+  files to executors; an Arrow-batched ``mapInPandas`` stage decodes each
+  file to long-form pixel rows (frac/chunk assignment is plain header
+  math); one shuffle lands the rows on the cube's partition layout. At
+  100 TB this is the standard pattern: file-granular parallel decode, a
+  single repartition to storage layout, no driver involvement.
+- **codec**: the container has no GDAL/rasterio, so the default codec
+  reads ``.npy`` tiles (a real, deterministic decode via numpy) with the
+  tile's grid position parsed from the filename
+  (``tile_{x0}_{y0}_t{t}.npy`` — mirroring the reference's
+  filename-parsed dates, create_ndvi_worldgrid.py:116-129). A production
+  deployment swaps ``codec=`` for a rasterio/GDAL-based one with the
+  same signature.
+- **export**: a bounded cube window → a real single-band GeoTIFF written
+  by a minimal pure-python TIFF encoder (little-endian, one strip,
+  ModelPixelScale/ModelTiepoint GeoTIFF keys, GDAL_NODATA tag). TIFF 6.0
+  and the GeoTIFF key layout are public specs; no GDAL needed to write a
+  file GDAL can read.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import struct
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rastercube_spark.sources.raster import RasterCube
+
+TILE_RE = re.compile(r"tile_(\d+)_(\d+)_t(\d+)\.npy$")
+
+
+def npy_tile_codec(path: str, content: bytes) -> tuple[np.ndarray, int, int, int]:
+    """Decode one staged tile: returns (array[h,w], x0, y0, t)."""
+    m = TILE_RE.search(path)
+    if not m:
+        raise ValueError(f"unrecognized tile name: {path}")
+    x0, y0, t = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    arr = np.load(io.BytesIO(content), allow_pickle=False)
+    return arr, x0, y0, t
+
+
+def ingest_tiles(
+    spark: SparkSession,
+    cube: RasterCube,
+    path_glob: str,
+    codec: Callable[[str, bytes], tuple[np.ndarray, int, int, int]] = npy_tile_codec,
+) -> None:
+    """Distributed tile ingest: binaryFile scan → per-file decode →
+    cube-layout write. Each input file becomes long-form rows inside one
+    Arrow batch; no pixel ever passes through the driver."""
+    h = cube.header
+    # capture plain ints (picklable, tiny closure) — not the header object
+    frac_h, frac_w = h.frac_height, h.frac_width
+    nxf, frac_ndates = h.num_x_fracs, h.frac_ndates
+    value_col, dtype = h.value_col, h.dtype
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                arr, x0, y0, t = codec(path, bytes(content))
+                hh, ww = arr.shape
+                ys, xs = np.mgrid[y0 : y0 + hh, x0 : x0 + ww]
+                xs, ys = xs.ravel(), ys.ravel()
+                yield pd.DataFrame(
+                    {
+                        "frac_num": (ys // frac_h) * nxf + (xs // frac_w),
+                        "time_chunk": np.full(xs.size, t // frac_ndates),
+                        "x": xs,
+                        "y": ys,
+                        "t": np.full(xs.size, t),
+                        value_col: arr.ravel().astype(dtype),
+                    }
+                )
+
+    binary = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+    schema = (
+        "frac_num int, time_chunk int, x int, y int, t int, "
+        f"{value_col} {_spark_type(dtype)}"
+    )
+    cube.write_long(spark, binary.mapInPandas(decode, schema))
+
+
+def _spark_type(np_dtype: str) -> str:
+    return {
+        "int16": "smallint",
+        "int32": "int",
+        "int64": "bigint",
+        "uint16": "int",
+        "float32": "float",
+        "float64": "double",
+    }[str(np_dtype)]
+
+
+# --- minimal GeoTIFF writer (TIFF 6.0 + GeoTIFF 1.0 public specs) -------
+
+_SAMPLE_FORMAT = {"int16": 2, "uint16": 1, "float32": 3, "float64": 3}
+_BITS = {"int16": 16, "uint16": 16, "float32": 32, "float64": 64}
+
+
+def write_geotiff(
+    path: str,
+    data: np.ndarray,
+    geot: tuple[float, ...],
+    nodataval: float | int | None = None,
+) -> None:
+    """Single-band, little-endian, single-strip, uncompressed GeoTIFF
+    (≡ reference tiff.py:92-113 write_int16_to_tiff minus compression).
+
+    Requires a north-up geotransform (geot[2] == geot[4] == 0, like the
+    reference asserts in jgrid3.py:173).
+    """
+    assert data.ndim == 2
+    assert geot[2] == 0 and geot[4] == 0, "north-up geotransform required"
+    dt = str(data.dtype)
+    bits, sfmt = _BITS[dt], _SAMPLE_FORMAT[dt]
+    h, w = data.shape
+    pixel_bytes = data.astype(dt).tobytes()
+
+    entries: list[tuple[int, int, int, bytes | int]] = []  # tag, type, count, value
+
+    def entry(tag: int, typ: int, count: int, value) -> None:
+        entries.append((tag, typ, count, value))
+
+    # doubles payloads appended after the IFD
+    scale = struct.pack("<3d", geot[1], -geot[5], 0.0)
+    tiepoint = struct.pack("<6d", 0.0, 0.0, 0.0, geot[0], geot[3], 0.0)
+    # minimal GeoKey directory: version 1.1.0, 1 key: GTModelTypeGeoKey=1
+    # (projected); CRS details live in the cube header's sr_wkt.
+    geokeys = struct.pack("<8H", 1, 1, 0, 1, 1024, 0, 1, 1)
+    nodata_ascii = (
+        (str(int(nodataval) if float(nodataval).is_integer() else nodataval) + "\x00").encode()
+        if nodataval is not None
+        else None
+    )
+
+    entry(256, 3, 1, w)  # ImageWidth
+    entry(257, 3, 1, h)  # ImageLength
+    entry(258, 3, 1, bits)  # BitsPerSample
+    entry(259, 3, 1, 1)  # Compression: none
+    entry(262, 3, 1, 1)  # Photometric: BlackIsZero
+    entry(273, 4, 1, "STRIP_OFFSET")  # StripOffsets (patched below)
+    entry(277, 3, 1, 1)  # SamplesPerPixel
+    entry(278, 3, 1, h)  # RowsPerStrip
+    entry(279, 4, 1, len(pixel_bytes))  # StripByteCounts
+    entry(339, 3, 1, sfmt)  # SampleFormat
+    entry(33550, 12, 3, scale)  # ModelPixelScaleTag
+    entry(33922, 12, 6, tiepoint)  # ModelTiepointTag
+    entry(34735, 3, 8, geokeys)  # GeoKeyDirectoryTag
+    if nodata_ascii is not None:
+        entry(42113, 2, len(nodata_ascii), nodata_ascii)  # GDAL_NODATA
+
+    entries.sort(key=lambda e: e[0])
+    n = len(entries)
+    ifd_offset = 8
+    data_start = ifd_offset + 2 + n * 12 + 4  # after IFD + next-IFD ptr
+
+    # lay out out-of-line payloads, then the pixel strip
+    payloads: list[bytes] = []
+    offsets: dict[int, int] = {}
+    cursor = data_start
+    for tag, typ, count, value in entries:
+        if isinstance(value, bytes) and len(value) > 4:
+            offsets[tag] = cursor
+            payloads.append(value)
+            cursor += len(value) + (len(value) % 2)
+    strip_offset = cursor
+
+    out = io.BytesIO()
+    out.write(struct.pack("<2sHI", b"II", 42, ifd_offset))
+    out.write(struct.pack("<H", n))
+    type_size = {2: 1, 3: 2, 4: 4, 12: 8}
+    for tag, typ, count, value in entries:
+        if value == "STRIP_OFFSET":
+            packed = struct.pack("<I", strip_offset)
+        elif isinstance(value, bytes):
+            if len(value) > 4:
+                packed = struct.pack("<I", offsets[tag])
+            else:
+                packed = value.ljust(4, b"\x00")
+        elif typ == 3 and count == 1:
+            packed = struct.pack("<HH", value, 0)
+        else:
+            packed = struct.pack("<I", value)
+        out.write(struct.pack("<HHI", tag, typ, count) + packed)
+    out.write(struct.pack("<I", 0))  # no next IFD
+    for p in payloads:
+        out.write(p)
+        if len(p) % 2:
+            out.write(b"\x00")
+    out.write(pixel_bytes)
+
+    with open(path, "wb") as f:
+        f.write(out.getvalue())
+
+
+def read_geotiff(path: str) -> tuple[np.ndarray, tuple[float, ...], float | None]:
+    """Companion reader (round-trip tests; handles exactly the subset the
+    writer emits). Returns (array, geotransform, nodataval)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    assert buf[:4] == b"II*\x00"
+    (ifd_off,) = struct.unpack_from("<I", buf, 4)
+    (n,) = struct.unpack_from("<H", buf, ifd_off)
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    for i in range(n):
+        tag, typ, count = struct.unpack_from("<HHI", buf, ifd_off + 2 + i * 12)
+        raw = buf[ifd_off + 2 + i * 12 + 8 : ifd_off + 2 + i * 12 + 12]
+        tags[tag] = (typ, count, raw)
+
+    def val(tag: int) -> int:
+        typ, count, raw = tags[tag]
+        return struct.unpack("<H" if typ == 3 else "<I", raw[: 2 if typ == 3 else 4])[0]
+
+    def payload(tag: int) -> bytes:
+        typ, count, raw = tags[tag]
+        size = {2: 1, 3: 2, 4: 4, 12: 8}[typ] * count
+        if size <= 4:
+            return raw[:size]
+        (off,) = struct.unpack("<I", raw)
+        return buf[off : off + size]
+
+    w, h = val(256), val(257)
+    bits, sfmt = val(258), val(339)
+    dtype = {(16, 2): "int16", (16, 1): "uint16", (32, 3): "float32", (64, 3): "float64"}[
+        (bits, sfmt)
+    ]
+    strip_off, strip_len = val(273), val(279)
+    arr = np.frombuffer(buf[strip_off : strip_off + strip_len], dtype=dtype).reshape(h, w)
+    sx, sy, _ = struct.unpack("<3d", payload(33550))
+    _, _, _, gx, gy, _ = struct.unpack("<6d", payload(33922))
+    geot = (gx, sx, 0.0, gy, 0.0, -sy)
+    nodata = None
+    if 42113 in tags:
+        nodata = float(payload(42113).rstrip(b"\x00").decode())
+    return arr, geot, nodata
+
+
+def export_geotiff(
+    spark: SparkSession,
+    cube: RasterCube,
+    path: str,
+    xy_from: tuple[int, int],
+    xy_to: tuple[int, int],
+    t: int,
+) -> None:
+    """Export one date of a bounded cube window as a GeoTIFF
+    (≡ reference tiff.py:115-122 write_int16_to_tiff_from_header): the
+    window materializes driver-side (it is bounded by construction — this
+    is an export, not an analytics path) with nodata fill, and the
+    geotransform is shifted to the window origin."""
+    h = cube.header
+    data = cube.load_slice_array(spark, xy_from, xy_to, t, t + 1)[:, :, 0]
+    g = h.geot
+    shifted = (
+        g[0] + xy_from[0] * g[1],
+        g[1],
+        0.0,
+        g[3] + xy_from[1] * g[5],
+        0.0,
+        g[5],
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    write_geotiff(path, data, shifted, h.nodataval)
