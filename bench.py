@@ -31,10 +31,16 @@ HEADLINE = [
     "q63_qa_bitops",
     "q81_grouped_map_udf",
     "qr01_windowed_read_fill",
+    "q70_tumbling_window",
+    "qr06_cube_window_agg",
+    "qr07_resample_downsample",
     "q90_text_metrics",
     "q92_minhash_lsh_pairs",
+    "q93_lsh_jaccard",
+    "q95_simhash",
     "q96_knn_bruteforce",
     "q97_lsh_knn",
+    "q99_winnow_fingerprint",
 ]
 
 

@@ -64,23 +64,38 @@ def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def shingles_df(docs: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct word k-grams, lowercased."""
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    n = F.size(toks)
+def shingles_df(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, shingle) word k-grams, lowercased; ``distinct`` by default.
+
+    Pass ``distinct=False`` for duplicate-insensitive consumers (minhash:
+    min over a multiset equals min over its set) — it skips a full
+    shuffle on (doc_id, shingle-string), the widest relation in the
+    pipeline.
+
+    The token array is materialized as a named column FIRST and the
+    k-gram builder references it by name: passing the ``split()`` Column
+    object straight into the per-position ``element_at`` calls embeds k
+    copies of the split into every array element's expression tree —
+    O(tokens²) work per document (measured 14× slower at sf0.1).
+    """
+    toks_mat = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("__tk"),
+    )
+    n = F.size("__tk")
     idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
         F.array().cast("array<int>")
     )
     sh = F.transform(
         idx,
         lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(k)]
+            " ", *[F.element_at(F.col("__tk"), i + j) for j in range(k)]
         ),
     )
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    out = toks_mat.select("doc_id", F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def _shingle_hash():
@@ -88,48 +103,53 @@ def _shingle_hash():
     return F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("bigint")
 
 
-def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, perm i, minhash) from a (doc_id, shingle) relation."""
-    perms = F.array(
-        *[
-            F.struct(F.lit(i).alias("i"), F.lit(a).alias("a"), F.lit(b).alias("b"))
-            for i, (a, b) in enumerate(MINHASH_PERMS)
-        ]
-    )
-    hashed = sh.select("doc_id", (_shingle_hash() % P).alias("h"))
-    return (
-        hashed.select("doc_id", "h", F.explode(perms).alias("p"))
-        .select(
-            "doc_id",
-            F.col("p.i").alias("i"),
-            ((F.col("p.a") * F.col("h") + F.col("p.b")) % P).alias("ph"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("ph").alias("mh"))
-    )
+def minhash_signatures(sig_input: DataFrame) -> DataFrame:
+    """(doc_id, mh_0..mh_{N-1}) wide signature from a (doc_id, shingle)
+    relation.
+
+    All N permutation minima are computed as N aggregate expressions in a
+    SINGLE map-side-combinable groupBy — no row explosion, one shuffle on
+    doc_id carrying N longs per doc. (The naive formulation explodes
+    N× rows and shuffles (doc, perm) pairs; at 100 TB that is N extra
+    passes of shuffle IO for the same answer.)
+    """
+    hashed = sig_input.select("doc_id", (_shingle_hash() % P).alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % P).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
-    """Band the signature, bucket-join: pairs agreeing on any full band."""
-    bands = (
-        sig.withColumn("band", (F.col("i") / ROWS_PER_BAND).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                    lambda s: s["mh"].cast("string"),
-                ),
-                "-",
-            ).alias("sig")
-        )
+    """Band the wide signature, bucket-join: pairs agreeing on any full
+    band. Band keys are plain string concats of the wide columns (no
+    collect_list/sort needed); the self-join key is (band, signature)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.col(f"mh_{b * ROWS_PER_BAND + r}").cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                ).alias("bsig"),
+            )
+            for b in range(N_BANDS)
+        ]
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    bdf = (
+        sig.select("doc_id", F.explode(bands).alias("bs"))
+        .select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
+    )
+    a, b = bdf.alias("a"), bdf.alias("b")
     return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(

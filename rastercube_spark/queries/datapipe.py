@@ -209,7 +209,8 @@ def q92(spark, sf_dir):
     (doc, shingle) distinct, signature groupBy, band groupBy, bucket join.
     """
     d = load(spark, sf_dir, "documents")
-    sh = shingles_df(d, "doc_id", "text", k=3)
+    # minhash is duplicate-insensitive → skip the distinct shuffle
+    sh = shingles_df(d, "doc_id", "text", k=3, distinct=False)
     sig = minhash_signatures(sh)
     return lsh_candidate_pairs(sig).orderBy("doc_a", "doc_b")
 
@@ -240,8 +241,10 @@ def q93(spark, sf_dir):
     minhash-dedup second stage). The candidate set drives the join — only
     candidate documents' shingles ever meet."""
     d = load(spark, sf_dir, "documents")
-    sh = shingles_df(d, "doc_id", "text", k=3)
-    pairs = lsh_candidate_pairs(minhash_signatures(sh))
+    sh = shingles_df(d, "doc_id", "text", k=3)  # distinct: jaccard needs sets
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(shingles_df(d, "doc_id", "text", k=3, distinct=False))
+    )
     return pair_jaccard(sh, pairs).orderBy("doc_a", "doc_b")
 
 
@@ -429,14 +432,15 @@ def q97(spark, sf_dir):
     "q98_cosine_pairs_topk",
     oracle=f"""
         WITH c AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS nrm
             FROM embeddings
         ),
         scored AS (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   ROUND(list_dot_product(a.v, b.v) /
-                       (sqrt(list_dot_product(a.v, a.v)) *
-                        sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+                   ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+                       AS cosine
             FROM c a JOIN c b ON a.vec_id < b.vec_id
         )
         SELECT vec_a, vec_b, cosine
@@ -448,21 +452,37 @@ def q97(spark, sf_dir):
 def q98(spark, sf_dir):
     """Embedding near-dup detection: top-20 most-similar pairs by cosine.
 
-    Oracle-scale formulation is the half-matrix self-join; the 100 TB path
-    is q97's bucketed join with a cosine threshold — same scoring column
-    expression, different candidate generation.
+    Norms are computed once per vector BEFORE the self-join, so each of
+    the O(n²) pairs evaluates a single vector fold (the dot) instead of
+    three — higher-order array functions are interpreted, not codegen'd,
+    so per-pair folds dominate this query. Oracle-scale formulation is
+    the half-matrix self-join; the 100 TB path is q97's bucketed join
+    with a cosine threshold — same scoring, different candidates.
     """
-    from rastercube_spark.operators.similarity import cosine
+    from rastercube_spark.operators.similarity import _dot, _norm
 
     e = load(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    withn = e.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    a = withn.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = withn.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), "vec_a", "vec_b")
         .limit(20)
@@ -496,19 +516,27 @@ def q99(spark, sf_dir):
         F.array().cast("array<int>")
     )
     wins = F.transform(idx, lambda i: F.col("text").substr(i, F.lit(16)))
-    hv = F.explode(
-        F.transform(
-            wins,
-            lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint"),
-        )
-    ).alias("hv")
+    # explode windows BEFORE hashing: hashing inside a nested transform
+    # re-embeds the window-builder into every element's expression
+    # (O(len²) per doc — measured 30+s at sf0.1; this form is ~1s)
+    exploded = d.select("doc_id", F.explode(wins).alias("win"))
+    hashed = exploded.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("win"), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
+    )
+    # two-level aggregate: collapse duplicate hashes map-side first, so
+    # the distinct count is a plain count over pre-deduped rows (the
+    # single-pass count_distinct ships every hash through the shuffle)
     return (
-        d.select("doc_id", hv)
+        hashed.groupBy("doc_id", "hv")
+        .agg(F.count("*").alias("cnt"))
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_windows"),
+            F.sum("cnt").alias("n_windows"),
             F.min("hv").alias("fp_min"),
-            F.count_distinct(F.col("hv")).alias("n_distinct"),
+            F.count("*").alias("n_distinct"),
         )
         .orderBy("doc_id")
     )
