@@ -17,7 +17,7 @@ content equality), generalized here to near-duplicate detection.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from rastercube_spark.operators.dedup import (
     N_BANDS,
@@ -567,3 +567,69 @@ def qa0(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     media = attach_payload(d)
     return decode_metrics(media).orderBy("doc_id")
+
+
+@query(
+    "qa1_tfidf_topterms",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM tok GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+                       AS tfidf
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT doc_id, term, tfidf,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, term
+                   ) AS rank
+            FROM scored
+        )
+        SELECT doc_id, term, tfidf, rank
+        FROM ranked WHERE rank <= 3
+        ORDER BY doc_id, rank
+    """,
+)
+def qa1(spark, sf_dir):
+    """TF-IDF top-3 terms per document. Shuffle shape at scale: term
+    frequencies and document frequencies are both map-side-combinable
+    aggregates; the score join broadcasts nothing wider than the df table
+    (bounded by vocabulary, not corpus); top-k is a per-doc window."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .orderBy("doc_id", "rank")
+    )

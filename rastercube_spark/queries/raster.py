@@ -355,3 +355,37 @@ def qr08(spark, sf_dir):
         spark, px, _SRC_GT, _DST_GT_UP, dst_width=80, dst_height=60, value_col="v"
     )
     return out.orderBy("dst_x", "dst_y")
+
+
+@query(
+    "qr09_chunk_checksum",
+    oracle=f"""
+        SELECT frac_num, time_chunk,
+               count(*) AS n_px,
+               CAST(SUM((x * 1000003 + y * 8191 + t * 127 +
+                    (CASE WHEN ndvi = -3000 THEN 0 ELSE ndvi END))
+                    % 2147483647) AS BIGINT) AS checksum
+        FROM read_parquet('{fixture_path('ndvi_pixels')}')
+        GROUP BY frac_num, time_chunk
+        ORDER BY frac_num, time_chunk
+    """,
+)
+def qr09(spark, sf_dir):
+    """A3 grid equality/checksum (reference
+    tests/scripts/test_complete_ndvi_worldgrid.py:19-39 chunkwise
+    comparison): a per-chunk order-independent checksum; two grids are
+    equal iff their checksum relations join 1:1 on equal values. One
+    map-side-combinable aggregate per grid — at 100 TB the comparison
+    ships two small checksum tables, never pixel data."""
+    px = load(spark, sf_dir, "ndvi_pixels")
+    mix = (
+        F.col("x") * 1000003
+        + F.col("y") * 8191
+        + F.col("t") * 127
+        + F.when(F.col("ndvi") == -3000, 0).otherwise(F.col("ndvi"))
+    ) % 2147483647
+    return (
+        px.groupBy("frac_num", "time_chunk")
+        .agg(F.count("*").alias("n_px"), F.sum(mix).alias("checksum"))
+        .orderBy("frac_num", "time_chunk")
+    )

@@ -232,3 +232,106 @@ def q66(spark, sf_dir):
         )
         .orderBy("x", "y")
     )
+
+
+# --- F3 categorical legend + F6 type reinterpret ------------------------
+
+# GLCF-style land-cover legend (reference has the class→name/color tables
+# in its GLCF datasource; values here are a fixed engine-side dimension)
+_LEGEND = {
+    0: ("water", "0000ff"),
+    1: ("evergreen_needle", "005500"),
+    2: ("evergreen_broad", "007700"),
+    3: ("deciduous_needle", "009900"),
+    4: ("deciduous_broad", "00bb00"),
+    5: ("mixed_forest", "00dd00"),
+    6: ("woodland", "33ff33"),
+    7: ("wooded_grassland", "99ff66"),
+    8: ("closed_shrubland", "cc9966"),
+    9: ("open_shrubland", "ffcc99"),
+    10: ("grassland", "ffff66"),
+    11: ("cropland", "ffcc00"),
+    12: ("bare_ground", "cccccc"),
+    13: ("urban", "ff0000"),
+    14: ("wetland", "6699ff"),
+    15: ("snow_ice", "ffffff"),
+    16: ("unclassified", "888888"),
+}
+
+_LEGEND_CASE = " ".join(
+    f"WHEN zone_id = {k} THEN '{name}|{rgb}'" for k, (name, rgb) in _LEGEND.items()
+)
+
+
+@query(
+    "q67_categorical_legend",
+    oracle=f"""
+        SELECT zone_id,
+               split_part(CASE {_LEGEND_CASE} ELSE 'unknown|000000' END,
+                          '|', 1) AS class_name,
+               split_part(CASE {_LEGEND_CASE} ELSE 'unknown|000000' END,
+                          '|', 2) AS rgb_hex,
+               count(*) AS n_px
+        FROM read_parquet('{fixture_path('glcf_pixels')}')
+        GROUP BY zone_id
+        ORDER BY zone_id
+    """,
+)
+def q67(spark, sf_dir):
+    """F3: categorical class → legend (name + color) via a broadcast map
+    literal — the lookup folds into the scan, no join at all (reference
+    GLCF class→color tables)."""
+    lookup = F.create_map(
+        *[
+            x
+            for k, (name, rgb) in _LEGEND.items()
+            for x in (F.lit(k), F.struct(F.lit(name).alias("n"), F.lit(rgb).alias("c")))
+        ]
+    )
+    px = load(spark, sf_dir, "glcf_pixels")
+    hit = F.element_at(lookup, F.col("zone_id"))
+    return (
+        px.groupBy("zone_id")
+        .agg(F.count("*").alias("n_px"))
+        .select(
+            "zone_id",
+            F.coalesce(hit["n"], F.lit("unknown")).alias("class_name"),
+            F.coalesce(hit["c"], F.lit("000000")).alias("rgb_hex"),
+            "n_px",
+        )
+        .orderBy("zone_id")
+    )
+
+
+@query(
+    "q68_type_reinterpret",
+    oracle=f"""
+        SELECT frac_num,
+               count(CASE WHEN qa_i16 < 0 THEN 1 END) AS n_negative,
+               min(qa_i16) AS min_i16,
+               max(qa_i16) AS max_i16
+        FROM (
+            SELECT frac_num,
+                   CASE WHEN qa > 32767 THEN qa - 65536 ELSE qa END AS qa_i16
+            FROM read_parquet('{fixture_path('qa_pixels')}')
+        )
+        GROUP BY frac_num
+        ORDER BY frac_num
+    """,
+)
+def q68(spark, sf_dir):
+    """F6: reinterpret the uint16 QA word as int16 (two's complement) —
+    the reference's numpy `.view(np.int16)` (SURVEY F6) as pure column
+    arithmetic, no copy, no UDF."""
+    px = load(spark, sf_dir, "qa_pixels")
+    i16 = F.when(F.col("qa") > 32767, F.col("qa") - 65536).otherwise(F.col("qa"))
+    return (
+        px.select("frac_num", i16.alias("qa_i16"))
+        .groupBy("frac_num")
+        .agg(
+            F.count(F.when(F.col("qa_i16") < 0, 1)).alias("n_negative"),
+            F.min("qa_i16").alias("min_i16"),
+            F.max("qa_i16").alias("max_i16"),
+        )
+        .orderBy("frac_num")
+    )

@@ -1,0 +1,65 @@
+"""Physical-plan assertions (SURVEY §4/§6 scale discipline): the
+optimizations the engine relies on at 100 TB must actually appear in the
+executed plans — pushdown reaching the scan, broadcast for small dims,
+partial aggregation, top-k without a global sort, partition pruning, and
+no accidental cartesian products anywhere in the registered surface."""
+
+from __future__ import annotations
+
+import pytest
+
+from rastercube_spark import registry
+
+_QS = registry.queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = _QS[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q02_project_filter")
+    assert "PushedFilters: [" in plan
+    # and the scan doesn't read every column (projection pruning)
+    assert "ReadSchema" in plan
+
+
+def test_broadcast_join_for_small_dim(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q11_broadcast_join")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_partial_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q20_tpch_q1_agg")
+    # map-side partial + final hash aggregate
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_no_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q40_global_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cube_scan_partition_pruned(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "qr06_cube_window_agg")
+    assert "PartitionFilters" in plan and "frac_num" in plan
+
+
+def test_theta_join_is_broadcast_nested_loop(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q16_theta_join")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(n for n in _QS if n not in {
+        # intentional products: generated-frame cross joins (zero-IO
+        # range sources) and the bounded all-pairs oracle formulation
+        "qr01_windowed_read_fill",
+        "q98_cosine_pairs_topk",
+    }),
+)
+def test_no_cartesian_product(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
