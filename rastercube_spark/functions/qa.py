@@ -71,3 +71,35 @@ def qaconf_numpy(qa):
     conf = 1.0 - ((qa >> 2) & 15) / 12.0
     conf[bad] = 0.0
     return conf
+
+
+# --- Landsat8 QA (F2) ---------------------------------------------------
+
+def landsat_qaconf_col(qa: Column) -> Column:
+    """Landsat8 QA word → binary confidence (F2; exact gate logic of
+    reference rastercube/datasources/landsat8_qa.pyx:22-67): fill,
+    dropped frame, terrain occlusion, or high-confidence water / snow /
+    cirrus / cloud (2-bit field == 3) → 0, else 1. Vegetation confidence
+    (bits 8-9) deliberately ignored, matching the reference."""
+    bad = (
+        (qa.bitwiseAND(F.lit(1)) == 1)
+        | (F.shiftright(qa, 1).bitwiseAND(F.lit(1)) == 1)
+        | (F.shiftright(qa, 2).bitwiseAND(F.lit(1)) == 1)
+        | (F.shiftright(qa, 4).bitwiseAND(F.lit(3)) == 3)
+        | (F.shiftright(qa, 10).bitwiseAND(F.lit(3)) == 3)
+        | (F.shiftright(qa, 12).bitwiseAND(F.lit(3)) == 3)
+        | (F.shiftright(qa, 14).bitwiseAND(F.lit(3)) == 3)
+    )
+    return F.when(bad, F.lit(0.0)).otherwise(F.lit(1.0))
+
+
+LANDSAT_QACONF_SQL = (
+    "CASE WHEN (({qa}) & 1) = 1"
+    " OR ((({qa}) >> 1) & 1) = 1"
+    " OR ((({qa}) >> 2) & 1) = 1"
+    " OR ((({qa}) >> 4) & 3) = 3"
+    " OR ((({qa}) >> 10) & 3) = 3"
+    " OR ((({qa}) >> 12) & 3) = 3"
+    " OR ((({qa}) >> 14) & 3) = 3"
+    " THEN 0.0 ELSE 1.0 END"
+)

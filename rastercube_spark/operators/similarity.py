@@ -82,6 +82,106 @@ def brute_force_knn(
     )
 
 
+# --- IVF (coarse quantizer) --------------------------------------------
+
+def ivf_centroids(dim: int, n_cents: int, seed: int = 11) -> list[list[float]]:
+    """Deterministic pseudo-random coarse centroids (LCG — driver-side
+    literals, like the LSH hyperplanes). Production swaps in k-means-
+    trained centroids with the same shape; the operator topology is
+    identical."""
+    return _hyperplanes(dim, n_cents, seed)
+
+
+def ivf_assign(vec: Column, cents: list[list[float]]) -> Column:
+    """Nearest-centroid id by max inner product (ties → lowest id),
+    as an array_max over (dot, priority) structs — linear expression
+    tree, no when-chain blowup."""
+    n = len(cents)
+    scored = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(v) for v in c]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("dot"),
+            F.lit(n - 1 - i).alias("pri"),
+        )
+        for i, c in enumerate(cents)
+    ]
+    best = F.array_max(F.array(*scored))
+    return (F.lit(n - 1) - best["pri"]).alias("cid")
+
+
+def ivf_probe_lists(vec: Column, cents: list[list[float]], nprobe: int) -> Column:
+    """Top-``nprobe`` centroid ids for a query vector (dot desc, id asc):
+    sort the (dot, priority) structs descending and slice."""
+    n = len(cents)
+    scored = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(v) for v in c]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("dot"),
+            F.lit(n - 1 - i).alias("pri"),
+        )
+        for i, c in enumerate(cents)
+    ]
+    top = F.slice(F.sort_array(F.array(*scored), asc=False), 1, nprobe)
+    return F.transform(top, lambda s: F.lit(n - 1) - s["pri"])
+
+
+def ivf_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_cents: int = 16,
+    nprobe: int = 4,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """IVF approximate kNN: corpus rows live in their nearest-centroid
+    inverted list; each query scores only the lists it probes.
+
+    Scale shape: assignment is a per-row column expression (one pass, no
+    shuffle); the probe join is an equi-join on the centroid id whose
+    fan-out is nprobe/n_cents of the corpus — the standard IVF cost
+    model. The corpus shuffles once on cid (or is bucketed by it on
+    disk, making repeat queries shuffle-free).
+    """
+    cents = ivf_centroids(dim, n_cents)
+    cb = corpus.withColumn("cid", ivf_assign(F.col(c_vec), cents))
+    qb = queries.select(
+        F.col(q_id),
+        F.col(q_vec),
+        F.explode(ivf_probe_lists(F.col(q_vec), cents, nprobe)).alias("cid"),
+    )
+    scored = cb.join(F.broadcast(qb), "cid").where(
+        F.col(q_id) != F.col(c_id)
+    ).select(
+        F.col(q_id),
+        F.col(c_id),
+        F.round(cosine(F.col(q_vec), F.col(c_vec)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id, c_id, "cosine", "rank")
+    )
+
+
 # --- LSH (random hyperplanes) ------------------------------------------
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:

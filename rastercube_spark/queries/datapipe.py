@@ -633,3 +633,87 @@ def qa1(spark, sf_dir):
         .where(F.col("rank") <= 3)
         .orderBy("doc_id", "rank")
     )
+
+
+def _cents_values() -> str:
+    from rastercube_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(EMB_DIM, 16)
+    return ", ".join(
+        f"({i}, [{', '.join(repr(v) for v in c)}])" for i, c in enumerate(cents)
+    )
+
+
+@query(
+    "qa2_ivf_knn",
+    oracle=f"""
+        WITH cents(cid, cv) AS (VALUES {_cents_values()}),
+        c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings
+        ),
+        cass AS (
+            SELECT vec_id, cid FROM (
+                SELECT c.vec_id, cents.cid,
+                       row_number() OVER (
+                           PARTITION BY c.vec_id
+                           ORDER BY list_dot_product(c.v, cents.cv) DESC,
+                                    cents.cid ASC
+                       ) AS rn
+                FROM c, cents
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM c
+              WHERE vec_id < 10),
+        qprobe AS (
+            SELECT q_id, cid FROM (
+                SELECT q.q_id, cents.cid,
+                       row_number() OVER (
+                           PARTITION BY q.q_id
+                           ORDER BY list_dot_product(q.qv, cents.cv) DESC,
+                                    cents.cid ASC
+                       ) AS rn
+                FROM q, cents
+            ) WHERE rn <= 4
+        ),
+        scored AS (
+            SELECT q.q_id, ca.vec_id,
+                   ROUND(list_dot_product(q.qv, cc.v) / (q.qn * cc.nrm), 6)
+                       AS cosine
+            FROM qprobe jp
+            JOIN cass ca USING (cid)
+            JOIN q ON q.q_id = jp.q_id
+            JOIN c cc ON cc.vec_id = ca.vec_id
+            WHERE q.q_id <> ca.vec_id
+        ),
+        ranked AS (
+            SELECT q_id, vec_id, cosine,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY cosine DESC, vec_id
+                   ) AS rank
+            FROM scored
+        )
+        SELECT q_id, vec_id, cosine, rank
+        FROM ranked WHERE rank <= 10
+        ORDER BY q_id, rank
+    """,
+)
+def qa2(spark, sf_dir):
+    """IVF approximate kNN (the ANN scale path next to q97's LSH): 16
+    fixed coarse centroids, corpus in inverted lists by nearest centroid,
+    queries probe their top-4 lists — candidate set ≈ nprobe/n_cents of
+    the corpus, scored exactly, per-query top-10. Production trains the
+    centroids (k-means); the topology — one-pass assignment, equi-join on
+    cid, per-query window — is unchanged. Recall vs the q96 brute-force
+    baseline is asserted in tests."""
+    from rastercube_spark.operators.similarity import ivf_knn
+
+    e = load(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_knn(qs, e, dim=EMB_DIM, k=10, n_cents=16, nprobe=4).orderBy(
+        "q_id", "rank"
+    )

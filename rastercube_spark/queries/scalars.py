@@ -9,7 +9,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from rastercube_spark.functions.qa import QACONF_SQL, qaconf_col
+from rastercube_spark.functions.qa import (
+    LANDSAT_QACONF_SQL,
+    QACONF_SQL,
+    landsat_qaconf_col,
+    qaconf_col,
+)
 from rastercube_spark.queries._util import davg, davg_sql
 from rastercube_spark.registry import query
 from rastercube_spark.sources.tables import fixture_path, load
@@ -334,4 +339,79 @@ def q68(spark, sf_dir):
             F.max("qa_i16").alias("max_i16"),
         )
         .orderBy("frac_num")
+    )
+
+
+@query(
+    "q69_landsat_qa",
+    oracle=f"""
+        SELECT frac_num,
+               {davg_sql(LANDSAT_QACONF_SQL.format(qa='qa'))} AS avg_conf,
+               count(CASE WHEN ({LANDSAT_QACONF_SQL.format(qa='qa')}) > 0
+                     THEN 1 END) AS n_usable
+        FROM read_parquet('{fixture_path('qa_pixels')}')
+        GROUP BY frac_num
+        ORDER BY frac_num
+    """,
+)
+def q69(spark, sf_dir):
+    """F2: the Landsat8 QA gate cascade (reference landsat8_qa.pyx:22-67)
+    over the qa fixture words — same decode pattern as F1, different bit
+    layout, proving the bit-gate machinery generalizes."""
+    px = load(spark, sf_dir, "qa_pixels")
+    return (
+        px.select("frac_num", landsat_qaconf_col(F.col("qa")).alias("conf"))
+        .groupBy("frac_num")
+        .agg(
+            davg("conf").alias("avg_conf"),
+            F.count(F.when(F.col("conf") > 0, 1)).alias("n_usable"),
+        )
+        .orderBy("frac_num")
+    )
+
+
+@query(
+    "q28_zonal_percentile",
+    oracle=f"""
+        SELECT g.zone_id,
+               ROUND(quantile_cont(p.ndvi_v, 0.5), 6) AS median_ndvi,
+               ROUND(quantile_cont(p.ndvi_v, 0.9), 6) AS p90_ndvi,
+               count(p.ndvi_v) AS n
+        FROM (
+            SELECT frac_num, x, y,
+                   CASE WHEN ndvi = -3000 THEN NULL
+                        ELSE CAST(ndvi AS DOUBLE) END AS ndvi_v
+            FROM read_parquet('{fixture_path('ndvi_pixels')}')
+        ) p
+        JOIN read_parquet('{fixture_path('glcf_pixels')}') g
+          ON p.frac_num = g.frac_num AND p.x = g.x AND p.y = g.y
+        GROUP BY g.zone_id
+        ORDER BY g.zone_id
+    """,
+)
+def q28(spark, sf_dir):
+    """A1 percentile zonal stats: exact interpolated percentiles per
+    land-cover zone (reference per-polygon percentile plots). Exact
+    `percentile` shuffles the zone's values to one reducer per zone —
+    bounded by zone cardinality; at 100 TB the approximate variant
+    (percentile_approx, mergeable sketches) is the scale path, kept out
+    of the oracle gate because sketches aren't cross-engine stable."""
+    ndvi = load(spark, sf_dir, "ndvi_pixels").select(
+        "frac_num",
+        "x",
+        "y",
+        F.when(F.col("ndvi") == -3000, None)
+        .otherwise(F.col("ndvi").cast("double"))
+        .alias("ndvi_v"),
+    )
+    glcf = load(spark, sf_dir, "glcf_pixels")
+    return (
+        ndvi.join(glcf, ["frac_num", "x", "y"])
+        .groupBy("zone_id")
+        .agg(
+            F.round(F.percentile("ndvi_v", 0.5), 6).alias("median_ndvi"),
+            F.round(F.percentile("ndvi_v", 0.9), 6).alias("p90_ndvi"),
+            F.count("ndvi_v").alias("n"),
+        )
+        .orderBy("zone_id")
     )

@@ -281,6 +281,39 @@ class RasterCube:
         self.save_header()
         return True
 
+    def repair_truncate(self, spark: SparkSession) -> int:
+        """D4 chunk repair (reference jgrid3 chunk clamp): drop rows whose
+        ``t`` lies beyond the header's time axis (overgrown chunks from an
+        interrupted append). Only the affected trailing partitions are
+        rewritten (dynamic overwrite). Returns the number of chunks fixed.
+        """
+        h = self.header
+        last_chunk = (h.ndates - 1) // h.frac_ndates
+        tail = spark.read.parquet(self.data_path).where(
+            F.col("time_chunk") >= last_chunk
+        )
+        bad_chunks = [
+            r["time_chunk"]
+            for r in tail.where(F.col("t") >= h.ndates)
+            .select("time_chunk")
+            .distinct()
+            .collect()
+        ]
+        if not bad_chunks:
+            return 0
+        fixed = tail.where(
+            F.col("time_chunk").isin(bad_chunks) & (F.col("t") < h.ndates)
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            fixed.repartition("frac_num", "time_chunk")
+            .sortWithinPartitions("y", "x", "t")
+            .write.mode("overwrite")
+            .partitionBy("frac_num", "time_chunk")
+            .parquet(self.data_path)
+        )
+        return len(bad_chunks)
+
     # --- read ----------------------------------------------------------
     def df(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.data_path)

@@ -106,3 +106,33 @@ def test_append_idempotent(spark, cube, tmp_path):
     full_twice = c2.load_slice_array(spark, (0, 0), (W, H))
     np.testing.assert_array_equal(full_twice, full_once)
     assert RasterCube.open(root).header.ndates == ND + 2
+
+
+def test_repair_truncate(spark, cube, tmp_path):
+    """D4: rows beyond the header's time axis (interrupted append) are
+    clamped away; intact chunks untouched."""
+    c, data = cube
+    root = str(tmp_path / "overgrown")
+    c2 = RasterCube(root, CubeHeader.from_json(c.header.to_json()))
+    c2.write_arrays(spark, data)
+    # simulate an interrupted append: bogus rows with t beyond the axis
+    # landing in the last chunk's partitions
+    from pyspark.sql import functions as F
+    last_chunk = (ND - 1) // FRAC_NDATES
+    bogus = (
+        c2.df(spark)
+        .where((F.col("time_chunk") == last_chunk) & (F.col("t") == ND - 1))
+        .withColumn("t", F.lit(ND).cast("int"))
+    )
+    bogus.write.mode("append").partitionBy("frac_num", "time_chunk").parquet(
+        c2.data_path
+    )
+    assert c2.df(spark).where(F.col("t") >= ND).count() > 0
+
+    fixed = c2.repair_truncate(spark)
+    assert fixed >= 1
+    assert c2.df(spark).where(F.col("t") >= ND).count() == 0
+    got = c2.load_slice_array(spark, (0, 0), (W, H))
+    np.testing.assert_array_equal(got, data)
+    # idempotent: second repair is a no-op
+    assert c2.repair_truncate(spark) == 0

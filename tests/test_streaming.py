@@ -150,3 +150,40 @@ def test_watermark_drops_file_granular(spark, tmp_path):
         for r in expect.itertuples()
     )
     assert got == want
+
+
+def test_stateful_running_totals_conformance(spark, tmp_path):
+    """applyInPandasWithState across multiple triggers: the final state
+    per user (max-seq update row) must equal the batch aggregate, and
+    state must actually accumulate across triggers (seq > 1)."""
+    from rastercube_spark.streaming.stateful import running_user_totals
+
+    replay = EventReplay(spark, SF, str(tmp_path), n_files=4)
+    s = replay.stream(max_files_per_trigger=1).where(F.col("user_id") >= 0)
+    out = running_user_totals(s)
+    sink = run_to_completion(out, replay, "t_state_sink", output_mode="update",
+                             flushes=0)
+
+    import pandas as pd
+
+    updates = sink.toPandas()
+    final = updates.sort_values("seq").groupby("user_id").tail(1)
+    assert (final["seq"] > 1).any(), "state never crossed a trigger boundary"
+
+    from rastercube_spark.sources.tables import load
+
+    batch = (
+        load(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .toPandas()
+    )
+    got = {
+        int(r.user_id): (int(r.n_events), float(r.sum_value))
+        for r in final.itertuples()
+    }
+    want = {
+        int(r.user_id): (int(r.n_events), float(r.sum_value))
+        for r in batch.itertuples()
+    }
+    assert got == want
