@@ -1,0 +1,84 @@
+"""Distributed prefix scan: running aggregates over a GLOBAL order
+without a single-task global window.
+
+``Window.orderBy(...)`` with no partition key funnels every row through
+one task — fine as an sf0.01 oracle emulation, fatal at 100 TB. The
+classic fix is the two-pass prefix scan:
+
+1. split the order domain into buckets at approx-quantile boundaries —
+   the bucket id is an EXPLICIT column derived from literal boundaries,
+   so every downstream action sees the same assignment
+   (``repartitionByRange`` + ``spark_partition_id`` is NOT usable here:
+   its sampling re-runs per action and the pid→range mapping shifts
+   between the offsets pass and the main pass — observed live);
+2. per-bucket running aggregate via a window PARTITIONED by bucket
+   (parallel, bounded by bucket size);
+3. per-bucket totals (one row per bucket) prefix-combined on the driver
+   and broadcast back as a map literal of offsets.
+
+Semantically identical to the global window; wall-clock bounded by the
+largest bucket, not the whole relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _bucket_col(order: Column, boundaries: list[float]) -> Column:
+    b: Column = F.lit(0)
+    for v in boundaries:
+        b = b + F.when(order >= F.lit(v), 1).otherwise(0)
+    return b
+
+
+def running_max_exclusive(
+    df: DataFrame, order_col: str, value_col: str, num_buckets: int = 32
+) -> DataFrame:
+    """Add ``__running_max`` = max(value) over all rows strictly before
+    the current row in ``order_col`` order (NULL for the global first
+    row) — distributed, no global window. ``order_col`` must be numeric.
+    """
+    boundaries = df.stat.approxQuantile(
+        order_col, [i / num_buckets for i in range(1, num_buckets)], 0.001
+    )
+    boundaries = sorted(set(boundaries))
+    bucketed = df.withColumn(
+        "__bkt", _bucket_col(F.col(order_col).cast("double"), boundaries)
+    )
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn("__local_max", F.max(value_col).over(w))
+
+    # per-bucket totals → exclusive prefix max (driver-side: one row per
+    # bucket, trivially small at any scale)
+    totals = {
+        r["__bkt"]: r["m"]
+        for r in bucketed.groupBy("__bkt").agg(F.max(value_col).alias("m")).collect()
+    }
+    prefix: dict[int, object] = {}
+    best = None
+    for bkt in sorted(totals):
+        prefix[bkt] = best
+        best = totals[bkt] if best is None or totals[bkt] > best else best
+
+    # offsets ride back as a broadcast map literal keyed by bucket id;
+    # element_at yields NULL for buckets with no predecessor data
+    mapping: Column = F.lit(None).cast(df.schema[value_col].dataType)
+    entries = [
+        x
+        for bkt, v in prefix.items()
+        if v is not None
+        for x in (F.lit(bkt), F.lit(v))
+    ]
+    if entries:
+        mapping = F.element_at(F.create_map(*entries), F.col("__bkt"))
+
+    # greatest() ignores NULLs (returns the largest non-null operand), so
+    # the combine is exact: NULL only for the global first rows
+    return local.withColumn(
+        "__running_max", F.greatest(F.col("__local_max"), mapping)
+    ).drop("__bkt", "__local_max")

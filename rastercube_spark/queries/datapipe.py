@@ -717,3 +717,74 @@ def qa2(spark, sf_dir):
     return ivf_knn(qs, e, dim=EMB_DIM, k=10, n_cents=16, nprobe=4).orderBy(
         "q_id", "rank"
     )
+
+
+@query(
+    "qa3_dup_clusters",
+    oracle=f"""
+        WITH RECURSIVE {_shingles_cte(3)}, {_LSH_CTES},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM cand
+            UNION
+            SELECT doc_b, doc_a FROM cand
+        ),
+        reach(a, b) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+        )
+        SELECT a AS doc_id, min(b) AS cluster_id
+        FROM reach GROUP BY a ORDER BY doc_id
+    """,
+)
+def qa3(spark, sf_dir):
+    """Duplicate clusters from the LSH candidate graph: iterative
+    min-label propagation (operators/graph.py) — a genuinely iterative
+    algorithm whose oracle is a recursive-CTE transitive closure (viable
+    at oracle scale; the Spark loop is the form that scales)."""
+    from rastercube_spark.operators.graph import min_label_clusters
+
+    d = load(spark, sf_dir, "documents")
+    sh = shingles_df(d, "doc_id", "text", k=3, distinct=False)
+    pairs = lsh_candidate_pairs(minhash_signatures(sh))
+    return min_label_clusters(pairs).orderBy("doc_id")
+
+
+@query(
+    "qa4_dedup_keep",
+    oracle=f"""
+        WITH RECURSIVE {_shingles_cte(3)}, {_LSH_CTES},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM cand
+            UNION
+            SELECT doc_b, doc_a FROM cand
+        ),
+        reach(a, b) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+        ),
+        clusters AS (
+            SELECT a AS doc_id, min(b) AS cluster_id
+            FROM reach GROUP BY a
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (
+            SELECT doc_id FROM clusters WHERE doc_id <> cluster_id
+        )
+        ORDER BY doc_id
+    """,
+)
+def qa4(spark, sf_dir):
+    """End-to-end dedup ACTION: drop every cluster member except the
+    keeper (min doc_id per duplicate cluster), keep everything
+    unclustered — the keep-list a training-data pipeline feeds downstream.
+    One anti-join against the (tiny) non-keeper set."""
+    from rastercube_spark.operators.graph import min_label_clusters
+
+    d = load(spark, sf_dir, "documents")
+    sh = shingles_df(d, "doc_id", "text", k=3, distinct=False)
+    pairs = lsh_candidate_pairs(minhash_signatures(sh))
+    clusters = min_label_clusters(pairs)
+    drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return d.select("doc_id").join(drop, "doc_id", "left_anti").orderBy("doc_id")

@@ -147,13 +147,19 @@ def q73(spark, sf_dir):
     """Watermark/late-data semantics, expressed relationally: drop rows
     whose event time lags the running max by > 15 minutes (what
     withWatermark('ts', '15 minutes') drops on replay in arrival order).
-    The true Structured Streaming replay of this query lives in
-    rastercube_spark/streaming/replay.py and is conformance-tested against
-    this batch form (SURVEY §5.2.5 / Q73)."""
+
+    The running max over the global arrival order uses the distributed
+    prefix scan (operators/prefix.py) — range-partition + per-partition
+    window + broadcast offsets — NOT a single-task global window, so the
+    batch form holds at scale. The true Structured Streaming replay lives
+    in rastercube_spark/streaming/replay.py and is conformance-tested
+    (tests/test_streaming.py)."""
+    from rastercube_spark.operators.prefix import running_max_exclusive
+
     e = load(spark, sf_dir, "events")
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
     kept = (
-        e.withColumn("max_seen", F.max("ts").over(w))
+        running_max_exclusive(e, "event_id", "ts")
+        .withColumnRenamed("__running_max", "max_seen")
         .where(
             F.col("max_seen").isNull()
             | (F.col("ts") >= F.col("max_seen") - F.expr("INTERVAL 15 minutes"))
