@@ -275,3 +275,40 @@ def q27(spark, sf_dir):
         )
         .orderBy("x", "y")
     )
+
+
+@query(
+    "q29_salted_agg",
+    oracle=f"""
+        SELECT l_returnflag,
+               count(*) AS n,
+               {dsum_sql('l_quantity')} AS sum_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def q29(spark, sf_dir):
+    """Skew-mitigated aggregation by explicit salting: l_returnflag has 3
+    distinct values — at 100 TB a plain groupBy lands a third of the table
+    on each of 3 reducers. Salting splits every hot key across 16
+    sub-keys (phase 1: map-side-combinable partial per (key, salt)),
+    then merges the 16 partials per key (phase 2: trivially small).
+    Same result as a plain groupBy, worst reducer 16x smaller. (AQE's
+    skew handling covers joins; aggregation skew needs this pattern.)"""
+    n_salt = 16
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "__salt", (F.crc32(F.col("l_orderkey").cast("string")) % n_salt)
+    )
+    partial = li.groupBy("l_returnflag", "__salt").agg(
+        F.count("*").alias("n_p"),
+        F.sum(F.col("l_quantity").cast("decimal(24,6)")).alias("s_p"),
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("n_p").alias("n"),
+            F.round(F.sum("s_p").cast("double"), 6).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

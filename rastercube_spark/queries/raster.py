@@ -181,10 +181,16 @@ _CUBE_ROOT = "/root/repo/fixtures/ndvi_cube"
 
 
 def _ndvi_cube(spark):
-    """Build the partitioned cube from the ndvi_pixels fixture once
-    (idempotent — header sidecar marks completion). Grid geometry per
-    FIXTURES.md: 160x120, frac 20x20, 11 dates, frac_ndates 5."""
+    """Build the partitioned cube from the ndvi_pixels fixture once.
+
+    Idempotent AND concurrency-safe: the build lands in a scratch dir and
+    is committed with one atomic rename; a concurrent builder either wins
+    the rename or reads the winner's cube. The header sidecar only exists
+    in committed cubes. Grid geometry per FIXTURES.md: 160x120, frac
+    20x20, 11 dates, frac_ndates 5."""
     import os
+    import shutil
+    import uuid
 
     from rastercube_spark.sources.raster import CubeHeader, RasterCube
 
@@ -201,12 +207,17 @@ def _ndvi_cube(spark):
         timestamps_ms=[0] * 11,  # cadence irrelevant for the window read
         value_col="ndvi",
     )
-    cube = RasterCube(_CUBE_ROOT, header)
+    scratch = f"{_CUBE_ROOT}.build-{uuid.uuid4().hex[:8]}"
+    cube = RasterCube(scratch, header)
     px = load(spark, "", "ndvi_pixels").select(
         "frac_num", "time_chunk", "x", "y", "t", "ndvi", "qa"
     )
     cube.write_long(spark, px)
-    return cube
+    try:
+        os.rename(scratch, _CUBE_ROOT)
+    except OSError:
+        shutil.rmtree(scratch, ignore_errors=True)  # another builder won
+    return RasterCube.open(_CUBE_ROOT)
 
 
 @query(

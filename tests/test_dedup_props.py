@@ -1,0 +1,70 @@
+"""Deterministic dedup-operator properties on constructed documents with
+known overlap structure (beyond the oracle gate's synthetic corpus)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rastercube_spark.operators.dedup import (
+    content_fingerprint,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    pair_jaccard,
+    shingles_df,
+    simhash_df,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),        # exact dup of 1
+    (3, "the  QUICK   brown fox jumps over the lazy dog"),     # ws/case variant
+    (4, "the quick brown fox jumps over the sleepy dog"),      # near dup
+    (5, "completely different text about raster cubes here"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_normalizes(spark):
+    out = {r["keeper_doc_id"]: r["n_copies"] for r in exact_dedup(_docs(spark), "doc_id", "text").collect()}
+    # 1,2,3 share a normalized fingerprint (keeper 1); 4 and 5 are unique
+    assert out == {1: 3, 4: 1, 5: 1}
+
+
+def test_identical_docs_identical_signatures(spark):
+    sh = shingles_df(_docs(spark), "doc_id", "text", k=3)
+    sig = minhash_signatures(sh).collect()
+    by_id = {r["doc_id"]: tuple(r[c] for c in sorted(r.asDict()) if c.startswith("mh_")) for r in sig}
+    assert by_id[1] == by_id[2] == by_id[3]
+    assert by_id[1] != by_id[5]
+
+
+def test_lsh_finds_exact_dups_jaccard_exact(spark):
+    d = _docs(spark)
+    sh = shingles_df(d, "doc_id", "text", k=3)
+    pairs = lsh_candidate_pairs(minhash_signatures(sh))
+    cand = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert {(1, 2), (1, 3), (2, 3)} <= cand  # identical signatures always collide
+    j = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pair_jaccard(sh, pairs).collect()}
+    assert j[(1, 2)] == 1.0
+    if (1, 4) in j:  # 7-of-9 trigrams differ by one word → 6/8 distinct... exact value
+        assert 0 < j[(1, 4)] < 1
+
+
+def test_simhash_identical_and_near(spark):
+    out = {r["doc_id"]: r["simhash"] for r in simhash_df(_docs(spark), "doc_id", "text").collect()}
+    assert out[1] == out[2]
+    # near-dup hamming distance small vs unrelated
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(out[1], out[4]) < ham(out[1], out[5])
+
+
+def test_fingerprint_column_stable(spark):
+    d = _docs(spark)
+    fps = d.select(content_fingerprint(F.col("text")).alias("fp")).collect()
+    assert fps[0]["fp"] == fps[1]["fp"] == fps[2]["fp"]
+    assert len(fps[0]["fp"]) == 32  # md5 hex
