@@ -312,3 +312,32 @@ def q29(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query("q2a_approx_count_distinct")  # rows-only: sketches aren't cross-engine stable
+def q2a(spark, sf_dir):
+    """HyperLogLog++ distinct-count sketch — the 100 TB replacement for
+    exact count-distinct (mergeable, fixed memory per group). No DuckDB
+    oracle (sketch estimates are engine-specific); tests/test_approx.py
+    bounds it against the exact count instead."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query("q2b_approx_quantiles")  # rows-only: same reason
+def q2b(spark, sf_dir):
+    """Quantile sketch (percentile_approx) — mergeable alternative to
+    q28's exact percentiles; bounded-memory per group at any scale."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_price"),
+            F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -43,7 +43,9 @@ def get_spark(
         # ~128 MB scan splits, mirroring the reference's one-fraction ≈
         # one-HDFS-block layout target (grids.py:115-123).
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # NOTE: spark.driver.memory cannot be set here — getOrCreate() is
+        # too late once the JVM is up. Set it at submit time
+        # (--driver-memory / SPARK_DRIVER_MEMORY in spark-env).
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
