@@ -1,0 +1,231 @@
+"""Command-line surface mirroring the reference's user scripts, so a
+reference user's workflows have drop-in analogs:
+
+| reference script | subcommand |
+|---|---|
+| worldgrid_info.py | ``info`` |
+| create_ndvi_worldgrid.py (create + ingest) | ``create-cube`` |
+| complete_ndvi_worldgrid.py (idempotent append) | ``append-cube`` |
+| show_available_fractions.py / ndvi_hdf_stats.py | ``cube-stats`` |
+| (tiff export, tiff.py:92-122) | ``export-tiff`` |
+| — | ``list-queries`` / ``run`` / ``explain`` (the query surface) |
+
+Usage: ``python -m rastercube_spark.cli <subcommand> ...``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _open_cube(root: str):
+    from rastercube_spark.sources.raster import RasterCube
+
+    try:
+        return RasterCube.open(root)
+    except FileNotFoundError:
+        print(f"error: no cube at {root} (header.json missing)", file=sys.stderr)
+        raise SystemExit(2)
+
+
+def _spark():
+    from rastercube_spark.session import get_spark
+
+    s = get_spark("rastercube-cli")
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def cmd_list_queries(args) -> int:
+    from rastercube_spark import registry
+
+    qs, oracles = registry.queries(), registry.oracle_sql()
+    for name in sorted(qs):
+        mark = "oracle" if name in oracles else "rows-only"
+        print(f"{name}\t{mark}")
+    return 0
+
+
+def cmd_run(args) -> int:
+    from rastercube_spark import registry
+
+    fn = registry.queries().get(args.query)
+    if fn is None:
+        print(f"error: unknown query '{args.query}' (see list-queries)", file=sys.stderr)
+        return 2
+    df = fn(_spark(), args.sf_dir)
+    df.show(args.rows, truncate=False)
+    return 0
+
+
+def cmd_explain(args) -> int:
+    from rastercube_spark import registry
+
+    fn = registry.queries().get(args.query)
+    if fn is None:
+        print(f"error: unknown query '{args.query}' (see list-queries)", file=sys.stderr)
+        return 2
+    fn(_spark(), args.sf_dir).explain("formatted")
+    return 0
+
+
+def cmd_info(args) -> int:
+    cube = _open_cube(args.root)
+    h = cube.header
+    print(
+        json.dumps(
+            {
+                "root": args.root,
+                "width": h.width,
+                "height": h.height,
+                "frac_width": h.frac_width,
+                "frac_height": h.frac_height,
+                "num_fracs": h.num_fracs,
+                "ndates": h.ndates,
+                "frac_ndates": h.frac_ndates,
+                "num_time_chunks": h.num_dates_fracs,
+                "dtype": h.dtype,
+                "nodataval": h.nodataval,
+                "value_col": h.value_col,
+                "geot": list(h.geot),
+            },
+            indent=2,
+        )
+    )
+    return 0
+
+
+def cmd_create_cube(args) -> int:
+    from rastercube_spark.sources.geotiff import ingest_tiles
+    from rastercube_spark.sources.raster import CubeHeader, RasterCube
+
+    header = CubeHeader(
+        width=args.width,
+        height=args.height,
+        frac_width=args.frac_width,
+        frac_height=args.frac_height,
+        dtype=args.dtype,
+        nodataval=args.nodata,
+        frac_ndates=args.frac_ndates,
+        timestamps_ms=[int(t) for t in args.timestamps.split(",")],
+        geot=tuple(float(g) for g in args.geot.split(",")),
+    )
+    cube = RasterCube(args.root, header)
+    ingest_tiles(_spark(), cube, args.tiles)
+    print(f"created cube at {args.root} ({header.num_fracs} fracs, "
+          f"{header.ndates} dates)")
+    return 0
+
+
+def cmd_append_cube(args) -> int:
+    import numpy as np
+
+    cube = _open_cube(args.root)
+    data = np.load(args.array)
+    new_ts = [int(t) for t in args.timestamps.split(",")]
+    written = cube.append_dates(_spark(), data, new_ts)
+    print("appended" if written else "already applied (idempotent no-op)")
+    return 0
+
+
+def cmd_cube_stats(args) -> int:
+    from pyspark.sql import functions as F
+
+    cube = _open_cube(args.root)
+    spark = _spark()
+    df = cube.df(spark)
+    per_chunk = (
+        df.groupBy("time_chunk")
+        .agg(F.count_distinct("frac_num").alias("n_fracs"), F.count("*").alias("n_px"))
+        .orderBy("time_chunk")
+        .collect()
+    )
+    total_fracs = cube.header.num_fracs
+    print(f"{'chunk':>6} {'fracs':>12} {'pixels':>12}")
+    for r in per_chunk:
+        cov = f"{r['n_fracs']}/{total_fracs}"
+        print(f"{r['time_chunk']:>6} {cov:>12} {r['n_px']:>12}")
+    missing = total_fracs - max((r["n_fracs"] for r in per_chunk), default=0)
+    print(f"absent fractions (sparse): {missing}")
+    return 0
+
+
+def cmd_export_tiff(args) -> int:
+    from rastercube_spark.sources.geotiff import export_geotiff
+
+    cube = _open_cube(args.root)
+    x0, y0, x1, y1 = (int(v) for v in args.window.split(","))
+    export_geotiff(_spark(), cube, args.out, (x0, y0), (x1, y1), args.t)
+    print(f"wrote {args.out}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="rastercube_spark", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list-queries").set_defaults(fn=cmd_list_queries)
+
+    run = sub.add_parser("run")
+    run.add_argument("query")
+    run.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    run.add_argument("--rows", type=int, default=20)
+    run.set_defaults(fn=cmd_run)
+
+    ex = sub.add_parser("explain")
+    ex.add_argument("query")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ex.set_defaults(fn=cmd_explain)
+
+    info = sub.add_parser("info")
+    info.add_argument("root")
+    info.set_defaults(fn=cmd_info)
+
+    cc = sub.add_parser("create-cube")
+    cc.add_argument("--root", required=True)
+    cc.add_argument("--tiles", required=True, help="glob of tile files")
+    cc.add_argument("--width", type=int, required=True)
+    cc.add_argument("--height", type=int, required=True)
+    cc.add_argument("--frac-width", type=int, default=20)
+    cc.add_argument("--frac-height", type=int, default=20)
+    cc.add_argument("--frac-ndates", type=int, default=5)
+    cc.add_argument("--dtype", default="int16")
+    cc.add_argument("--nodata", type=float, default=None)
+    cc.add_argument("--timestamps", required=True, help="comma-sep epoch ms")
+    cc.add_argument(
+        "--geot",
+        default="0,1,0,0,0,-1",
+        help="6 comma-sep affine terms; use --geot=-500,... for values "
+        "starting with '-' (argparse quirk)",
+    )
+    cc.set_defaults(fn=cmd_create_cube)
+
+    ac = sub.add_parser("append-cube")
+    ac.add_argument("--root", required=True)
+    ac.add_argument("--array", required=True, help=".npy HxWxK array of new dates")
+    ac.add_argument("--timestamps", required=True)
+    ac.set_defaults(fn=cmd_append_cube)
+
+    cs = sub.add_parser("cube-stats")
+    cs.add_argument("root")
+    cs.set_defaults(fn=cmd_cube_stats)
+
+    et = sub.add_parser("export-tiff")
+    et.add_argument("--root", required=True)
+    et.add_argument("--out", required=True)
+    et.add_argument("--window", required=True, help="x0,y0,x1,y1 (end-exclusive)")
+    et.add_argument("--t", type=int, default=0)
+    et.set_defaults(fn=cmd_export_tiff)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
