@@ -8,6 +8,7 @@ reference user's workflows have drop-in analogs:
 | complete_ndvi_worldgrid.py (idempotent append) | ``append-cube`` |
 | show_available_fractions.py / ndvi_hdf_stats.py | ``cube-stats`` |
 | (tiff export, tiff.py:92-122) | ``export-tiff`` |
+| worldgrid_fracs_to_shapefile.py | ``export-fracs`` |
 | — | ``list-queries`` / ``run`` / ``explain`` (the query surface) |
 
 Usage: ``python -m rastercube_spark.cli <subcommand> ...``
@@ -152,6 +153,35 @@ def cmd_cube_stats(args) -> int:
     return 0
 
 
+def cmd_export_fracs(args) -> int:
+    """Fraction boundary polygons (in geo coords via the header's
+    geotransform) → shapefile (≡ reference
+    worldgrid_fracs_to_shapefile.py + shputils.py:65-111). Only fractions
+    actually present in the store are exported (sparse grids)."""
+    from rastercube_spark.sources.vector import write_shapefile
+
+    cube = _open_cube(args.root)
+    h = cube.header
+    present = sorted(
+        r["frac_num"]
+        for r in cube.df(_spark()).select("frac_num").distinct().collect()
+    )
+    g = h.geot
+
+    def geo(x, y):
+        return (g[0] + x * g[1], g[3] + y * g[5])
+
+    polys = {}
+    for f in present:
+        x1, x2, y1, y2 = h.frac_xyranges(f)
+        ring = [geo(x1, y1), geo(x2, y1), geo(x2, y2), geo(x1, y2), geo(x1, y1)]
+        polys[f"frac_{f}"] = ring
+    base = args.out.removesuffix(".shp")
+    write_shapefile(base, polys)
+    print(f"wrote {base}.shp/.shx/.dbf ({len(polys)} fractions)")
+    return 0
+
+
 def cmd_export_tiff(args) -> int:
     from rastercube_spark.sources.geotiff import export_geotiff
 
@@ -218,6 +248,11 @@ def build_parser() -> argparse.ArgumentParser:
     et.add_argument("--window", required=True, help="x0,y0,x1,y1 (end-exclusive)")
     et.add_argument("--t", type=int, default=0)
     et.set_defaults(fn=cmd_export_tiff)
+
+    ef = sub.add_parser("export-fracs")
+    ef.add_argument("--root", required=True)
+    ef.add_argument("--out", required=True, help="output .shp path")
+    ef.set_defaults(fn=cmd_export_fracs)
 
     return p
 
