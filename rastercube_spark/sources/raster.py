@@ -205,14 +205,34 @@ class RasterCube:
 
         return spark.createDataFrame(pd.DataFrame(flat))
 
-    def write_long(self, spark: SparkSession, df: DataFrame) -> None:
+    def write_long(
+        self, spark: SparkSession, df: DataFrame, zorder: bool = False
+    ) -> None:
         """Write an already-long-form relation (frac_num, time_chunk, x, y,
         t, value...) as the cube's data — the distributed ingest path: the
         input arrives partitioned however it likes; one shuffle lands it on
-        the cube layout with one file per partition."""
+        the cube layout with one file per partition.
+
+        ``zorder=True`` sorts each partition file on the Morton index of
+        (x, y) instead of row-major (y, x): with production-sized
+        fractions (many row groups per file), 2-D window reads then prune
+        row groups on the z column's min/max stats instead of scanning the
+        full fraction. Read results are identical either way.
+        """
+        from rastercube_spark.functions.zorder import z_index
+
+        # the partition columns MUST prefix the sort: FileFormatWriter
+        # requires ordering on them and otherwise inserts its own sort,
+        # which makes Catalyst eliminate ours as redundant (observed: the
+        # z order silently vanished from the written files)
+        sort_cols = (
+            [z_index(F.col("x"), F.col("y")).alias("__z"), F.col("t")]
+            if zorder
+            else [F.col("y"), F.col("x"), F.col("t")]
+        )
         (
             df.repartition("frac_num", "time_chunk")
-            .sortWithinPartitions("y", "x", "t")
+            .sortWithinPartitions(F.col("frac_num"), F.col("time_chunk"), *sort_cols)
             .write.mode("overwrite")
             .partitionBy("frac_num", "time_chunk")
             .parquet(self.data_path)
@@ -226,7 +246,7 @@ class RasterCube:
         df = self._long_df(spark, data)
         (
             df.repartition("frac_num", "time_chunk")
-            .sortWithinPartitions("y", "x", "t")
+            .sortWithinPartitions("frac_num", "time_chunk", "y", "x", "t")
             .write.mode("overwrite")
             .partitionBy("frac_num", "time_chunk")
             .parquet(self.data_path)
@@ -272,7 +292,7 @@ class RasterCube:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
             new_df.repartition("frac_num", "time_chunk")
-            .sortWithinPartitions("y", "x", "t")
+            .sortWithinPartitions("frac_num", "time_chunk", "y", "x", "t")
             .write.mode("overwrite")
             .partitionBy("frac_num", "time_chunk")
             .parquet(self.data_path)
@@ -307,7 +327,7 @@ class RasterCube:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
             fixed.repartition("frac_num", "time_chunk")
-            .sortWithinPartitions("y", "x", "t")
+            .sortWithinPartitions("frac_num", "time_chunk", "y", "x", "t")
             .write.mode("overwrite")
             .partitionBy("frac_num", "time_chunk")
             .parquet(self.data_path)

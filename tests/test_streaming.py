@@ -187,3 +187,60 @@ def test_stateful_running_totals_conformance(spark, tmp_path):
         for r in batch.itertuples()
     }
     assert got == want
+
+
+def test_stream_stream_interval_join_conformance(spark, tmp_path):
+    """Stream-stream self-join with an event-time interval condition:
+    purchases joined to same-user clicks within the following 30 minutes.
+    Inner joins emit on match, so the drained sink must equal the batch
+    range join."""
+    replay = EventReplay(spark, SF, str(tmp_path), n_files=3)
+    s = replay.stream(max_files_per_trigger=None)
+    clicks = (
+        s.where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        s.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND p_ts >= click_ts "
+            "AND p_ts <= click_ts + INTERVAL 30 MINUTES"
+        ),
+    ).select("user_id", "click_id", "p_id")
+    sink = run_to_completion(joined, replay, "t_ssj_sink", flushes=1)
+
+    from rastercube_spark.sources.tables import load
+
+    e = load(spark, SF, "events")
+    bc = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    bp = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    batch = bc.join(
+        bp,
+        F.expr(
+            "user_id = p_user AND p_ts >= click_ts "
+            "AND p_ts <= click_ts + INTERVAL 30 MINUTES"
+        ),
+    ).select("user_id", "click_id", "p_id")
+    cols = ["user_id", "click_id", "p_id"]
+    got, want = _rows(sink, cols), _rows(batch, cols)
+    assert got == want and len(got) > 0
