@@ -788,3 +788,86 @@ def qa4(spark, sf_dir):
     clusters = min_label_clusters(pairs)
     drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return d.select("doc_id").join(drop, "doc_id", "left_anti").orderBy("doc_id")
+
+
+@query(
+    "qa5_repetition_filters",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+            FROM documents
+        ),
+        tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+        uni AS (
+            SELECT doc_id,
+                   max(c) AS top_c,
+                   sum(c) AS n_tok,
+                   count(*) AS n_distinct
+            FROM tc GROUP BY doc_id
+        ),
+        bg AS (
+            SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS b
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(lower(text), '\\s+') AS tk
+                  FROM documents),
+                 UNNEST(range(1, len(tk))) u(i)
+        ),
+        bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+        bi AS (
+            SELECT doc_id, max(c) AS top_bc, sum(c) AS n_bg
+            FROM bc GROUP BY doc_id
+        )
+        SELECT u.doc_id,
+               ROUND(u.top_c / CAST(u.n_tok AS DOUBLE), 6) AS top_tok_frac,
+               ROUND(bi.top_bc / CAST(bi.n_bg AS DOUBLE), 6) AS top_bigram_frac,
+               ROUND(u.n_distinct / CAST(u.n_tok AS DOUBLE), 6) AS ttr,
+               (u.top_c / CAST(u.n_tok AS DOUBLE) > 0.1
+                OR bi.top_bc / CAST(bi.n_bg AS DOUBLE) > 0.05) AS flagged
+        FROM uni u JOIN bi ON bi.doc_id = u.doc_id
+        ORDER BY u.doc_id
+    """,
+)
+def qa5(spark, sf_dir):
+    """Repetition-based quality filters (C4/Gopher-style pretraining
+    rules): top-unigram fraction, top-bigram fraction, type-token ratio,
+    and the resulting filter flag. Everything is two map-side-combinable
+    aggregation levels over exploded tokens/bigrams — the per-doc
+    repetition profile of a 100 TB corpus costs two shuffles keyed by
+    (doc, gram) and (doc)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("t")
+    )
+    uni = (
+        tok.groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_c"),
+            F.sum("c").alias("n_tok"),
+            F.count("*").alias("n_distinct"),
+        )
+    )
+    bg = shingles_df(d, "doc_id", "text", k=2, distinct=False)
+    bi = (
+        bg.groupBy("doc_id", "shingle")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bc"), F.sum("c").alias("n_bg"))
+    )
+    tf = F.col("top_c") / F.col("n_tok").cast("double")
+    bf = F.col("top_bc") / F.col("n_bg").cast("double")
+    return (
+        uni.join(bi, "doc_id")
+        .select(
+            "doc_id",
+            F.round(tf, 6).alias("top_tok_frac"),
+            F.round(bf, 6).alias("top_bigram_frac"),
+            F.round(
+                F.col("n_distinct") / F.col("n_tok").cast("double"), 6
+            ).alias("ttr"),
+            ((tf > 0.1) | (bf > 0.05)).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
