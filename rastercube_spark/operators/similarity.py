@@ -41,18 +41,10 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-def dot_fixed(a: Column, b: Column, dim: int) -> Column:
-    """Dot product for a KNOWN dimension, unrolled into plain
-    multiply-adds (left-associated from 0.0 — bit-identical to the
-    ``F.aggregate`` fold). NOTE: measured SLOWER than the fold at dim=64
-    (the unrolled chain blows past codegen limits and falls back to
-    interpreted eval of a huge tree) — kept for small dims only."""
-    acc: Column = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + F.element_at(a, i + 1).cast("double") * F.element_at(
-            b, i + 1
-        ).cast("double")
-    return acc
+# NOTE (negative result worth keeping): unrolling the dot product into
+# dim explicit multiply-adds was measured ~3× SLOWER than the F.aggregate
+# fold at dim=64 — the giant expression tree blows past codegen limits
+# and falls back to interpreted eval. The fold is the right form.
 
 
 def brute_force_knn(
