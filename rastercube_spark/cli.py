@@ -10,6 +10,7 @@ reference user's workflows have drop-in analogs:
 | (tiff export, tiff.py:92-122) | ``export-tiff`` |
 | worldgrid_fracs_to_shapefile.py | ``export-fracs`` |
 | — | ``list-queries`` / ``run`` / ``explain`` (the query surface) |
+| — | ``clean-corpus`` (training-data dedup + quality pipeline) |
 
 Usage: ``python -m rastercube_spark.cli <subcommand> ...``
 """
@@ -182,6 +183,22 @@ def cmd_export_fracs(args) -> int:
     return 0
 
 
+def cmd_clean_corpus(args) -> int:
+    """Run the full corpus-cleaning pipeline (exact dedup -> near-dup
+    clusters -> quality gate) and write the cleaned corpus as parquet."""
+    import json as _json
+
+    from rastercube_spark.operators.pipeline import clean_corpus
+    from rastercube_spark.sources.tables import load
+
+    spark = _spark()
+    docs = load(spark, args.sf_dir, "documents")
+    cleaned, report = clean_corpus(docs, min_quality=args.min_quality)
+    cleaned.write.mode("overwrite").parquet(args.out)
+    print(_json.dumps(report))
+    return 0
+
+
 def cmd_export_tiff(args) -> int:
     from rastercube_spark.sources.geotiff import export_geotiff
 
@@ -248,6 +265,12 @@ def build_parser() -> argparse.ArgumentParser:
     et.add_argument("--window", required=True, help="x0,y0,x1,y1 (end-exclusive)")
     et.add_argument("--t", type=int, default=0)
     et.set_defaults(fn=cmd_export_tiff)
+
+    cl = sub.add_parser("clean-corpus")
+    cl.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    cl.add_argument("--out", required=True)
+    cl.add_argument("--min-quality", type=float, default=0.3)
+    cl.set_defaults(fn=cmd_clean_corpus)
 
     ef = sub.add_parser("export-fracs")
     ef.add_argument("--root", required=True)

@@ -1,0 +1,75 @@
+"""End-to-end corpus cleaning: the composition a training-data pipeline
+actually runs — exact dedup → MinHash-LSH near-dup clusters → keeper
+selection → repetition/quality filtering → cleaned corpus write.
+
+Each stage is one of the engine's verified operators; this module only
+composes them and reports what was dropped at each gate. Topology at
+100 TB: exact dedup is one shuffle on a 16-byte fingerprint; the LSH
+stages shuffle signatures/bands (never text pairs); the final write is
+one pass. Nothing here materializes on the driver except per-stage
+counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from rastercube_spark.operators.dedup import (
+    content_fingerprint,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles_df,
+)
+from rastercube_spark.operators.graph import min_label_clusters
+from rastercube_spark.operators.text import quality_score
+
+
+def clean_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.3,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Returns (cleaned docs DataFrame, per-stage drop report).
+
+    Keep rules: first copy of each exact fingerprint, keeper (min id) of
+    each near-dup cluster, quality score ≥ ``min_quality``.
+    """
+    n_input = docs.count()
+
+    # 1. exact dedup: keep the min id per normalized fingerprint
+    keeper_w = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            content_fingerprint(F.col(text_col)).alias("fp"),
+        )
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    exact_kept = docs.join(
+        keeper_w, docs[id_col] == keeper_w["doc_id"], "left_semi"
+    )
+    n_exact = exact_kept.count()
+
+    # 2. near-dup clusters over the survivors; drop non-keepers
+    sh = shingles_df(exact_kept, id_col, text_col, k=3, distinct=False)
+    clusters = min_label_clusters(lsh_candidate_pairs(minhash_signatures(sh)))
+    drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    near_kept = exact_kept.join(
+        drop, exact_kept[id_col] == drop["doc_id"], "left_anti"
+    )
+    n_near = near_kept.count()
+
+    # 3. quality gate
+    cleaned = near_kept.where(quality_score(F.col(text_col)) >= min_quality)
+    n_clean = cleaned.count()
+
+    report = {
+        "input": n_input,
+        "dropped_exact_dup": n_input - n_exact,
+        "dropped_near_dup": n_exact - n_near,
+        "dropped_low_quality": n_near - n_clean,
+        "kept": n_clean,
+    }
+    return cleaned, report
