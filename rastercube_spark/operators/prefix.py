@@ -32,6 +32,49 @@ def _bucket_col(order: Column, boundaries: list[float]) -> Column:
     return b
 
 
+def running_sum_exclusive(
+    df: DataFrame, order_col: str, value_col: str, num_buckets: int = 32
+) -> DataFrame:
+    """Add ``__running_sum`` = sum(value) over all rows strictly before
+    the current row in ``order_col`` order (0 for the global first row) —
+    same two-pass bucket topology as :func:`running_max_exclusive`, with
+    sum as the combine. The workhorse for sequence packing / offset
+    assignment over a global document order."""
+    boundaries = df.stat.approxQuantile(
+        order_col, [i / num_buckets for i in range(1, num_buckets)], 0.001
+    )
+    boundaries = sorted(set(boundaries))
+    bucketed = df.withColumn(
+        "__bkt", _bucket_col(F.col(order_col).cast("double"), boundaries)
+    )
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn(
+        "__local_sum", F.coalesce(F.sum(value_col).over(w), F.lit(0))
+    )
+    totals = {
+        r["__bkt"]: r["s"]
+        for r in bucketed.groupBy("__bkt").agg(F.sum(value_col).alias("s")).collect()
+    }
+    prefix: dict[int, int] = {}
+    acc = 0
+    for bkt in sorted(totals):
+        prefix[bkt] = acc
+        acc += totals[bkt] or 0
+    entries = [x for bkt, v in prefix.items() for x in (F.lit(bkt), F.lit(v))]
+    offset = (
+        F.element_at(F.create_map(*entries), F.col("__bkt"))
+        if entries
+        else F.lit(0)
+    )
+    return local.withColumn(
+        "__running_sum", F.col("__local_sum") + F.coalesce(offset, F.lit(0))
+    ).drop("__bkt", "__local_sum")
+
+
 def running_max_exclusive(
     df: DataFrame, order_col: str, value_col: str, num_buckets: int = 32
 ) -> DataFrame:

@@ -871,3 +871,46 @@ def qa5(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "qa6_sequence_packing",
+    oracle="""
+        SELECT doc_id, n_tokens,
+               CAST(floor(cum_before / 2048.0) AS BIGINT) AS chunk_id,
+               CAST(cum_before % 2048 AS BIGINT) AS chunk_offset
+        FROM (
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   coalesce(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                       OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS cum_before
+            FROM documents
+        )
+        ORDER BY doc_id
+    """,
+)
+def qa6(spark, sf_dir):
+    """Sequence packing for training: assign every document its position
+    in a concatenated 2048-token context-window stream (chunk id +
+    offset). The global running token total uses the distributed prefix
+    scan (operators/prefix.py running_sum_exclusive) — the oracle's
+    single-task `SUM OVER (ORDER BY ...)` window is the semantics, the
+    bucketed two-pass scan is the form that packs a 100 TB corpus."""
+    from rastercube_spark.operators.prefix import running_sum_exclusive
+    from rastercube_spark.operators.text import token_count
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    scanned = running_sum_exclusive(d, "doc_id", "n_tokens")
+    return (
+        scanned.select(
+            "doc_id",
+            "n_tokens",
+            F.floor(F.col("__running_sum") / 2048.0).cast("bigint").alias("chunk_id"),
+            (F.col("__running_sum") % 2048).cast("bigint").alias("chunk_offset"),
+        )
+        .orderBy("doc_id")
+    )
