@@ -914,3 +914,73 @@ def qa6(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "qa7_pii_redaction",
+    oracle="""
+        SELECT doc_id,
+               len(regexp_extract_all(aug, '[A-Za-z0-9._]+@[A-Za-z0-9.]+'))
+                   AS n_emails,
+               len(regexp_extract_all(aug,
+                   '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+               regexp_replace(
+                   regexp_replace(aug, '[A-Za-z0-9._]+@[A-Za-z0-9.]+',
+                                  '<EMAIL>', 'g'),
+                   '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'
+               ) LIKE '%<EMAIL>%' AS has_redaction,
+               length(regexp_replace(
+                   regexp_replace(aug, '[A-Za-z0-9._]+@[A-Za-z0-9.]+',
+                                  '<EMAIL>', 'g'),
+                   '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'
+               )) AS redacted_len
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' contact user' || doc_id
+                             || '@example.com or 555-01' || (doc_id % 10)
+                             || '-' || (1000 + doc_id % 9000)
+                        ELSE text END AS aug
+            FROM documents
+        )
+        ORDER BY doc_id
+    """,
+)
+def qa7(spark, sf_dir):
+    """PII redaction (training-data scrubbing): detect + replace email
+    and phone patterns as pure regexp column expressions. The corpus has
+    no real PII, so deterministic synthetic contacts are planted on
+    doc_id % 7 == 0 inside the query (identically in both engines) —
+    the detection/redaction machinery is what's under test. At scale
+    this is a zero-shuffle map pass."""
+    d = load(spark, sf_dir, "documents")
+    aug = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-01"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit("-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    email_re = r"[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+    phone_re = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("aug"), email_re, "<EMAIL>"),
+        phone_re,
+        "<PHONE>",
+    )
+    return (
+        d.select("doc_id", aug.alias("aug"))
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all(F.col("aug"), F.lit(email_re), 0)).alias("n_emails"),
+            F.size(F.regexp_extract_all(F.col("aug"), F.lit(phone_re), 0)).alias("n_phones"),
+            redacted.like("%<EMAIL>%").alias("has_redaction"),
+            F.length(redacted).alias("redacted_len"),
+        )
+        .orderBy("doc_id")
+    )
