@@ -52,6 +52,8 @@ def resample_downsample(
     Feed it nodata-filtered input; all-nodata target cells then simply
     don't exist, in both engines.
     """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
     dx, dy = _src_center_to_dst(
         F.col(x_col).cast("double"), F.col(y_col).cast("double"), src_gt, dst_gt
     )
@@ -61,19 +63,27 @@ def resample_downsample(
         .groupBy("dst_x", "dst_y", "v")
         .agg(F.count("*").alias("cnt"))
     )
+    # avg_v must hash-match a SQL oracle bit-for-bit across engines and
+    # engine VERSIONS, so it is an exact sum followed by one IEEE double
+    # division — never a decimal division (result type/rounding is
+    # version-sensitive: qr07 was driver-red in CORRECTNESS_r03 for exactly
+    # this) and never a trailing ROUND on a double (Spark rounds in the
+    # decimal domain, DuckDB in the double domain).
+    integral = isinstance(
+        src.schema[value_col].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    )
+    acc = "bigint" if integral else "decimal(24,6)"
+    avg = F.sum(F.col("v").cast(acc) * F.col("cnt")).cast("double") / F.sum(
+        "cnt"
+    ).cast("double")
     return (
         level1.groupBy("dst_x", "dst_y")
         .agg(
             F.max_by(
                 F.col("v"), F.struct(F.col("cnt"), (-F.col("v")).alias("nv"))
             ).alias("mode_v"),
-            F.round(
-                (
-                    F.sum(F.col("v").cast("decimal(24,6)") * F.col("cnt"))
-                    / F.sum("cnt")
-                ).cast("double"),
-                6,
-            ).alias("avg_v"),
+            avg.alias("avg_v"),
             F.sum("cnt").alias("n_src"),
         )
     )

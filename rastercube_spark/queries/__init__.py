@@ -6,21 +6,19 @@ covers one block of the surface; each query has a Spark implementation
 DuckDB oracle string.
 """
 
-# Import order IS registration order, and the driver's correctness harness
-# attests the first 50 registered queries. Round 2 registered scans..raster
-# first, so the datapipe/streaming/udfs/qr07-09 queries fell past the cap and
-# went driver-unattested (VERDICT r2 "What's wrong" #1). List the previously
-# unattested modules first so CORRECTNESS_r03 carries green rows for them.
+# Import order is NOT load-bearing: the driver-facing registration order
+# (which selects the 50 queries the driver attests each round) is the
+# explicit registry.ATTEST_FIRST list — rotate it there, not here.
 from rastercube_spark.queries import (  # noqa: F401
+    aggregations,
     datapipe,
+    joins,
+    raster,
+    scalars,
+    scans,
+    setops,
+    sortlimit,
     streaming,
     udfs,
-    raster,
-    scans,
-    joins,
-    aggregations,
     windows,
-    sortlimit,
-    setops,
-    scalars,
 )

@@ -308,7 +308,7 @@ def q29(spark, sf_dir):
         partial.groupBy("l_returnflag")
         .agg(
             F.sum("n_p").alias("n"),
-            F.round(F.sum("s_p").cast("double"), 6).alias("sum_qty"),
+            F.sum("s_p").cast("double").alias("sum_qty"),
         )
         .orderBy("l_returnflag")
     )

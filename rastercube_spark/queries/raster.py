@@ -297,8 +297,8 @@ _DST_GT_UP = (0.0, 0.5, 0.0, 0.0, 0.0, -0.5)
         )
         SELECT l.dst_x, l.dst_y,
                max(CASE WHEN r.rn = 1 THEN r.v END) AS mode_v,
-               ROUND(CAST(SUM(CAST(l.v AS DECIMAL(24,6)) * l.cnt)
-                   / SUM(l.cnt) AS DOUBLE), 6) AS avg_v,
+               CAST(SUM(CAST(l.v AS BIGINT) * l.cnt) AS DOUBLE)
+                   / CAST(SUM(l.cnt) AS DOUBLE) AS avg_v,
                SUM(l.cnt) AS n_src
         FROM l1 l
         JOIN ranked r ON r.dst_x = l.dst_x AND r.dst_y = l.dst_y

@@ -17,6 +17,76 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
 
+# --- driver-attestation rotation ----------------------------------------
+# The driver's correctness harness attests the FIRST 50 registered queries
+# each round (registration order = dict order returned by queries()).
+# Registration order used to be import order, which was fragile (ADVICE r3:
+# isort would silently reshuffle attestation coverage). It is now explicit:
+# ATTEST_FIRST lists, per round, (a) every query whose code or emitted
+# values changed this round — their prior-round attestations are stale —
+# then (b) the queries whose last driver attestation is oldest. Queries not
+# listed keep import order after these, and MUST be code-frozen (their
+# standing CORRECTNESS_r{N}.json rows remain valid only by immutability).
+#
+# Round 4: slots 1-23 = changed this round (davg/dsum exact-division
+# rewrite, qr07 fix, simhash/lsh_knn rewrites, EventReplay staging);
+# slots 24-44 = last attested in r02; slots 45-50 = freshness fill.
+ATTEST_FIRST: tuple[str, ...] = (
+    # changed this round
+    "qr07_resample_downsample",
+    "qr02_polygon_mask",
+    "qr06_cube_window_agg",
+    "q20_tpch_q1_agg",
+    "q23_cube",
+    "q24_grouping_sets",
+    "q25_having",
+    "q26_zonal_stats",
+    "q29_salted_agg",
+    "q11_broadcast_join",
+    "q12_sort_merge_join",
+    "q18_copartitioned_zip",
+    "q63_qa_bitops",
+    "q64_nodata_case",
+    "q69_landsat_qa",
+    "q80_scalar_pandas_udf",
+    "q70_tumbling_window",
+    "q71_sliding_window",
+    "q72_session_window",
+    "q73_watermark_late_data",
+    "q74_stateful_dedup",
+    "q95_simhash",
+    "q97_lsh_knn",
+    # stalest standing attestation (round 2)
+    "q27_argmax_gather",
+    "q2a_approx_count_distinct",
+    "q2b_approx_quantiles",
+    "q28_zonal_percentile",
+    "q30_ranking",
+    "q31_lag_lead_gapfill",
+    "q32_moving_average",
+    "q33_running_total",
+    "q40_global_topk",
+    "q41_per_group_topk",
+    "q50_union_all",
+    "q51_union_distinct",
+    "q52_intersect",
+    "q53_except",
+    "q60_string_funcs",
+    "q61_date_funcs",
+    "q62_math_funcs",
+    "q65_affine_transform",
+    "q66_array_json",
+    "q67_categorical_legend",
+    "q68_type_reinterpret",
+    # freshness fill
+    "q01_scan_count",
+    "q02_project_filter",
+    "q03_in_null_predicates",
+    "q10_inner_equi",
+    "q21_count_distinct",
+    "q22_rollup",
+)
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query implementation and (optionally) its oracle SQL."""
@@ -35,11 +105,17 @@ def _load_all() -> None:
     import rastercube_spark.queries  # noqa: F401
 
 
+def _ordered(names: dict) -> list[str]:
+    head = [n for n in ATTEST_FIRST if n in names]
+    rest = [n for n in names if n not in set(ATTEST_FIRST)]
+    return head + rest
+
+
 def queries() -> dict[str, QueryFn]:
     _load_all()
-    return dict(_QUERIES)
+    return {n: _QUERIES[n] for n in _ordered(_QUERIES)}
 
 
 def oracle_sql() -> dict[str, str]:
     _load_all()
-    return dict(_ORACLES)
+    return {n: _ORACLES[n] for n in _ordered(_ORACLES)}

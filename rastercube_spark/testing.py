@@ -3,9 +3,15 @@ row count + schema-insensitive, order-insensitive value comparison of a
 Spark DataFrame vs DuckDB SQL over the same parquet tables.
 
 Normalization mirrors the driver: columns sorted by name, rows sorted by
-all columns, floats compared at 1e-9 after the queries' own 6-dp rounds,
-timestamps at microsecond precision (the engine truncates nanos to µs on
-read; see sources/tables.py).
+all columns, timestamps at microsecond precision (the engine truncates
+nanos to µs on read; see sources/tables.py).
+
+Floats are compared EXACTLY by default — the driver's gate is an exact
+order-insensitive value hash, and a tolerance here once hid a driver-level
+failure (qr07 in CORRECTNESS_r03: a 6th-decimal rounding flip is rel
+~2e-10, invisible at 1e-9 tolerance, fatal to the hash). Queries whose
+semantics are genuinely tolerance-bounded (e.g. libm-dependent math)
+must opt in via ``float_tol``.
 """
 
 from __future__ import annotations
@@ -73,7 +79,7 @@ def _rows(cols: list[str], data: list[tuple]) -> list[tuple]:
     return out
 
 
-def _cells_equal(a, b) -> bool:
+def _cells_equal(a, b, float_tol: float = 0.0) -> bool:
     if a is None or b is None:
         return a is None and b is None
     if isinstance(a, float) or isinstance(b, float):
@@ -83,13 +89,22 @@ def _cells_equal(a, b) -> bool:
             return a == b
         if math.isnan(fa) or math.isnan(fb):
             return math.isnan(fa) and math.isnan(fb)
-        return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
+        if float_tol == 0.0:
+            return fa == fb  # bit-exact, like the driver's value hash
+        return math.isclose(fa, fb, rel_tol=float_tol, abs_tol=float_tol)
     if isinstance(a, tuple) and isinstance(b, tuple):
-        return len(a) == len(b) and all(_cells_equal(x, y) for x, y in zip(a, b))
+        return len(a) == len(b) and all(
+            _cells_equal(x, y, float_tol) for x, y in zip(a, b)
+        )
     return a == b
 
 
-def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
+def compare(
+    spark_df,
+    con: duckdb.DuckDBPyConnection,
+    sql: str,
+    float_tol: float = 0.0,
+) -> dict:
     """Run both sides, return a comparison report dict (ok, counts, diffs)."""
     s_cols = spark_df.columns
     s_data = [tuple(r) for r in spark_df.collect()]
@@ -115,7 +130,7 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
     bad = [
         (i, a, b)
         for i, (a, b) in enumerate(zip(sr, dr))
-        if not _cells_equal(a, b)
+        if not _cells_equal(a, b, float_tol)
     ]
     report["n_mismatch"] = len(bad)
     report["first_mismatches"] = bad[:5]
