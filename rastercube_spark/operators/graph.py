@@ -3,13 +3,14 @@ stage of near-dup detection: candidate pairs → duplicate clusters →
 keeper selection).
 
 Min-label propagation as a driver-side loop of DataFrame joins: every
-vertex repeatedly adopts the minimum label among itself and its
-neighbors until a fixpoint. Each iteration is one join + one aggregate
-— both shuffle on the vertex id, so an iteration costs O(E) shuffle and
-the loop runs diameter-many times. Duplicate clusters are shallow (near-
-dup graphs are mostly small cliques), so convergence is fast in
-practice; for adversarial diameters the standard accelerations
-(large-star/small-star contraction) slot into the same loop shape.
+vertex repeatedly adopts the minimum label among itself, its neighbors,
+AND its current label's label (pointer-doubling shortcut) until a
+fixpoint. The neighbor step alone needs diameter-many iterations; the
+shortcut halves remaining pointer depth each round, so convergence is
+O(log diameter) — 20 iterations cover diameters up to ~2^20. Each
+iteration is two joins + one aggregate, all shuffling on the vertex id
+(O(E) per round). If the loop still hasn't converged at ``max_iter`` it
+RAISES rather than returning silently wrong labels.
 
 lineage: each iteration localCheckpoints the label relation — without
 it the plan doubles per iteration and the driver dies on analysis cost
@@ -44,8 +45,16 @@ def min_label_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             edges.join(labels, edges.src == labels.doc_id)
             .select(F.col("dst").alias("doc_id"), "label")
         )
+        # pointer-doubling shortcut: adopt your label's label, halving
+        # the remaining pointer depth every iteration (O(log diameter))
+        shortcut = (
+            labels.alias("a")
+            .join(labels.alias("b"), F.col("a.label") == F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_id"), F.col("b.label").alias("label"))
+        )
         new_labels = (
             labels.unionByName(msgs)
+            .unionByName(shortcut)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
@@ -59,4 +68,10 @@ def min_label_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"min_label_clusters did not converge within {max_iter} "
+            "iterations — component diameter exceeds 2^max_iter; raise "
+            "max_iter (labels would otherwise be silently wrong)"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))

@@ -23,11 +23,33 @@ largest bucket, not the whole relation.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
 
-def _bucket_col(order: Column, boundaries: list[float]) -> Column:
+def _bucket_col(df: DataFrame, order_col: str, boundaries: list[float]) -> Column:
+    """Bucket id = number of boundaries at or below the row's order value.
+
+    Correctness requires the comparison to be MONOTONE in the true order:
+    for integral order columns the comparison stays in the integer domain
+    (casting an int64 above 2^53 to double can round two distinct order
+    values onto the same double, mis-bucketing rows across a boundary and
+    corrupting the prefix combine). Boundary literals from approxQuantile
+    are doubles either way — any consistent boundary VALUE is fine, only
+    the comparison domain matters.
+    """
+    order = F.col(order_col)
+    integral = isinstance(
+        df.schema[order_col].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    )
+    if integral:
+        lits = sorted({int(v) for v in boundaries})
+        order = order.cast("long")
+    else:
+        lits = sorted(set(boundaries))
+        order = order.cast("double")
     b: Column = F.lit(0)
-    for v in boundaries:
+    for v in lits:
         b = b + F.when(order >= F.lit(v), 1).otherwise(0)
     return b
 
@@ -43,10 +65,7 @@ def running_sum_exclusive(
     boundaries = df.stat.approxQuantile(
         order_col, [i / num_buckets for i in range(1, num_buckets)], 0.001
     )
-    boundaries = sorted(set(boundaries))
-    bucketed = df.withColumn(
-        "__bkt", _bucket_col(F.col(order_col).cast("double"), boundaries)
-    )
+    bucketed = df.withColumn("__bkt", _bucket_col(df, order_col, boundaries))
     w = (
         Window.partitionBy("__bkt")
         .orderBy(order_col)
@@ -85,10 +104,7 @@ def running_max_exclusive(
     boundaries = df.stat.approxQuantile(
         order_col, [i / num_buckets for i in range(1, num_buckets)], 0.001
     )
-    boundaries = sorted(set(boundaries))
-    bucketed = df.withColumn(
-        "__bkt", _bucket_col(F.col(order_col).cast("double"), boundaries)
-    )
+    bucketed = df.withColumn("__bkt", _bucket_col(df, order_col, boundaries))
     w = (
         Window.partitionBy("__bkt")
         .orderBy(order_col)
@@ -97,7 +113,9 @@ def running_max_exclusive(
     local = bucketed.withColumn("__local_max", F.max(value_col).over(w))
 
     # per-bucket totals → exclusive prefix max (driver-side: one row per
-    # bucket, trivially small at any scale)
+    # bucket, trivially small at any scale). A bucket whose values are all
+    # NULL has max None — it contributes nothing to the running prefix
+    # (mirrors F.max ignoring NULLs).
     totals = {
         r["__bkt"]: r["m"]
         for r in bucketed.groupBy("__bkt").agg(F.max(value_col).alias("m")).collect()
@@ -106,7 +124,8 @@ def running_max_exclusive(
     best = None
     for bkt in sorted(totals):
         prefix[bkt] = best
-        best = totals[bkt] if best is None or totals[bkt] > best else best
+        if totals[bkt] is not None and (best is None or totals[bkt] > best):
+            best = totals[bkt]
 
     # offsets ride back as a broadcast map literal keyed by bucket id;
     # element_at yields NULL for buckets with no predecessor data

@@ -56,6 +56,9 @@ ATTEST_FIRST: tuple[str, ...] = (
     "q74_stateful_dedup",
     "q95_simhash",
     "q97_lsh_knn",
+    "qa3_dup_clusters",
+    "qa4_dedup_keep",
+    "qa6_sequence_packing",
     # stalest standing attestation (round 2)
     "q27_argmax_gather",
     "q2a_approx_count_distinct",
@@ -79,9 +82,6 @@ ATTEST_FIRST: tuple[str, ...] = (
     "q67_categorical_legend",
     "q68_type_reinterpret",
     # freshness fill
-    "q01_scan_count",
-    "q02_project_filter",
-    "q03_in_null_predicates",
     "q10_inner_equi",
     "q21_count_distinct",
     "q22_rollup",

@@ -233,7 +233,13 @@ class RasterCube:
         (
             df.repartition("frac_num", "time_chunk")
             .sortWithinPartitions(F.col("frac_num"), F.col("time_chunk"), *sort_cols)
+            # full-cube writes must replace the WHOLE table: under a
+            # session-global dynamic partitionOverwriteMode (e.g. leaked
+            # from another writer), "overwrite" would keep partitions the
+            # new data doesn't touch — rewriting a cube with fewer
+            # partitions would leave stale ones behind
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
             .partitionBy("frac_num", "time_chunk")
             .parquet(self.data_path)
         )
@@ -248,6 +254,7 @@ class RasterCube:
             df.repartition("frac_num", "time_chunk")
             .sortWithinPartitions("frac_num", "time_chunk", "y", "x", "t")
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
             .partitionBy("frac_num", "time_chunk")
             .parquet(self.data_path)
         )
@@ -289,11 +296,14 @@ class RasterCube:
                 .select(*new_df.columns)
             )
             new_df = existing.unionByName(new_df)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
             new_df.repartition("frac_num", "time_chunk")
             .sortWithinPartitions("frac_num", "time_chunk", "y", "x", "t")
+            # per-write option, not session conf: a session-global dynamic
+            # mode would silently change every other writer's overwrite
+            # semantics (see write_long)
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("frac_num", "time_chunk")
             .parquet(self.data_path)
         )
@@ -305,33 +315,53 @@ class RasterCube:
         """D4 chunk repair (reference jgrid3 chunk clamp): drop rows whose
         ``t`` lies beyond the header's time axis (overgrown chunks from an
         interrupted append). Only the affected trailing partitions are
-        rewritten (dynamic overwrite). Returns the number of chunks fixed.
+        rewritten (dynamic overwrite); partitions whose rows are ALL
+        overgrown have no surviving rows to rewrite, so their directories
+        are deleted outright — dynamic overwrite alone would leave them on
+        disk forever while reporting them "fixed" (false idempotence).
+        Returns the number of time chunks fixed; a second run returns 0.
         """
+        import shutil
+
         h = self.header
         last_chunk = (h.ndates - 1) // h.frac_ndates
         tail = spark.read.parquet(self.data_path).where(
             F.col("time_chunk") >= last_chunk
         )
-        bad_chunks = [
-            r["time_chunk"]
-            for r in tail.where(F.col("t") >= h.ndates)
-            .select("time_chunk")
-            .distinct()
-            .collect()
-        ]
-        if not bad_chunks:
+        overgrown = tail.where(F.col("t") >= h.ndates)
+        # partition inventories are catalog-sized (one row per partition)
+        # and MUST be collected before the write below mutates the files
+        # the lazy frames read from
+        bad_parts = {
+            (r["frac_num"], r["time_chunk"])
+            for r in overgrown.select("frac_num", "time_chunk").distinct().collect()
+        }
+        if not bad_parts:
             return 0
-        fixed = tail.where(
+        bad_chunks = sorted({c for _, c in bad_parts})
+        survivors = tail.where(
             F.col("time_chunk").isin(bad_chunks) & (F.col("t") < h.ndates)
         )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            fixed.repartition("frac_num", "time_chunk")
-            .sortWithinPartitions("frac_num", "time_chunk", "y", "x", "t")
-            .write.mode("overwrite")
-            .partitionBy("frac_num", "time_chunk")
-            .parquet(self.data_path)
-        )
+        surv_parts = {
+            (r["frac_num"], r["time_chunk"])
+            for r in survivors.select("frac_num", "time_chunk").distinct().collect()
+        }
+        if surv_parts:
+            (
+                survivors.repartition("frac_num", "time_chunk")
+                .sortWithinPartitions("frac_num", "time_chunk", "y", "x", "t")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("frac_num", "time_chunk")
+                .parquet(self.data_path)
+            )
+        for frac, chunk in sorted(bad_parts - surv_parts):
+            shutil.rmtree(
+                os.path.join(
+                    self.data_path, f"frac_num={frac}", f"time_chunk={chunk}"
+                ),
+                ignore_errors=True,
+            )
         return len(bad_chunks)
 
     # --- read ----------------------------------------------------------

@@ -1,0 +1,154 @@
+"""Regression tests for the four latent bugs from ADVICE r3 (none were
+exercised by the oracle gate, which is exactly why they mattered):
+
+1. repair_truncate left a stale partition on disk forever when ALL of a
+   partition's rows were overgrown (dynamic overwrite writes nothing for
+   an empty partition), while counting it "fixed" every run.
+2. write_long/write_arrays under a session-global dynamic
+   partitionOverwriteMode kept partitions the new data didn't touch —
+   rewriting a cube with fewer partitions left stale ones.
+3. running_max_exclusive crashed on an all-NULL bucket (None > best) and
+   could mis-bucket int64 order values above 2^53 via a double cast.
+4. min_label_clusters silently returned wrong labels when the component
+   diameter exceeded max_iter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import Window, functions as F
+
+from rastercube_spark.operators.graph import min_label_clusters
+from rastercube_spark.operators.prefix import running_max_exclusive
+from rastercube_spark.sources.raster import CubeHeader, RasterCube
+
+W, H, ND = 40, 40, 6
+NODATA = -3000
+
+
+def _header() -> CubeHeader:
+    return CubeHeader(
+        width=W,
+        height=H,
+        frac_width=20,
+        frac_height=20,
+        dtype="int16",
+        nodataval=NODATA,
+        frac_ndates=2,
+        timestamps_ms=[1000 * 86400 * (i + 1) for i in range(ND)],
+    )
+
+
+def test_repair_truncate_all_overgrown_partition(spark, tmp_path):
+    """A partition whose rows are ALL beyond the time axis must be
+    deleted, not silently kept: repair → no overgrown rows anywhere →
+    second repair returns 0 (true idempotence)."""
+    rng = np.random.RandomState(3)
+    data = rng.randint(-2000, 10001, size=(H, W, ND)).astype(np.int16)
+    c = RasterCube(str(tmp_path / "cube"), _header())
+    c.write_arrays(spark, data)
+
+    # fabricate a WHOLLY overgrown partition: a brand-new trailing
+    # time_chunk containing only rows with t >= ndates
+    last_chunk = (ND - 1) // c.header.frac_ndates
+    bogus = (
+        c.df(spark)
+        .where((F.col("time_chunk") == last_chunk) & (F.col("t") == ND - 1))
+        .withColumn("t", F.lit(ND).cast("int"))
+        .withColumn("time_chunk", F.lit(last_chunk + 1).cast("int"))
+    )
+    bogus.write.mode("append").partitionBy("frac_num", "time_chunk").parquet(
+        c.data_path
+    )
+    assert c.df(spark).where(F.col("time_chunk") > last_chunk).count() > 0
+
+    assert c.repair_truncate(spark) >= 1
+    assert c.df(spark).where(F.col("t") >= ND).count() == 0
+    assert c.df(spark).where(F.col("time_chunk") > last_chunk).count() == 0
+    got = c.load_slice_array(spark, (0, 0), (W, H))
+    np.testing.assert_array_equal(got, data)
+    # the old bug: stale partition stayed → every run re-counted it fixed
+    assert c.repair_truncate(spark) == 0
+
+
+def test_full_write_replaces_all_partitions_despite_dynamic_conf(spark, tmp_path):
+    """write_arrays is a whole-table overwrite even when the session conf
+    has partitionOverwriteMode=dynamic (leaked from another writer)."""
+    rng = np.random.RandomState(5)
+    big = rng.randint(-2000, 10001, size=(H, W, ND)).astype(np.int16)
+    c = RasterCube(str(tmp_path / "cube"), _header())
+    c.write_arrays(spark, big)
+    n_parts_before = c.df(spark).select("frac_num", "time_chunk").distinct().count()
+    assert n_parts_before > 1
+
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # rewrite the cube with a SHORTER time axis → fewer partitions
+        small_header = _header()
+        small_header.timestamps_ms = small_header.timestamps_ms[:2]
+        c2 = RasterCube(c.root, small_header)
+        c2.write_arrays(spark, big[:, :, :2])
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+    # stale trailing time_chunk partitions must be gone
+    assert c2.df(spark).agg(F.max("time_chunk")).first()[0] == 0
+    got = c2.load_slice_array(spark, (0, 0), (W, H))
+    np.testing.assert_array_equal(got, big[:, :, :2])
+
+
+def test_running_max_all_null_bucket(spark):
+    """An order-contiguous run of NULL values (an entire bucket's worth)
+    must not crash the driver-side prefix combine."""
+    rows = [(i, None if 20 <= i < 60 else float(i % 7)) for i in range(100)]
+    df = spark.createDataFrame(rows, "ord int, v double")
+    got = running_max_exclusive(df, "ord", "v", num_buckets=10)
+    w = Window.orderBy("ord").rowsBetween(Window.unboundedPreceding, -1)
+    want = df.withColumn("__running_max", F.max("v").over(w))
+    g = {r["ord"]: r["__running_max"] for r in got.collect()}
+    x = {r["ord"]: r["__running_max"] for r in want.collect()}
+    assert g == x
+
+
+def test_running_max_int64_above_2_53(spark):
+    """Order values above 2^53 lose precision as doubles; bucketing must
+    stay in the integer domain or rows land in the wrong bucket."""
+    base = 1 << 60
+    # adjacent int64 orders that collapse to the same double
+    rows = [(base + i, i) for i in range(0, 2000)]
+    df = spark.createDataFrame(rows, "ord long, v long")
+    got = running_max_exclusive(df, "ord", "v", num_buckets=8)
+    w = Window.orderBy("ord").rowsBetween(Window.unboundedPreceding, -1)
+    want = df.withColumn("__running_max", F.max("v").over(w))
+    g = {r["ord"]: r["__running_max"] for r in got.collect()}
+    x = {r["ord"]: r["__running_max"] for r in want.collect()}
+    assert g == x
+
+
+def test_min_label_long_path_converges(spark):
+    """A path graph of length 60 (diameter 60 > default max_iter=20)
+    must still produce one cluster — pointer doubling makes convergence
+    logarithmic in diameter."""
+    n = 61
+    pairs = spark.createDataFrame(
+        [(f"d{i:03d}", f"d{i + 1:03d}") for i in range(n - 1)],
+        "doc_a string, doc_b string",
+    )
+    labels = min_label_clusters(pairs, max_iter=20)
+    clusters = {r["cluster_id"] for r in labels.collect()}
+    assert clusters == {"d000"}
+    assert labels.count() == n
+
+
+def test_min_label_raises_instead_of_wrong_labels(spark):
+    """If the iteration budget genuinely can't cover the diameter, the
+    operator must raise, never return silently wrong labels."""
+    pairs = spark.createDataFrame(
+        [(f"d{i:03d}", f"d{i + 1:03d}") for i in range(10)],
+        "doc_a string, doc_b string",
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        min_label_clusters(pairs, max_iter=1)
