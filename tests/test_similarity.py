@@ -49,12 +49,12 @@ def test_ann_recall_and_candidate_reduction(spark, sf_dir):
     ivf_cands = ivf.count()
     assert lsh_cands <= 10 * K and ivf_cands <= 10 * K
 
-    # recall floors: random hyperplanes/centroids on random data are weak
-    # quantizers by construction — the floors assert the candidate
-    # generation isn't degenerate (e.g., empty buckets), not SOTA quality.
+    # recall floors: LSH runs 8 tables × Hamming-1 probing, so it must
+    # recover a majority of true neighbors; IVF's floor asserts the
+    # coarse quantizer isn't degenerate (e.g., empty lists), not SOTA.
     r_lsh = _recall(_topk_sets(lsh), exact)
     r_ivf = _recall(_topk_sets(ivf), exact)
-    assert r_lsh > 0.02, f"LSH recall degenerate: {r_lsh}"
+    assert r_lsh >= 0.5, f"LSH recall too low for multi-table/probe: {r_lsh}"
     assert r_ivf > 0.15, f"IVF recall degenerate: {r_ivf}"
 
 
