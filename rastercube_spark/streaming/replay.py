@@ -57,15 +57,41 @@ class EventReplay:
         os.makedirs(self.input_dir, exist_ok=True)
         self._file_seq = 0
 
+        from pyspark.sql import functions as F
+
         from rastercube_spark.sources.tables import load
 
-        df = load(spark, sf_dir, "events").orderBy(order_col)
-        pdf = df.toPandas()
-        self.n_rows = len(pdf)
-        chunk = max(1, (self.n_rows + n_files - 1) // n_files)
-        self.max_ts = pdf["ts"].max()
-        for i in range(0, self.n_rows, chunk):
-            self._write_file(pdf.iloc[i : i + chunk])
+        # Staging is DISTRIBUTED: repartitionByRange splits the table into
+        # n_files contiguous order_col ranges (executor-side sort + write,
+        # nothing funnels through the driver — the old toPandas() staging
+        # was a driver-memory bottleneck at scale). Range partition i lands
+        # in part-file i, so admitting part files in name order replays
+        # the table in order_col order, file-granular, exactly as before.
+        stats = load(spark, sf_dir, "events").agg(
+            F.count("*").alias("n"), F.max("ts").alias("mx")
+        ).collect()[0]
+        self.n_rows, self.max_ts = stats["n"], stats["mx"]
+        stage_dir = os.path.join(work_dir, "_stage")
+        (
+            load(spark, sf_dir, "events")
+            .repartitionByRange(n_files, order_col)
+            .sortWithinPartitions(order_col)
+            .write.mode("overwrite")
+            .parquet(stage_dir)
+        )
+        for name in sorted(os.listdir(stage_dir)):
+            if name.startswith("part-") and name.endswith(".parquet"):
+                self._admit_file(os.path.join(stage_dir, name))
+
+    def _admit_file(self, src: str) -> None:
+        """Move a staged parquet file into the stream input dir under the
+        next sequence name, with a strictly increasing mtime (the file
+        source admits files in (mtime, path) order)."""
+        path = os.path.join(self.input_dir, f"{self._file_seq:05d}.parquet")
+        os.replace(src, path)
+        mtime = time.time() + self._file_seq
+        os.utime(path, (mtime, mtime))
+        self._file_seq += 1
 
     def _write_file(self, pdf) -> None:
         path = os.path.join(self.input_dir, f"{self._file_seq:05d}.parquet")
