@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from rastercube_spark.sources.raster import RasterCube
 
 TILE_RE = re.compile(r"tile_(\d+)_(\d+)_t(\d+)\.npy$")
+TILE_TIF_RE = re.compile(r"tile_(\d+)_(\d+)_t(\d+)\.tiff?(\.gz)?$")
 
 
 def npy_tile_codec(path: str, content: bytes) -> tuple[np.ndarray, int, int, int]:
@@ -50,6 +51,21 @@ def npy_tile_codec(path: str, content: bytes) -> tuple[np.ndarray, int, int, int
         raise ValueError(f"unrecognized tile name: {path}")
     x0, y0, t = int(m.group(1)), int(m.group(2)), int(m.group(3))
     arr = np.load(io.BytesIO(content), allow_pickle=False)
+    return arr, x0, y0, t
+
+
+def geotiff_tile_codec(path: str, content: bytes) -> tuple[np.ndarray, int, int, int]:
+    """Decode one GeoTIFF tile (optionally .gz, multi-strip, either byte
+    order) for :func:`ingest_tiles` — the Spark-side analog of the
+    reference's GLCF import (create_glcf_worldgrid.py:39-59: gunzip →
+    GDAL ReadAsArray → write_frac), with the grid position parsed from
+    the filename like the NDVI ingest parses dates
+    (create_ndvi_worldgrid.py:116-129)."""
+    m = TILE_TIF_RE.search(path)
+    if not m:
+        raise ValueError(f"unrecognized tile name: {path}")
+    x0, y0, t = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    arr, _geot, _nodata = decode_geotiff(bytes(content))
     return arr, x0, y0, t
 
 
@@ -107,8 +123,8 @@ def _spark_type(np_dtype: str) -> str:
 
 # --- minimal GeoTIFF writer (TIFF 6.0 + GeoTIFF 1.0 public specs) -------
 
-_SAMPLE_FORMAT = {"int16": 2, "uint16": 1, "float32": 3, "float64": 3}
-_BITS = {"int16": 16, "uint16": 16, "float32": 32, "float64": 64}
+_SAMPLE_FORMAT = {"uint8": 1, "int8": 2, "int16": 2, "uint16": 1, "float32": 3, "float64": 3}
+_BITS = {"uint8": 8, "int8": 8, "int16": 16, "uint16": 16, "float32": 32, "float64": 64}
 
 
 def write_geotiff(
@@ -116,9 +132,12 @@ def write_geotiff(
     data: np.ndarray,
     geot: tuple[float, ...],
     nodataval: float | int | None = None,
+    rows_per_strip: int | None = None,
 ) -> None:
-    """Single-band, little-endian, single-strip, uncompressed GeoTIFF
+    """Single-band, little-endian, uncompressed GeoTIFF
     (≡ reference tiff.py:92-113 write_int16_to_tiff minus compression).
+    One strip by default; ``rows_per_strip`` emits baseline multi-strip
+    layout (StripOffsets/StripByteCounts arrays).
 
     Requires a north-up geotransform (geot[2] == geot[4] == 0, like the
     reference asserts in jgrid3.py:173).
@@ -129,6 +148,13 @@ def write_geotiff(
     bits, sfmt = _BITS[dt], _SAMPLE_FORMAT[dt]
     h, w = data.shape
     pixel_bytes = data.astype(dt).tobytes()
+    rps = h if rows_per_strip is None else max(1, min(rows_per_strip, h))
+    strip_bytes = rps * w * (bits // 8)
+    strip_counts = [
+        min(strip_bytes, len(pixel_bytes) - i)
+        for i in range(0, len(pixel_bytes), strip_bytes)
+    ]
+    n_strips = len(strip_counts)
 
     entries: list[tuple[int, int, int, bytes | int]] = []  # tag, type, count, value
 
@@ -152,10 +178,13 @@ def write_geotiff(
     entry(258, 3, 1, bits)  # BitsPerSample
     entry(259, 3, 1, 1)  # Compression: none
     entry(262, 3, 1, 1)  # Photometric: BlackIsZero
-    entry(273, 4, 1, "STRIP_OFFSET")  # StripOffsets (patched below)
+    entry(273, 4, n_strips, "STRIP_OFFSETS")  # StripOffsets (patched below)
     entry(277, 3, 1, 1)  # SamplesPerPixel
-    entry(278, 3, 1, h)  # RowsPerStrip
-    entry(279, 4, 1, len(pixel_bytes))  # StripByteCounts
+    entry(278, 3, 1, rps)  # RowsPerStrip
+    if n_strips == 1:
+        entry(279, 4, 1, len(pixel_bytes))  # StripByteCounts
+    else:
+        entry(279, 4, n_strips, struct.pack(f"<{n_strips}I", *strip_counts))
     entry(339, 3, 1, sfmt)  # SampleFormat
     entry(33550, 12, 3, scale)  # ModelPixelScaleTag
     entry(33922, 12, 6, tiepoint)  # ModelTiepointTag
@@ -168,24 +197,37 @@ def write_geotiff(
     ifd_offset = 8
     data_start = ifd_offset + 2 + n * 12 + 4  # after IFD + next-IFD ptr
 
-    # lay out out-of-line payloads, then the pixel strip
+    # lay out out-of-line payloads, then the pixel strips
     payloads: list[bytes] = []
     offsets: dict[int, int] = {}
+    strip_table_idx = -1
     cursor = data_start
     for tag, typ, count, value in entries:
-        if isinstance(value, bytes) and len(value) > 4:
+        if value == "STRIP_OFFSETS" and n_strips > 1:
+            # reserve space for the offsets array; patched once the
+            # strip-data start is known
+            offsets[tag] = cursor
+            strip_table_idx = len(payloads)
+            payloads.append(b"\x00" * (4 * n_strips))
+            cursor += 4 * n_strips
+        elif isinstance(value, bytes) and len(value) > 4:
             offsets[tag] = cursor
             payloads.append(value)
             cursor += len(value) + (len(value) % 2)
     strip_offset = cursor
+    if strip_table_idx >= 0:
+        strip_offs, acc = [], strip_offset
+        for c in strip_counts:
+            strip_offs.append(acc)
+            acc += c
+        payloads[strip_table_idx] = struct.pack(f"<{n_strips}I", *strip_offs)
 
     out = io.BytesIO()
     out.write(struct.pack("<2sHI", b"II", 42, ifd_offset))
     out.write(struct.pack("<H", n))
-    type_size = {2: 1, 3: 2, 4: 4, 12: 8}
     for tag, typ, count, value in entries:
-        if value == "STRIP_OFFSET":
-            packed = struct.pack("<I", strip_offset)
+        if value == "STRIP_OFFSETS":
+            packed = struct.pack("<I", strip_offset if n_strips == 1 else offsets[tag])
         elif isinstance(value, bytes):
             if len(value) > 4:
                 packed = struct.pack("<I", offsets[tag])
@@ -207,46 +249,95 @@ def write_geotiff(
         f.write(out.getvalue())
 
 
-def read_geotiff(path: str) -> tuple[np.ndarray, tuple[float, ...], float | None]:
-    """Companion reader (round-trip tests; handles exactly the subset the
-    writer emits). Returns (array, geotransform, nodataval)."""
-    with open(path, "rb") as f:
-        buf = f.read()
-    assert buf[:4] == b"II*\x00"
-    (ifd_off,) = struct.unpack_from("<I", buf, 4)
-    (n,) = struct.unpack_from("<H", buf, ifd_off)
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 12: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 12: "d"}
+_DTYPES = {
+    (8, 1): "uint8",
+    (8, 2): "int8",
+    (16, 1): "uint16",
+    (16, 2): "int16",
+    (32, 1): "uint32",
+    (32, 2): "int32",
+    (32, 3): "float32",
+    (64, 3): "float64",
+}
+
+
+def decode_geotiff(
+    buf: bytes,
+) -> tuple[np.ndarray, tuple[float, ...], float | None]:
+    """Decode a single-band baseline GeoTIFF from bytes: both byte
+    orders, any number of strips, 8/16/32/64-bit integer and float
+    samples, optionally gzip-wrapped (the reference's GLCF tiles arrive
+    as gzipped uint8 GeoTIFFs — create_glcf_worldgrid.py:39-59
+    decompresses then GDAL-opens; here the TIFF 6.0 structures are
+    parsed directly, no GDAL in the container). Uncompressed strips
+    only — a clear error otherwise, matching SURVEY §2.1's documented
+    codec boundary. Returns (array, geotransform, nodataval)."""
+    if buf[:2] == b"\x1f\x8b":
+        import gzip
+
+        buf = gzip.decompress(buf)
+    if buf[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF: bad byte-order mark")
+    bo = "<" if buf[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack_from(bo + "HI", buf, 2)
+    if magic != 42:
+        raise ValueError("not a TIFF: bad magic")
+    (n,) = struct.unpack_from(bo + "H", buf, ifd_off)
     tags: dict[int, tuple[int, int, bytes]] = {}
     for i in range(n):
-        tag, typ, count = struct.unpack_from("<HHI", buf, ifd_off + 2 + i * 12)
+        tag, typ, count = struct.unpack_from(bo + "HHI", buf, ifd_off + 2 + i * 12)
         raw = buf[ifd_off + 2 + i * 12 + 8 : ifd_off + 2 + i * 12 + 12]
         tags[tag] = (typ, count, raw)
 
-    def val(tag: int) -> int:
-        typ, count, raw = tags[tag]
-        return struct.unpack("<H" if typ == 3 else "<I", raw[: 2 if typ == 3 else 4])[0]
-
     def payload(tag: int) -> bytes:
         typ, count, raw = tags[tag]
-        size = {2: 1, 3: 2, 4: 4, 12: 8}[typ] * count
+        size = _TYPE_SIZE[typ] * count
         if size <= 4:
             return raw[:size]
-        (off,) = struct.unpack("<I", raw)
+        (off,) = struct.unpack(bo + "I", raw)
         return buf[off : off + size]
 
-    w, h = val(256), val(257)
-    bits, sfmt = val(258), val(339)
-    dtype = {(16, 2): "int16", (16, 1): "uint16", (32, 3): "float32", (64, 3): "float64"}[
-        (bits, sfmt)
-    ]
-    strip_off, strip_len = val(273), val(279)
-    arr = np.frombuffer(buf[strip_off : strip_off + strip_len], dtype=dtype).reshape(h, w)
-    sx, sy, _ = struct.unpack("<3d", payload(33550))
-    _, _, _, gx, gy, _ = struct.unpack("<6d", payload(33922))
-    geot = (gx, sx, 0.0, gy, 0.0, -sy)
+    def values(tag: int, default: list[int] | None = None) -> list:
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"required TIFF tag {tag} missing")
+            return default
+        typ, count, raw = tags[tag]
+        return list(struct.unpack(bo + str(count) + _TYPE_FMT[typ], payload(tag)))
+
+    w, h = values(256)[0], values(257)[0]
+    if values(259, [1])[0] != 1:
+        raise ValueError(
+            "compressed TIFF strips are outside the built-in codec; "
+            "decompress upstream or swap in a GDAL-backed codec"
+        )
+    if values(277, [1])[0] != 1:
+        raise ValueError("single-band TIFFs only")
+    bits = values(258, [1])[0]
+    sfmt = values(339, [1])[0]  # SampleFormat defaults to unsigned int
+    dtype = _DTYPES[(bits, sfmt)]
+    offs, counts = values(273), values(279)
+    pixel = b"".join(buf[o : o + c] for o, c in zip(offs, counts))
+    arr = np.frombuffer(pixel, dtype=np.dtype(dtype).newbyteorder(bo)).reshape(h, w)
+    arr = np.ascontiguousarray(arr.astype(dtype))  # native byte order
+    geot: tuple[float, ...] = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+    if 33550 in tags and 33922 in tags:
+        sx, sy, _ = struct.unpack(bo + "3d", payload(33550))
+        _, _, _, gx, gy, _ = struct.unpack(bo + "6d", payload(33922))
+        geot = (gx, sx, 0.0, gy, 0.0, -sy)
     nodata = None
     if 42113 in tags:
         nodata = float(payload(42113).rstrip(b"\x00").decode())
     return arr, geot, nodata
+
+
+def read_geotiff(path: str) -> tuple[np.ndarray, tuple[float, ...], float | None]:
+    """File-path wrapper over :func:`decode_geotiff` (round-trip tests,
+    export verification)."""
+    with open(path, "rb") as f:
+        return decode_geotiff(f.read())
 
 
 def export_geotiff(

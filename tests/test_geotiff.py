@@ -92,3 +92,102 @@ def test_export_window(spark, ingested, tmp_path):
     assert geot[0] == GEOT[0] + 10 * GEOT[1]
     assert geot[3] == GEOT[3] + 5 * GEOT[5]
     assert nodata == -3000
+
+
+def test_geotiff_multistrip_roundtrip(tmp_path):
+    rng = np.random.RandomState(11)
+    data = rng.randint(-3000, 10001, size=(33, 47)).astype(np.int16)
+    p = str(tmp_path / "ms.tif")
+    write_geotiff(p, data, GEOT, nodataval=-3000, rows_per_strip=7)
+    arr, geot, nodata = read_geotiff(p)
+    np.testing.assert_array_equal(arr, data)
+    assert geot == GEOT and nodata == -3000
+
+
+def test_geotiff_uint8_gz_decode(tmp_path):
+    """GLCF-shaped input: gzipped uint8 GeoTIFF (reference
+    create_glcf_worldgrid.py:39-59)."""
+    import gzip
+
+    from rastercube_spark.sources.geotiff import decode_geotiff
+
+    rng = np.random.RandomState(12)
+    data = rng.randint(0, 256, size=(16, 21)).astype(np.uint8)
+    p = tmp_path / "glcf.tif"
+    write_geotiff(str(p), data, GEOT, nodataval=0, rows_per_strip=5)
+    arr, geot, nodata = decode_geotiff(gzip.compress(p.read_bytes()))
+    np.testing.assert_array_equal(arr, data)
+    assert geot == GEOT and nodata == 0
+
+
+def test_geotiff_bigendian_decode():
+    """Hand-built big-endian (MM) baseline TIFF: 2 strips, uint16."""
+    import struct
+
+    from rastercube_spark.sources.geotiff import decode_geotiff
+
+    data = np.arange(12, dtype=np.uint16).reshape(4, 3)
+    strips = [data[:2].astype(">u2").tobytes(), data[2:].astype(">u2").tobytes()]
+    # IFD: width, height, bits, compression, strip offsets (2), rows/strip,
+    # strip byte counts (2)
+    n = 7
+    ifd_off = 8
+    arrays_off = ifd_off + 2 + n * 12 + 4
+    strip1 = arrays_off + 16  # two 2-LONG arrays
+    entries = [
+        (256, 3, 1, struct.pack(">HH", 3, 0)),
+        (257, 3, 1, struct.pack(">HH", 4, 0)),
+        (258, 3, 1, struct.pack(">HH", 16, 0)),
+        (259, 3, 1, struct.pack(">HH", 1, 0)),
+        (273, 4, 2, struct.pack(">I", arrays_off)),
+        (278, 3, 1, struct.pack(">HH", 2, 0)),
+        (279, 4, 2, struct.pack(">I", arrays_off + 8)),
+    ]
+    buf = struct.pack(">2sHI", b"MM", 42, ifd_off) + struct.pack(">H", n)
+    for tag, typ, count, raw in entries:
+        buf += struct.pack(">HHI", tag, typ, count) + raw
+    buf += struct.pack(">I", 0)
+    buf += struct.pack(">2I", strip1, strip1 + len(strips[0]))
+    buf += struct.pack(">2I", len(strips[0]), len(strips[1]))
+    buf += strips[0] + strips[1]
+    arr, geot, nodata = decode_geotiff(buf)
+    np.testing.assert_array_equal(arr, data)
+    assert arr.dtype == np.uint16 and nodata is None
+
+
+def test_ingest_geotiff_tiles(spark, source, tmp_path):
+    """Golden: ingest via the GeoTIFF codec (gzipped, multi-strip) ==
+    ingest via .npy — byte-identical cube contents."""
+    import gzip
+
+    from rastercube_spark.sources.geotiff import geotiff_tile_codec
+
+    full, _ = source
+    tile_dir = tmp_path / "tif_tiles"
+    tile_dir.mkdir()
+    for t in range(ND):
+        for x0, part in ((0, full[:, : W // 2, t]), (W // 2, full[:, W // 2 :, t])):
+            p = tile_dir / f"tile_{x0}_0_t{t}.tif"
+            write_geotiff(str(p), part, GEOT, nodataval=-3000, rows_per_strip=9)
+            if t % 2 == 1:  # mix plain and gzipped inputs
+                gz = tile_dir / f"tile_{x0}_0_t{t}.tif.gz"
+                gz.write_bytes(gzip.compress(p.read_bytes()))
+                p.unlink()
+    root = str(tmp_path / "cube_tif")
+    cube = RasterCube(
+        root,
+        CubeHeader(
+            width=W,
+            height=H,
+            frac_width=20,
+            frac_height=20,
+            dtype="int16",
+            nodataval=-3000,
+            frac_ndates=3,
+            timestamps_ms=list(range(ND)),
+            geot=GEOT,
+        ),
+    )
+    ingest_tiles(spark, cube, f"{tile_dir}/*", codec=geotiff_tile_codec)
+    got = cube.load_slice_array(spark, (0, 0), (W, H))
+    np.testing.assert_array_equal(got, full)
