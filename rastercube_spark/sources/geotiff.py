@@ -37,6 +37,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from rastercube_spark.sources.raster import RasterCube
 
@@ -69,15 +70,14 @@ def geotiff_tile_codec(path: str, content: bytes) -> tuple[np.ndarray, int, int,
     return arr, x0, y0, t
 
 
-def ingest_tiles(
+def _decode_long(
     spark: SparkSession,
     cube: RasterCube,
     path_glob: str,
-    codec: Callable[[str, bytes], tuple[np.ndarray, int, int, int]] = npy_tile_codec,
-) -> None:
-    """Distributed tile ingest: binaryFile scan → per-file decode →
-    cube-layout write. Each input file becomes long-form rows inside one
-    Arrow batch; no pixel ever passes through the driver."""
+    codec: Callable[[str, bytes], tuple[np.ndarray, int, int, int]],
+) -> DataFrame:
+    """binaryFile scan → per-file decode → long-form pixel rows (the
+    shared front half of ingest and reload)."""
     h = cube.header
     # capture plain ints (picklable, tiny closure) — not the header object
     frac_h, frac_w = h.frac_height, h.frac_width
@@ -107,7 +107,52 @@ def ingest_tiles(
         "frac_num int, time_chunk int, x int, y int, t int, "
         f"{value_col} {_spark_type(dtype)}"
     )
-    cube.write_long(spark, binary.mapInPandas(decode, schema))
+    return binary.mapInPandas(decode, schema)
+
+
+def ingest_tiles(
+    spark: SparkSession,
+    cube: RasterCube,
+    path_glob: str,
+    codec: Callable[[str, bytes], tuple[np.ndarray, int, int, int]] = npy_tile_codec,
+) -> None:
+    """Distributed tile ingest: binaryFile scan → per-file decode →
+    cube-layout write. Each input file becomes long-form rows inside one
+    Arrow batch; no pixel ever passes through the driver."""
+    cube.write_long(spark, _decode_long(spark, cube, path_glob, codec))
+
+
+def reload_fraction(
+    spark: SparkSession,
+    cube: RasterCube,
+    frac_num: int,
+    path_glob: str,
+    codec: Callable[[str, bytes], tuple[np.ndarray, int, int, int]] = npy_tile_codec,
+) -> None:
+    """Re-source ONE damaged fraction from the original tile files and
+    overwrite exactly its partitions, leaving the rest of the cube
+    untouched (≡ reference reload_fraction_worldgrid.py:80-91, which
+    re-reads the covering MODIS tile and rewrites one jGrid fraction —
+    there the tile is found via grids.get_cells_for_tile; here
+    functions/grids.py carries that arithmetic and callers narrow
+    ``path_glob`` to the covering tiles' files).
+
+    Unlike :meth:`RasterCube.repair_truncate` (which can only trim
+    locally-overgrown chunks) this restores lost/corrupt data, because it
+    goes back to the source files. The write uses DYNAMIC partition
+    overwrite scoped by the frac filter: only ``(frac_num, *)``
+    partitions present in the decoded relation are replaced."""
+    rows = _decode_long(spark, cube, path_glob, codec).where(
+        F.col("frac_num") == frac_num
+    )
+    (
+        rows.repartition("frac_num", "time_chunk")
+        .sortWithinPartitions("frac_num", "time_chunk", "y", "x", "t")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("frac_num", "time_chunk")
+        .parquet(cube.data_path)
+    )
 
 
 def _spark_type(np_dtype: str) -> str:

@@ -191,3 +191,66 @@ def test_ingest_geotiff_tiles(spark, source, tmp_path):
     ingest_tiles(spark, cube, f"{tile_dir}/*", codec=geotiff_tile_codec)
     got = cube.load_slice_array(spark, (0, 0), (W, H))
     np.testing.assert_array_equal(got, full)
+
+
+def test_reload_fraction(spark, source, tmp_path):
+    """Corrupt one fraction's partitions, reload it from the source
+    tiles, and the cube is bit-identical to the original again — and the
+    other fractions' files were not rewritten (reference
+    reload_fraction_worldgrid.py:80-91)."""
+    import os
+
+    from rastercube_spark.sources.geotiff import reload_fraction
+
+    full, tile_dir = source
+    root = str(tmp_path / "cube_reload")
+    cube = RasterCube(
+        root,
+        CubeHeader(
+            width=W,
+            height=H,
+            frac_width=20,
+            frac_height=20,
+            dtype="int16",
+            nodataval=-3000,
+            frac_ndates=3,
+            timestamps_ms=list(range(ND)),
+            geot=GEOT,
+        ),
+    )
+    ingest_tiles(spark, cube, f"{tile_dir}/*.npy")
+    frac = 5
+    # corrupt: overwrite the fraction's partitions with garbage rows
+    from pyspark.sql import functions as F
+
+    bad = (
+        cube.df(spark)
+        .where(f"frac_num = {frac}")
+        .withColumn("value", F.lit(99).cast("smallint"))
+    )
+    (
+        bad.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("frac_num", "time_chunk")
+        .parquet(cube.data_path)
+    )
+    got = cube.load_slice_array(spark, (0, 0), (W, H))
+    assert not np.array_equal(got, full), "corruption should be visible"
+
+    # snapshot other partitions' file mtimes
+    def part_files():
+        out = {}
+        for dirpath, _dirs, files in os.walk(cube.data_path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = {p: m for p, m in part_files().items() if f"frac_num={frac}/" not in p}
+
+    reload_fraction(spark, cube, frac, f"{tile_dir}/*.npy")
+    got = cube.load_slice_array(spark, (0, 0), (W, H))
+    np.testing.assert_array_equal(got, full)
+    after = {p: m for p, m in part_files().items() if f"frac_num={frac}/" not in p}
+    assert before == after, "untouched fractions must not be rewritten"
