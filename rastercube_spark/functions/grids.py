@@ -218,3 +218,18 @@ def glcf_cube_header(
         sr_wkt=GLCFGrid.PROJ_WKT,
         value_col=value_col,
     )
+
+
+def glcf_to_modis_px(dst_x, dst_y):
+    """Column mapping GLCF pixel index → covering MODIS pixel index:
+    GLCF pixel center → (lat, lng) degrees (the GLCF geotransform IS
+    WGS84 degrees) → sinusoidal meters → MODIS pixel (floor). For use
+    with operators.resample.gather_nearest_crs — the whole chain is
+    codegen'd column math, no GDAL."""
+    from pyspark.sql import functions as F
+
+    from rastercube_spark.functions.geo import latlng_to_modis_xy
+
+    lng = F.lit(GLCFGrid.GEOT[0]) + (dst_x + F.lit(0.5)) * F.lit(GLCFGrid.GEOT[1])
+    lat = F.lit(GLCFGrid.GEOT[3]) + (dst_y + F.lit(0.5)) * F.lit(GLCFGrid.GEOT[5])
+    return latlng_to_modis_xy(lat, lng, gt=MODISGrid.GEOT)

@@ -116,3 +116,38 @@ def gather_nearest(
     return mapped.join(src, ["x", "y"]).select(
         "dst_x", "dst_y", F.col(value_col).alias("v")
     )
+
+
+def gather_nearest_crs(
+    spark: SparkSession,
+    src: DataFrame,
+    map_xy,
+    dst_x_range: tuple[int, int],
+    dst_y_range: tuple[int, int],
+    value_col: str = "value",
+) -> DataFrame:
+    """Cross-SRS 'near' gather: :func:`gather_nearest` with an arbitrary
+    dst→src pixel mapping (a callable returning two column expressions),
+    so reprojection between genuinely different SRS — e.g. GLCF WGS84
+    degrees → sinusoidal meters → MODIS pixel (functions/grids.py
+    glcf_to_modis_px) — keeps the same scale shape: a generated target
+    frame (zero IO), the mapping as codegen'd column math, and ONE
+    equi-join on the computed source (x, y). The reference warps this
+    with GDAL (jgrid/utils.py:164-280); here the projection formulas are
+    in the plan itself."""
+    x0, x1 = dst_x_range
+    y0, y1 = dst_y_range
+    frame = (
+        spark.range(x0, x1)
+        .select(F.col("id").cast("int").alias("dst_x"))
+        .crossJoin(
+            spark.range(y0, y1).select(F.col("id").cast("int").alias("dst_y"))
+        )
+    )
+    sx, sy = map_xy(F.col("dst_x"), F.col("dst_y"))
+    mapped = frame.select(
+        "dst_x", "dst_y", sx.cast("int").alias("x"), sy.cast("int").alias("y")
+    )
+    return mapped.join(src, ["x", "y"]).select(
+        "dst_x", "dst_y", F.col(value_col).alias("v")
+    )
