@@ -1,0 +1,218 @@
+"""Minimal HDF4 Scientific-Data-Set container codec (S6).
+
+The reference ingests MODIS MOD13Q1 HDF4 files through GDAL subdatasets
+(reference rastercube/datasources/modis.py:212-241: open file, find the
+'250m 16 days NDVI' / '250m 16 days VI Quality' datasets, ReadAsArray).
+This module parses the HDF4 container layout directly — the format is a
+public spec (HDF 4.2 "HDF Specification and Developer's Guide") and the
+SDS subset MODIS uses maps to a handful of tag types:
+
+- file magic ``0x0e031301``; chained DD (data descriptor) blocks of
+  ``(tag, ref, offset, length)`` entries, all big-endian;
+- DFTAG_NT (106): number type (int16/uint16/... widths);
+- DFTAG_SDD (701): rank + dimension sizes + NT refs;
+- DFTAG_SD (702): the raw array bytes (big-endian), either inline or as
+  a DEFLATE "special element" (extended tag ``702|0x4000`` → special
+  header → DFTAG_COMPRESSED (40) payload, zlib);
+- DFTAG_NDG (720): the group tying SDD + SD together = one dataset;
+- DFTAG_DIL (104): object label — used here to carry the dataset NAME
+  for the NDG.
+
+Honest scope: this reads/writes the subset above (2-D single-NT arrays,
+optional whole-array deflate, names via DIL labels). Real MOD13Q1 files
+carry names/attributes in Vgroup/Vdata structures and chunked storage —
+a production deployment swaps :func:`modis_hdf_codec`'s decode for a
+GDAL/pyhdf call with the same signature (the documented codec boundary,
+SURVEY §2.1); the distributed plumbing (binaryFile scan → Arrow decode →
+cube layout) is identical either way and is what's under test.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import struct
+import zlib
+
+import numpy as np
+
+MAGIC = b"\x0e\x03\x13\x01"
+
+DFTAG_NT = 106
+DFTAG_DIL = 104
+DFTAG_SDD = 701
+DFTAG_SD = 702
+DFTAG_NDG = 720
+DFTAG_COMPRESSED = 40
+SPECIAL_BIT = 0x4000
+SPECIAL_COMP = 2
+COMP_DEFLATE = 4
+
+# DFNT number types (HDF spec table 8A)
+_DFNT = {
+    3: "uint8",
+    20: "int8",
+    21: "uint8",
+    22: "int16",
+    23: "uint16",
+    24: "int32",
+    25: "uint32",
+    5: "float32",
+    6: "float64",
+}
+_DFNT_FOR = {"int16": 22, "uint16": 23, "int8": 20, "uint8": 21,
+             "int32": 24, "uint32": 25, "float32": 5, "float64": 6}
+
+
+def write_hdf4_sds(
+    path: str, datasets: dict[str, np.ndarray], compress: bool = False
+) -> None:
+    """Write named 2-D arrays as HDF4 SDS (one NDG per dataset; deflate
+    special elements when ``compress``). The test-fixture counterpart of
+    :func:`read_hdf4_sds`, like write_geotiff/read_geotiff — the
+    container has no pyhdf/GDAL to produce real files
+    (≡ reference create_fake_hdf.py, which clones real HDFs via pyhdf)."""
+    dds: list[tuple[int, int, bytes]] = []  # (tag, ref, payload)
+    ref = 0
+    for name, arr in datasets.items():
+        assert arr.ndim == 2
+        ref += 1
+        dt = str(arr.dtype)
+        nt = struct.pack(">4B", 1, _DFNT_FOR[dt], arr.dtype.itemsize * 8, 0)
+        dds.append((DFTAG_NT, ref, nt))
+        sdd = struct.pack(">hii", 2, arr.shape[0], arr.shape[1])
+        sdd += struct.pack(">HH", DFTAG_NT, ref)  # data NT
+        sdd += struct.pack(">HH", DFTAG_NT, ref) * 2  # per-dim scale NTs
+        dds.append((DFTAG_SDD, ref, sdd))
+        raw = arr.astype(np.dtype(dt).newbyteorder(">")).tobytes()
+        if compress:
+            comp = zlib.compress(raw, 6)
+            dds.append((DFTAG_COMPRESSED, ref, comp))
+            # special header: type, uncompressed length, version,
+            # model_type, comp_type, deflate level, compressed-data ref
+            sp = struct.pack(
+                ">hihhhhH", SPECIAL_COMP, len(raw), 0, 0, COMP_DEFLATE, 6, ref
+            )
+            dds.append((DFTAG_SD | SPECIAL_BIT, ref, sp))
+        else:
+            dds.append((DFTAG_SD, ref, raw))
+        members = struct.pack(
+            ">HHHH", DFTAG_SDD, ref, DFTAG_SD | (SPECIAL_BIT if compress else 0), ref
+        )
+        dds.append((DFTAG_NDG, ref, members))
+        label = name.encode()
+        dds.append((DFTAG_DIL, ref, struct.pack(">HH", DFTAG_NDG, ref) + label))
+
+    n = len(dds)
+    header_len = len(MAGIC) + 2 + 4 + n * 12
+    out = io.BytesIO()
+    out.write(MAGIC)
+    out.write(struct.pack(">hi", n, 0))  # one DD block, no next
+    cursor = header_len
+    offsets = []
+    for _tag, _ref, payload in dds:
+        offsets.append(cursor)
+        cursor += len(payload)
+    for (tag, r, payload), off in zip(dds, offsets):
+        out.write(struct.pack(">HHii", tag, r, off, len(payload)))
+    for _tag, _ref, payload in dds:
+        out.write(payload)
+    with open(path, "wb") as f:
+        f.write(out.getvalue())
+
+
+def read_hdf4_sds(buf: bytes) -> dict[str, np.ndarray]:
+    """Decode every named SDS in an HDF4 container (the subset documented
+    in the module docstring). Returns {dataset_name: 2-D array}."""
+    if buf[:4] != MAGIC:
+        raise ValueError("not an HDF4 file: bad magic")
+    # walk the DD block chain
+    dds: dict[tuple[int, int], tuple[int, int]] = {}  # (tag, ref) -> (off, len)
+    block = 4
+    while block:
+        ndd, nxt = struct.unpack_from(">hi", buf, block)
+        for i in range(ndd):
+            tag, ref, off, ln = struct.unpack_from(">HHii", buf, block + 6 + i * 12)
+            if tag:
+                dds[(tag, ref)] = (off, ln)
+        block = nxt
+
+    def payload(tag: int, ref: int) -> bytes:
+        off, ln = dds[(tag, ref)]
+        return buf[off : off + ln]
+
+    # labels: (obj_tag, obj_ref) -> name
+    labels = {}
+    for (tag, ref), (off, ln) in dds.items():
+        if tag == DFTAG_DIL:
+            p = payload(tag, ref)
+            ot, orf = struct.unpack_from(">HH", p, 0)
+            labels[(ot, orf)] = p[4:].split(b"\x00", 1)[0].decode()
+
+    out: dict[str, np.ndarray] = {}
+    for (tag, ref), (off, ln) in sorted(dds.items(), key=lambda kv: kv[0][1]):
+        if tag != DFTAG_NDG:
+            continue
+        members = payload(tag, ref)
+        mem = {
+            t: r
+            for t, r in struct.iter_unpack(">HH", members)
+        }
+        sdd = payload(DFTAG_SDD, mem[DFTAG_SDD])
+        rank = struct.unpack_from(">h", sdd, 0)[0]
+        dims = struct.unpack_from(f">{rank}i", sdd, 2)
+        nt_tag, nt_ref = struct.unpack_from(">HH", sdd, 2 + 4 * rank)
+        _v, dfnt, _w, _c = struct.unpack(">4B", payload(nt_tag, nt_ref))
+        dtype = _DFNT[dfnt]
+        if DFTAG_SD in mem:
+            raw = payload(DFTAG_SD, mem[DFTAG_SD])
+        elif (DFTAG_SD | SPECIAL_BIT) in mem:
+            sp = payload(DFTAG_SD | SPECIAL_BIT, mem[DFTAG_SD | SPECIAL_BIT])
+            sp_type, un_len, _ver, _model, comp_type, _info, comp_ref = (
+                struct.unpack(">hihhhhH", sp)
+            )
+            if sp_type != SPECIAL_COMP or comp_type != COMP_DEFLATE:
+                raise ValueError(
+                    f"unsupported special element (type {sp_type}, comp {comp_type})"
+                )
+            raw = zlib.decompress(payload(DFTAG_COMPRESSED, comp_ref))
+            assert len(raw) == un_len
+        else:
+            raise ValueError("NDG without SD member")
+        arr = np.frombuffer(raw, dtype=np.dtype(dtype).newbyteorder(">"))
+        arr = np.ascontiguousarray(arr.reshape(dims).astype(dtype))
+        out[labels.get((DFTAG_NDG, ref), f"sds_{ref}")] = arr
+    return out
+
+
+# --- MODIS tile codec ---------------------------------------------------
+
+MODIS_NDVI_DATASET = "250m 16 days NDVI"
+MODIS_QA_DATASET = "250m 16 days VI Quality"
+
+# MOD13Q1.A2016017.h10v08.005.2016034145345.hdf (reference modis.py:45-57)
+_HDF_NAME_RE = re.compile(
+    r"(\w+)\.A(\d{4})(\d{3})\.h(\d{2})v(\d{2})\.(\d{3})\.(\d+)\.hdf$"
+)
+
+
+def modis_hdf_codec(dataset_name: str, date_to_t: dict[tuple[int, int], int]):
+    """Codec factory for :func:`ingest_tiles` over MODIS HDF files: picks
+    ``dataset_name`` out of each container, positions the tile on the
+    worldgrid from the filename's h/v (functions/grids.py
+    MODISGrid.tile_xy_from), and maps the filename's (year, doy) A-date
+    to the cube's time index via ``date_to_t`` (the reference drives
+    this with a dates CSV, create_ndvi_worldgrid.py:116-129)."""
+    from rastercube_spark.functions.grids import MODISGrid
+
+    def codec(path: str, content: bytes) -> tuple[np.ndarray, int, int, int]:
+        m = _HDF_NAME_RE.search(path)
+        if not m:
+            raise ValueError(f"unrecognized MODIS HDF name: {path}")
+        year, doy = int(m.group(2)), int(m.group(3))
+        h, v = int(m.group(4)), int(m.group(5))
+        arr = read_hdf4_sds(bytes(content))[dataset_name]
+        x0, y0 = MODISGrid.tile_xy_from(h, v)
+        return arr, x0, y0, date_to_t[(year, doy)]
+
+    return codec

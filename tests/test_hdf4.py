@@ -1,0 +1,73 @@
+"""HDF4 SDS codec: container round-trips + distributed MODIS-named
+ingest onto the real worldgrid (reference modis.py:212-241 +
+create_ndvi_worldgrid.py ingest flow)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from rastercube_spark.sources.hdf4 import (
+    MODIS_NDVI_DATASET,
+    MODIS_QA_DATASET,
+    modis_hdf_codec,
+    read_hdf4_sds,
+    write_hdf4_sds,
+)
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_hdf4_roundtrip(tmp_path, compress):
+    rng = np.random.RandomState(3)
+    ndvi = rng.randint(-3000, 10001, size=(37, 53)).astype(np.int16)
+    qa = rng.randint(0, 65536, size=(37, 53)).astype(np.uint16)
+    p = str(tmp_path / "x.hdf")
+    write_hdf4_sds(p, {MODIS_NDVI_DATASET: ndvi, MODIS_QA_DATASET: qa},
+                   compress=compress)
+    with open(p, "rb") as f:
+        got = read_hdf4_sds(f.read())
+    assert set(got) == {MODIS_NDVI_DATASET, MODIS_QA_DATASET}
+    np.testing.assert_array_equal(got[MODIS_NDVI_DATASET], ndvi)
+    np.testing.assert_array_equal(got[MODIS_QA_DATASET], qa)
+    assert got[MODIS_NDVI_DATASET].dtype == np.int16
+    assert got[MODIS_QA_DATASET].dtype == np.uint16
+
+
+def test_hdf4_bad_magic():
+    with pytest.raises(ValueError):
+        read_hdf4_sds(b"\x00" * 16)
+
+
+def test_modis_hdf_ingest(spark, tmp_path):
+    """binaryFile → HDF4 decode → real-worldgrid cube, with tile position
+    from the h/v in the filename and t from the A-date."""
+    from rastercube_spark.functions.grids import MODISGrid, modis_cube_header
+    from rastercube_spark.sources.geotiff import ingest_tiles
+    from rastercube_spark.sources.raster import RasterCube
+
+    h, v = 10, 8
+    x0, y0 = MODISGrid.tile_xy_from(h, v)
+    rng = np.random.RandomState(7)
+    dates = [(2016, 1), (2016, 17)]
+    arrs = []
+    hdf_dir = tmp_path / "hdf"
+    hdf_dir.mkdir()
+    for t, (year, doy) in enumerate(dates):
+        ndvi = rng.randint(-3000, 10001, size=(40, 40)).astype(np.int16)
+        qa = rng.randint(0, 65536, size=(40, 40)).astype(np.uint16)
+        arrs.append(ndvi)
+        name = f"MOD13Q1.A{year}{doy:03d}.h{h:02d}v{v:02d}.005.2016034145345.hdf"
+        write_hdf4_sds(
+            str(hdf_dir / name),
+            {MODIS_NDVI_DATASET: ndvi, MODIS_QA_DATASET: qa},
+            compress=True,
+        )
+
+    hdr = modis_cube_header([0, 1], dtype="int16", frac_ndates=2)
+    cube = RasterCube(str(tmp_path / "cube"), hdr)
+    codec = modis_hdf_codec(
+        MODIS_NDVI_DATASET, {d: t for t, d in enumerate(dates)}
+    )
+    ingest_tiles(spark, cube, f"{hdf_dir}/*.hdf", codec=codec)
+    got = cube.load_slice_array(spark, (x0, y0), (x0 + 40, y0 + 40))
+    np.testing.assert_array_equal(got, np.dstack(arrs))
