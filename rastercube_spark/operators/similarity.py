@@ -18,6 +18,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -38,9 +39,42 @@ def _norm(a: Column) -> Column:
     )
 
 
+@F.pandas_udf(DoubleType())
+def dot_pd(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched ordered dot product (cumsum ≡ the aggregate fold,
+    bit-for-bit). For callers that pre-compute norms once per vector."""
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    va = np.array([np.asarray(x, dtype=np.float64) for x in a])
+    vb = np.array([np.asarray(x, dtype=np.float64) for x in b])
+    return pd.Series(np.cumsum(va * vb, axis=1)[:, -1])
+
+
+@F.pandas_udf(DoubleType())
+def _cosine_pd(a: pd.Series, b: pd.Series) -> pd.Series:
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    va = np.array([np.asarray(x, dtype=np.float64) for x in a])
+    vb = np.array([np.asarray(x, dtype=np.float64) for x in b])
+    # cumsum is sequential by definition → bit-identical to the
+    # left-to-right aggregate fold (and the DuckDB oracle that already
+    # hash-matches it); elementwise products are exact IEEE ops.
+    dot = np.cumsum(va * vb, axis=1)[:, -1]
+    na = np.sqrt(np.cumsum(va * va, axis=1)[:, -1])
+    nb = np.sqrt(np.cumsum(vb * vb, axis=1)[:, -1])
+    return pd.Series(dot / (na * nb))
+
+
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two float-array columns, as a column expr."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity of two float-array columns.
+
+    Arrow-batched numpy with ordered (cumsum) summation — bit-identical
+    to the ``zip_with``+``aggregate`` column-expression fold it replaced
+    (kept above as ``_dot``/``_norm`` for in-join predicates), but the
+    HOFs evaluate interpreted with per-element boxing, which made cosine
+    the dominant cost of every kNN scoring stage. Same ulp-for-ulp
+    doubles, ~100× less per-row cost."""
+    return _cosine_pd(a, b)
 
 
 # NOTE (negative result worth keeping): unrolling the dot product into

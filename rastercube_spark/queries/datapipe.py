@@ -498,13 +498,17 @@ def q98(spark, sf_dir):
     """Embedding near-dup detection: top-20 most-similar pairs by cosine.
 
     Norms are computed once per vector BEFORE the self-join, so each of
-    the O(n²) pairs evaluates a single vector fold (the dot) instead of
-    three — higher-order array functions are interpreted, not codegen'd,
-    so per-pair folds dominate this query. Oracle-scale formulation is
-    the half-matrix self-join; the 100 TB path is q97's bucketed join
-    with a cosine threshold — same scoring, different candidates.
+    the O(n²) pairs evaluates a single ordered dot — Arrow-batched
+    (similarity.dot_pd), bit-identical to the fold. The LEFT side is
+    repartitioned to the cluster's parallelism: a single-file corpus is
+    one input partition, and the inequality self-join is a broadcast
+    nested loop whose task count = left-side partitions — without the
+    repartition the whole O(n²) stage runs in ONE task. Oracle-scale
+    formulation is the half-matrix self-join; the 100 TB path is q97's
+    bucketed join with a cosine threshold — same scoring, different
+    candidates.
     """
-    from rastercube_spark.operators.similarity import _dot, _norm
+    from rastercube_spark.operators.similarity import _norm, dot_pd
 
     e = load(spark, sf_dir, "embeddings")
     withn = e.select(
@@ -514,7 +518,7 @@ def q98(spark, sf_dir):
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("va"),
         F.col("nrm").alias("na"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     b = withn.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("vb"),
@@ -526,7 +530,7 @@ def q98(spark, sf_dir):
             "vec_a",
             "vec_b",
             F.round(
-                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+                dot_pd(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
             ).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), "vec_a", "vec_b")

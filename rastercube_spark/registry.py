@@ -28,9 +28,11 @@ _ORACLES: dict[str, str] = {}
 # listed keep import order after these, and MUST be code-frozen (their
 # standing CORRECTNESS_r{N}.json rows remain valid only by immutability).
 #
-# Round 4: slots 1-23 = changed this round (davg/dsum exact-division
-# rewrite, qr07 fix, simhash/lsh_knn rewrites, EventReplay staging);
-# slots 24-44 = last attested in r02; slots 45-50 = freshness fill.
+# Round 4: slots 1-26 = changed this round (davg/dsum exact-division
+# rewrite, qr07 fix, simhash/lsh_knn rewrites, EventReplay staging, and
+# the vectorized-cosine swap under q96/q98/qa2 — output-identical, golden
+# hashes pinned, but re-attested since their code changed); the rest =
+# queries whose last driver attestation is oldest (round 2).
 ATTEST_FIRST: tuple[str, ...] = (
     # changed this round
     "qr07_resample_downsample",
@@ -55,7 +57,10 @@ ATTEST_FIRST: tuple[str, ...] = (
     "q73_watermark_late_data",
     "q74_stateful_dedup",
     "q95_simhash",
+    "q96_knn_bruteforce",
     "q97_lsh_knn",
+    "q98_cosine_pairs_topk",
+    "qa2_ivf_knn",
     "qa3_dup_clusters",
     "qa4_dedup_keep",
     "qa6_sequence_packing",
@@ -81,10 +86,6 @@ ATTEST_FIRST: tuple[str, ...] = (
     "q66_array_json",
     "q67_categorical_legend",
     "q68_type_reinterpret",
-    # freshness fill
-    "q10_inner_equi",
-    "q21_count_distinct",
-    "q22_rollup",
 )
 
 
