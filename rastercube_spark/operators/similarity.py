@@ -120,51 +120,51 @@ def ivf_centroids(dim: int, n_cents: int, seed: int = 11) -> list[list[float]]:
     return _hyperplanes(dim, n_cents, seed)
 
 
+def _centroid_dots(vecs: pd.Series, cents_arr) -> "np.ndarray":
+    v = np.array([np.asarray(x, dtype=np.float64) for x in vecs])
+    prods = v[:, None, :] * cents_arr[None, :, :]  # (n, n_cents, dim), exact
+    return np.cumsum(prods, axis=2)[:, :, -1]  # ordered fold per centroid
+
+
 def ivf_assign(vec: Column, cents: list[list[float]]) -> Column:
-    """Nearest-centroid id by max inner product (ties → lowest id),
-    as an array_max over (dot, priority) structs — linear expression
-    tree, no when-chain blowup."""
-    n = len(cents)
-    scored = [
-        F.struct(
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(v) for v in c]),
-                    lambda x, y: x.cast("double") * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("dot"),
-            F.lit(n - 1 - i).alias("pri"),
-        )
-        for i, c in enumerate(cents)
-    ]
-    best = F.array_max(F.array(*scored))
-    return (F.lit(n - 1) - best["pri"]).alias("cid")
+    """Nearest-centroid id by max inner product (ties → lowest id).
+
+    Arrow-batched numpy (ordered cumsum dots — bit-identical to the
+    aggregate fold, so assignments match the HOF formulation and the
+    oracle exactly); ``argmax`` returns the FIRST maximum, which IS the
+    lowest-id tie-break."""
+    from pyspark.sql.types import IntegerType
+
+    cents_arr = np.array(cents, dtype=np.float64)
+
+    @F.pandas_udf(IntegerType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        dots = _centroid_dots(vecs, cents_arr)
+        return pd.Series(np.argmax(dots, axis=1).astype(np.int32))
+
+    return _assign(vec).alias("cid")
 
 
 def ivf_probe_lists(vec: Column, cents: list[list[float]], nprobe: int) -> Column:
     """Top-``nprobe`` centroid ids for a query vector (dot desc, id asc):
-    sort the (dot, priority) structs descending and slice."""
-    n = len(cents)
-    scored = [
-        F.struct(
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(v) for v in c]),
-                    lambda x, y: x.cast("double") * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("dot"),
-            F.lit(n - 1 - i).alias("pri"),
-        )
-        for i, c in enumerate(cents)
-    ]
-    top = F.slice(F.sort_array(F.array(*scored), asc=False), 1, nprobe)
-    return F.transform(top, lambda s: F.lit(n - 1) - s["pri"])
+    stable argsort on the negated exact dots — ties keep ascending id
+    order, matching the struct-sort (dot desc, priority desc) it
+    replaces."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cents_arr = np.array(cents, dtype=np.float64)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _probe(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        dots = _centroid_dots(vecs, cents_arr)
+        order = np.argsort(-dots, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return _probe(vec)
 
 
 def ivf_knn(
