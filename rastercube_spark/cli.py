@@ -99,6 +99,12 @@ def cmd_info(args) -> int:
     return 0
 
 
+def _tile_codec(name: str):
+    from rastercube_spark.sources import geotiff
+
+    return {"npy": geotiff.npy_tile_codec, "geotiff": geotiff.geotiff_tile_codec}[name]
+
+
 def cmd_create_cube(args) -> int:
     from rastercube_spark.sources.geotiff import ingest_tiles
     from rastercube_spark.sources.raster import CubeHeader, RasterCube
@@ -115,9 +121,22 @@ def cmd_create_cube(args) -> int:
         geot=tuple(float(g) for g in args.geot.split(",")),
     )
     cube = RasterCube(args.root, header)
-    ingest_tiles(_spark(), cube, args.tiles)
+    ingest_tiles(_spark(), cube, args.tiles, codec=_tile_codec(args.codec))
     print(f"created cube at {args.root} ({header.num_fracs} fracs, "
           f"{header.ndates} dates)")
+    return 0
+
+
+def cmd_reload_fraction(args) -> int:
+    """≡ reference scripts/reload_fraction_worldgrid.py:80-91 — re-source
+    one damaged fraction from the original tile files."""
+    from rastercube_spark.sources.geotiff import reload_fraction
+
+    cube = _open_cube(args.root)
+    reload_fraction(
+        _spark(), cube, args.frac, args.tiles, codec=_tile_codec(args.codec)
+    )
+    print(f"reloaded fraction {args.frac} of {args.root}")
     return 0
 
 
@@ -247,7 +266,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="6 comma-sep affine terms; use --geot=-500,... for values "
         "starting with '-' (argparse quirk)",
     )
+    cc.add_argument("--codec", choices=["npy", "geotiff"], default="npy")
     cc.set_defaults(fn=cmd_create_cube)
+
+    rf = sub.add_parser("reload-fraction")
+    rf.add_argument("--root", required=True)
+    rf.add_argument("--frac", type=int, required=True)
+    rf.add_argument("--tiles", required=True, help="glob of source tile files")
+    rf.add_argument("--codec", choices=["npy", "geotiff"], default="npy")
+    rf.set_defaults(fn=cmd_reload_fraction)
 
     ac = sub.add_parser("append-cube")
     ac.add_argument("--root", required=True)

@@ -59,3 +59,35 @@ def test_cli_queries_and_errors(spark, capsys, sf_dir):
     with pytest.raises(SystemExit) as e:
         main(["info", "/nonexistent"])
     assert e.value.code == 2
+
+
+def test_cli_reload_fraction(spark, tiles, capsys):
+    """create-cube → corrupt one fraction → reload-fraction restores it
+    (reference reload_fraction_worldgrid.py as a CLI verb)."""
+    from pyspark.sql import functions as F
+
+    from rastercube_spark.sources.raster import RasterCube
+
+    w, full, _extra = tiles
+    assert main([
+        "create-cube", "--root", f"{w}/cube2", "--tiles", f"{w}/tile_*.npy",
+        "--width", "40", "--height", "40", "--frac-ndates", "2",
+        "--nodata=-3000", "--timestamps", "0,100,200",
+    ]) == 0
+    cube = RasterCube.open(f"{w}/cube2")
+    bad = cube.df(spark).where("frac_num = 0").withColumn(
+        "value", F.lit(77).cast("smallint")
+    )
+    (
+        bad.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("frac_num", "time_chunk")
+        .parquet(cube.data_path)
+    )
+    assert main([
+        "reload-fraction", "--root", f"{w}/cube2", "--frac", "0",
+        "--tiles", f"{w}/tile_*.npy",
+    ]) == 0
+    assert "reloaded fraction 0" in capsys.readouterr().out
+    got = cube.load_slice_array(spark, (0, 0), (40, 40))
+    np.testing.assert_array_equal(got, full)
