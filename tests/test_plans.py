@@ -63,3 +63,44 @@ def test_theta_join_is_broadcast_nested_loop(spark, sf_dir):
 def test_no_cartesian_product(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_lsh_knn_is_bucketed_equi_join(spark, sf_dir):
+    """The ANN candidate join must be a broadcast HASH join on
+    (tbl, bucket) — never an all-pairs product — and the probe fan-out
+    happens on the (small) query side only."""
+    plan = _plan(spark, sf_dir, "q97_lsh_knn")
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_ivf_knn_is_equi_join_on_cid(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "qa2_ivf_knn")
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_q98_left_side_parallelized(spark, sf_dir):
+    """The inequality self-join's task count equals the left side's
+    partition count — the repartition must survive into the plan (a
+    single-file corpus would otherwise run the O(n²) stage in 1 task)."""
+    df = _QS["q98_cosine_pairs_topk"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange RoundRobinPartitioning" in plan
+
+
+def test_cross_srs_gather_is_equi_join(spark, sf_dir, tmp_path):
+    """gather_nearest_crs: projection math stays in the plan as column
+    expressions; the source lookup is an equi-join on computed (x, y)."""
+    from pyspark.sql import functions as F
+
+    from rastercube_spark.functions.grids import glcf_to_modis_px
+    from rastercube_spark.operators.resample import gather_nearest_crs
+
+    src = spark.range(100).select(
+        (F.col("id") % 10).cast("int").alias("x"),
+        (F.col("id") / 10).cast("int").alias("y"),
+        F.col("id").cast("int").alias("value"),
+    )
+    out = gather_nearest_crs(spark, src, glcf_to_modis_px, (0, 8), (0, 8))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
