@@ -86,3 +86,110 @@ def decode_metrics(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(decode_batches, schema=DECODE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, n_frames int, frame binary"
+
+
+def sample_frames(media: DataFrame, stride: int = 2) -> DataFrame:
+    """Frame-sample stage: one input row (video payload) → one output row
+    per SAMPLED frame (indices 0, stride, 2·stride, …), each carrying its
+    byte slice of the payload.
+
+    The row fan-out happens inside the Arrow batch (mapInPandas yields
+    more rows than it consumes — the real shape of a frame sampler:
+    decode once, emit k frames, no shuffle, no driver involvement).
+    STUB frame extraction: the frame count is the md5-derived n_frames
+    and frame i is the i-th equal byte-slice of the payload; a real
+    deployment replaces the slicing with an ffmpeg/PyAV call of the same
+    signature. Deterministic, so DuckDB can mirror it byte-for-byte.
+    """
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "n_frames": [], "frame": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                _w, _h, n_frames = _stub_decode(raw)
+                size = max(1, len(raw) // n_frames)
+                for i in range(0, n_frames, stride):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["n_frames"].append(n_frames)
+                    # last frame takes the remainder, like a real splitter
+                    end = len(raw) if i == n_frames - 1 else (i + 1) * size
+                    out["frame"].append(raw[i * size : end])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(sample_batches, schema=FRAME_SCHEMA)
+
+
+FEATURE_SCHEMA = "doc_id bigint, feature array<float>"
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature-extract stage: binary payload → dense float vector
+    (``array<float>``), the column shape the similarity operators
+    (brute_force_knn / lsh_knn / ivf_knn) consume — so a media corpus
+    plugs straight into the ANN pillar.
+
+    STUB featurizer: ``dim`` floats in [0, 1) from md5(payload ‖ '|j')
+    hex slices (printable-ASCII salt so the DuckDB oracle can mirror it
+    through VARCHAR — testdata text is ASCII, so bytes ≡ chars);
+    deterministic; a real deployment swaps in a vision/audio encoder
+    emitting the same schema."""
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                vec = []
+                for j in range(0, dim, 4):
+                    h = hashlib.md5(raw + b"|" + str(j).encode()).hexdigest()
+                    vec += [
+                        int(h[k * 4 : k * 4 + 4], 16) / 65536.0
+                        for k in range(min(4, dim - j))
+                    ]
+                feats.append(vec)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+
+    import numpy as np  # noqa: F401  (pandas object->list arrays)
+
+    return media.mapInPandas(feat_batches, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, media_type string, payload binary, "
+    "width int, height int, scale double"
+)
+
+
+def resize_media(media: DataFrame, max_dim: int = 128) -> DataFrame:
+    """Resize stage: payload → downscaled payload + new dimensions, still
+    a binary column (the output of a real thumbnailer). STUB resample:
+    keeps every k-th byte where k = ceil(max(w,h)/max_dim) — output size
+    shrinks with the scale factor exactly like a real decimation, and
+    every step is deterministic."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "media_type": [], "payload": [],
+                "width": [], "height": [], "scale": [],
+            }
+            for doc_id, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                raw = bytes(payload)
+                w, h, _n = _stub_decode(raw)
+                k = max(1, -(-max(w, h) // max_dim))  # ceil div
+                rows["doc_id"].append(doc_id)
+                rows["media_type"].append(mt)
+                rows["payload"].append(raw[::k])
+                rows["width"].append(w // k)
+                rows["height"].append(h // k)
+                rows["scale"].append(1.0 / k)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(resize_batches, schema=RESIZE_SCHEMA)

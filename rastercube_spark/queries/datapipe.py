@@ -1033,3 +1033,129 @@ def qa7(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def _media_feature_sql(dim: int = 16) -> str:
+    """DuckDB mirror of operators.multimodal.extract_features: dim floats
+    from md5(payload ‖ '|j') hex slices, as a REAL list literal. DuckDB
+    1.0 has no md5(BLOB)/substr(BLOB), so the mirror runs on the VARCHAR
+    text — valid because the testdata text is pure ASCII (bytes ≡ chars);
+    the Spark side operates on the actual binary payload either way."""
+    elems = []
+    for j in range(0, dim, 4):
+        salted = f"text || '|{j}'"
+        for k in range(min(4, dim - j)):
+            elems.append(
+                "CAST(CAST(CAST(concat('0x', substr(md5("
+                f"{salted}), {k * 4 + 1}, 4)) AS INT) AS DOUBLE) / 65536.0 "
+                "AS REAL)"
+            )
+    return "[" + ", ".join(elems) + "]"
+
+
+@query(
+    "qa8_frame_sample",
+    oracle="""
+        -- mirror runs on the VARCHAR text (DuckDB 1.0 has no BLOB
+        -- substr/md5); testdata text is pure ASCII so chars == bytes
+        WITH m AS (
+            SELECT doc_id, text AS payload,
+                   octet_length(encode(text)) AS n_bytes,
+                   1 + CAST(concat('0x', substr(md5(text), 9, 4)) AS INT) % 8
+                       AS n_frames
+            FROM documents
+        ),
+        sized AS (
+            SELECT *, GREATEST(1, n_bytes // n_frames) AS fsize FROM m
+        ),
+        frames AS (
+            SELECT doc_id, n_frames, fsize, payload,
+                   unnest(range(0, n_frames, 2)) AS frame_idx
+            FROM sized
+        )
+        SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, n_frames,
+               length(CASE WHEN frame_idx = n_frames - 1
+                   THEN substr(payload, frame_idx * fsize + 1)
+                   ELSE substr(payload, frame_idx * fsize + 1, fsize)
+               END) AS frame_bytes,
+               md5(CASE WHEN frame_idx = n_frames - 1
+                   THEN substr(payload, frame_idx * fsize + 1)
+                   ELSE substr(payload, frame_idx * fsize + 1, fsize)
+               END) AS frame_md5
+        FROM frames
+        ORDER BY doc_id, frame_idx
+    """,
+)
+def qa8(spark, sf_dir):
+    """Multimodal frame sampling: video payloads → every-2nd-frame rows,
+    fanned out INSIDE the Arrow batch (mapInPandas emits more rows than
+    it consumes — no explode/shuffle, no driver). Frame extraction is the
+    deterministic byte-slice stub (operators/multimodal.py); the output
+    hashes each frame so the whole fan-out is oracle-checked."""
+    from rastercube_spark.operators.multimodal import sample_frames
+
+    d = load(spark, sf_dir, "documents")
+    media = attach_payload(d)
+    return (
+        sample_frames(media, stride=2)
+        .select(
+            "doc_id",
+            "frame_idx",
+            "n_frames",
+            F.length("frame").alias("frame_bytes"),
+            F.md5("frame").alias("frame_md5"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+@query(
+    "qa9_media_knn",
+    oracle=f"""
+        WITH f AS (
+            SELECT doc_id, {_media_feature_sql(16)} AS feature
+            FROM documents
+        ),
+        q AS (
+            SELECT doc_id AS q_id, CAST(feature AS DOUBLE[]) AS qv
+            FROM f WHERE doc_id < 5
+        ),
+        c AS (
+            SELECT doc_id, CAST(feature AS DOUBLE[]) AS cv FROM f
+        ),
+        scored AS (
+            SELECT q_id, doc_id,
+                   ROUND(list_dot_product(qv, cv) /
+                         (sqrt(list_dot_product(qv, qv)) *
+                          sqrt(list_dot_product(cv, cv))), 6) AS cosine
+            FROM c CROSS JOIN q WHERE q_id <> doc_id
+        ),
+        ranked AS (
+            SELECT q_id, doc_id, cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY cosine DESC, doc_id
+                   ) AS rank
+            FROM scored
+        )
+        SELECT q_id, doc_id, cosine, rank
+        FROM ranked WHERE rank <= 5
+        ORDER BY q_id, rank
+    """,
+)
+def qa9(spark, sf_dir):
+    """Multimodal → ANN composition: binary payloads → feature vectors
+    (Arrow-batched stub featurizer emitting the array<float> shape a real
+    vision/audio encoder would) → exact top-5 cosine neighbors via the
+    similarity operators. Proves the media pipeline's output plugs
+    straight into the search pillar, end-to-end oracle-checked."""
+    from rastercube_spark.operators.multimodal import extract_features
+    from rastercube_spark.operators.similarity import brute_force_knn
+
+    d = load(spark, sf_dir, "documents")
+    feats = extract_features(attach_payload(d), dim=16)
+    qs = feats.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("q_id"), F.col("feature").alias("q_vec")
+    )
+    return brute_force_knn(
+        qs, feats, k=5, c_id="doc_id", c_vec="feature"
+    ).orderBy("q_id", "rank")

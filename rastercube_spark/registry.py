@@ -64,10 +64,13 @@ ATTEST_FIRST: tuple[str, ...] = (
     "qa3_dup_clusters",
     "qa4_dedup_keep",
     "qa6_sequence_packing",
+    "qa8_frame_sample",
+    "qa9_media_knn",
     # stalest standing attestation (round 2)
+    # (q2a/q2b dropped from the window: declared no-oracle sketches — the
+    # driver records only a rows-only check for them, so their slots go
+    # to fully-oracled queries; their tolerance tests pin them instead)
     "q27_argmax_gather",
-    "q2a_approx_count_distinct",
-    "q2b_approx_quantiles",
     "q28_zonal_percentile",
     "q30_ranking",
     "q31_lag_lead_gapfill",
