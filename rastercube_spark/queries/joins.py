@@ -172,6 +172,44 @@ def q16(spark, sf_dir):
     ).agg(F.count("*").alias("n"))
 
 
+_BANDS = [(i, 800.0 * i, 800.0 * i + 1200.0) for i in range(0, 700)]
+_BAND_VALUES = ", ".join(f"({i}, {lo!r}, {hi!r})" for i, lo, hi in _BANDS)
+
+
+@query(
+    "q19_range_join",
+    oracle=f"""
+        WITH bands(band_id, lo, hi) AS (VALUES {_BAND_VALUES})
+        SELECT band_id, count(*) AS n_orders,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders
+        JOIN bands ON o_totalprice BETWEEN lo AND hi
+        GROUP BY band_id
+        ORDER BY band_id
+    """,
+)
+def q19(spark, sf_dir):
+    """Interval (range) join via the bucketed operator: overlapping price
+    bands against orders WITHOUT a nested loop — intervals explode to the
+    buckets they overlap, the join is a broadcast HASH equi-join on the
+    bucket id, and the exact BETWEEN re-check runs post-join. Contrast
+    with q16 (theta join = broadcast nested loop, the shape this operator
+    replaces at scale). See operators/rangejoin.py."""
+    from rastercube_spark.operators.rangejoin import range_join
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bands = spark.createDataFrame(_BANDS, "band_id int, lo double, hi double")
+    return (
+        range_join(o, bands, "o_totalprice", "lo", "hi", bucket_width=400.0)
+        .groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .orderBy("band_id")
+    )
+
+
 @query(
     "q17_asof_join",
     oracle="""

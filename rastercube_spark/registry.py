@@ -66,6 +66,7 @@ ATTEST_FIRST: tuple[str, ...] = (
     "qa6_sequence_packing",
     "qa8_frame_sample",
     "qa9_media_knn",
+    "q19_range_join",
     # stalest standing attestation (round 2)
     # (q2a/q2b dropped from the window: declared no-oracle sketches — the
     # driver records only a rows-only check for them, so their slots go
@@ -78,7 +79,7 @@ ATTEST_FIRST: tuple[str, ...] = (
     "q33_running_total",
     "q40_global_topk",
     "q41_per_group_topk",
-    "q50_union_all",
+    # q50_union_all rotated out (frozen since r02) for q19_range_join
     "q51_union_distinct",
     "q52_intersect",
     "q53_except",

@@ -104,3 +104,39 @@ def test_cross_srs_gather_is_equi_join(spark, sf_dir, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_range_join_is_bucketed_hash_join(spark, sf_dir):
+    """The interval join must compile to a broadcast HASH equi-join on
+    the bucket id — not the nested loop a raw BETWEEN predicate plans
+    (q16 shows that shape)."""
+    plan = _plan(spark, sf_dir, "q19_range_join")
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_range_join_matches_naive(spark, sf_dir):
+    """Operator property: bucketed result ≡ the naive BETWEEN join,
+    including intervals shorter/longer than the bucket width and points
+    on interval endpoints (inclusive both ends)."""
+    from pyspark.sql import functions as F
+
+    from rastercube_spark.operators.rangejoin import range_join
+
+    pts = spark.range(0, 500).select((F.col("id") * 0.7).alias("p"), "id")
+    iv = spark.createDataFrame(
+        [(0, 0.0, 0.7), (1, 10.0, 250.0), (2, 340.9, 341.0), (3, 349.3, 349.3)],
+        "iv_id int, lo double, hi double",
+    )
+    got = (
+        range_join(pts, iv, "p", "lo", "hi", bucket_width=5.0)
+        .select("id", "iv_id")
+        .collect()
+    )
+    naive = (
+        pts.join(iv, F.col("p").between(F.col("lo"), F.col("hi")))
+        .select("id", "iv_id")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, naive))
+    assert len(naive) > 300  # the fixture actually exercises overlaps
