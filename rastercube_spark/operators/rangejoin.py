@@ -37,7 +37,6 @@ def range_join(
     lo_col: str,
     hi_col: str,
     bucket_width: float,
-    how: str = "inner",
     broadcast_intervals: bool = True,
 ) -> DataFrame:
     """Join each point row to every interval row with
@@ -47,7 +46,12 @@ def range_join(
     rows per interval) against bucket selectivity; pick it near the
     median interval length. ``broadcast_intervals`` marks the exploded
     interval side for broadcast (the common shape: big fact, small dim
-    of bands/windows)."""
+    of bands/windows).
+
+    Inner join only: an outer variant cannot simply post-filter the
+    BETWEEN predicate (unmatched rows would be dropped with it) — it
+    needs an anti-join complement, which callers can compose themselves.
+    """
     w = float(bucket_width)
     pb = points.withColumn("__bucket", F.floor(F.col(point_col) / F.lit(w)))
     ib = intervals.withColumn(
@@ -61,7 +65,7 @@ def range_join(
     )
     if broadcast_intervals:
         ib = F.broadcast(ib)
-    joined = pb.join(ib, "__bucket", how).where(
+    joined = pb.join(ib, "__bucket").where(
         F.col(point_col).between(F.col(lo_col), F.col(hi_col))
     )
     return joined.drop("__bucket")
