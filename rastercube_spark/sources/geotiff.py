@@ -145,6 +145,12 @@ def reload_fraction(
     rows = _decode_long(spark, cube, path_glob, codec).where(
         F.col("frac_num") == frac_num
     )
+    if rows.isEmpty():
+        # a typo'd frac_num or wrong glob would otherwise "succeed" as a
+        # silent no-op under dynamic overwrite
+        raise ValueError(
+            f"no tile rows under {path_glob!r} cover fraction {frac_num}"
+        )
     (
         rows.repartition("frac_num", "time_chunk")
         .sortWithinPartitions("frac_num", "time_chunk", "y", "x", "t")

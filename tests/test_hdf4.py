@@ -71,3 +71,53 @@ def test_modis_hdf_ingest(spark, tmp_path):
     ingest_tiles(spark, cube, f"{hdf_dir}/*.hdf", codec=codec)
     got = cube.load_slice_array(spark, (x0, y0), (x0 + 40, y0 + 40))
     np.testing.assert_array_equal(got, np.dstack(arrs))
+
+
+def test_hdf4_roundtrip_property(tmp_path):
+    """Hypothesis sweep: shapes × dtypes × compression round-trip."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        dt=st.sampled_from(["int16", "uint16", "uint8", "int32", "float32"]),
+        compress=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, dt, compress, seed):
+        rng = np.random.RandomState(seed)
+        if dt.startswith("float"):
+            arr = rng.rand(h, w).astype(dt)
+        else:
+            info = np.iinfo(dt)
+            arr = rng.randint(
+                info.min, int(info.max) + 1, size=(h, w)
+            ).astype(dt)
+        p = str(tmp_path / "prop.hdf")
+        write_hdf4_sds(p, {"d": arr}, compress=compress)
+        with open(p, "rb") as f:
+            got = read_hdf4_sds(f.read())["d"]
+        np.testing.assert_array_equal(got, arr)
+        assert got.dtype == arr.dtype
+
+    check()
+
+
+def test_reload_fraction_bad_frac_raises(spark, tmp_path):
+    """reload_fraction must not silently no-op when nothing covers the
+    requested fraction."""
+    import pytest
+
+    from rastercube_spark.functions.grids import modis_cube_header
+    from rastercube_spark.sources.geotiff import reload_fraction
+    from rastercube_spark.sources.raster import RasterCube
+
+    tile_dir = tmp_path / "t"
+    tile_dir.mkdir()
+    np.save(tile_dir / "tile_0_0_t0.npy", np.zeros((4, 4), dtype=np.int16))
+    hdr = modis_cube_header([0], dtype="int16", frac_ndates=1)
+    cube = RasterCube(str(tmp_path / "c"), hdr)
+    with pytest.raises(ValueError, match="cover fraction"):
+        reload_fraction(spark, cube, 99999, f"{tile_dir}/*.npy")
