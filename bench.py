@@ -41,6 +41,15 @@ HEADLINE = [
     "q96_knn_bruteforce",
     "q97_lsh_knn",
     "q99_winnow_fingerprint",
+    # round 4 additions: bucketed range join, all-pairs cosine, IVF kNN,
+    # multimodal frame fan-out + media-features kNN (headline_total is
+    # therefore not directly comparable to rounds <= 3, which ran 22
+    # queries; per-query timings are)
+    "q19_range_join",
+    "q98_cosine_pairs_topk",
+    "qa2_ivf_knn",
+    "qa8_frame_sample",
+    "qa9_media_knn",
 ]
 
 
