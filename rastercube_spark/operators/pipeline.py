@@ -34,6 +34,10 @@ def clean_corpus(
 
     Keep rules: first copy of each exact fingerprint, keeper (min id) of
     each near-dup cluster, quality score ≥ ``min_quality``.
+
+    The returned DataFrame is backed by a persisted intermediate (so the
+    caller's write doesn't re-run the LSH clustering);
+    ``cleaned.unpersist()`` after consuming it.
     """
     n_input = docs.count()
 
@@ -47,9 +51,12 @@ def clean_corpus(
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
+    # each stage is counted AND consumed by the next stage — persist so
+    # the per-stage report doesn't re-run the whole upstream lineage
+    # (without this, stage-3's count re-executes the LSH clustering)
     exact_kept = docs.join(
         keeper_w, docs[id_col] == keeper_w["doc_id"], "left_semi"
-    )
+    ).persist()
     n_exact = exact_kept.count()
 
     # 2. near-dup clusters over the survivors; drop non-keepers
@@ -58,8 +65,9 @@ def clean_corpus(
     drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     near_kept = exact_kept.join(
         drop, exact_kept[id_col] == drop["doc_id"], "left_anti"
-    )
+    ).persist()
     n_near = near_kept.count()
+    exact_kept.unpersist()
 
     # 3. quality gate
     cleaned = near_kept.where(quality_score(F.col(text_col)) >= min_quality)
