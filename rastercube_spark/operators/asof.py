@@ -63,7 +63,12 @@ def asof_join(
     )
     w = (
         Window.partitionBy("__k")
-        .orderBy("__t", "__side")
+        # value columns complete the tiebreak: without them, multiple
+        # right rows at the same (key, time) have no total order and the
+        # carried value is nondeterministic across runs/retries (latent —
+        # only bites on duplicate timestamps). Deterministic rule: the
+        # greatest (time, values) tuple wins.
+        .orderBy("__t", "__side", "__rt", *[f"__v_{c}" for c in value_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l.unionByName(r).select(
