@@ -127,6 +127,43 @@ def cmd_create_cube(args) -> int:
     return 0
 
 
+def cmd_collect_dates(args) -> int:
+    """≡ reference scripts/ndvi_collect_dates.py: scan a MODIS HDF tree,
+    print the available dates for one tile (one ISO date per line,
+    sorted), optionally writing them to a file — used to synchronize
+    dates between worldgrids."""
+    import datetime as dt
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from rastercube_spark.sources.catalog import list_files_df, parse_modis_paths
+
+    parsed = parse_modis_paths(list_files_df(_spark(), args.src))
+    m = _re.fullmatch(r"h(\d{2})v(\d{2})", args.tile)
+    if not m:
+        print(f"bad tile name: {args.tile} (expected hXXvYY)", file=sys.stderr)
+        return 2
+    sel = parsed.where(
+        (F.col("tile_h") == int(m.group(1))) & (F.col("tile_v") == int(m.group(2)))
+    )
+    if args.satellite:
+        product = {"terra": "MOD13Q1", "aqua": "MYD13Q1"}[args.satellite]
+        sel = sel.where(F.col("product") == product)
+    ts = [r["ts_ms"] for r in sel.select("ts_ms").distinct().orderBy("ts_ms").collect()]
+    dates = [
+        dt.datetime.fromtimestamp(t / 1000, tz=dt.timezone.utc).strftime("%Y-%m-%d")
+        for t in ts
+    ]
+    for d in dates:
+        print(d)
+    print(f"{len(dates)} dates", file=sys.stderr)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write("\n".join(dates) + ("\n" if dates else ""))
+    return 0 if dates else 1
+
+
 def cmd_reload_fraction(args) -> int:
     """≡ reference scripts/reload_fraction_worldgrid.py:80-91 — re-source
     one damaged fraction from the original tile files."""
@@ -268,6 +305,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     cc.add_argument("--codec", choices=["npy", "geotiff"], default="npy")
     cc.set_defaults(fn=cmd_create_cube)
+
+    cd = sub.add_parser("collect-dates")
+    cd.add_argument("--src", required=True, help="HDF directory or glob")
+    cd.add_argument("--tile", required=True, help="tile name, e.g. h10v09")
+    cd.add_argument("--satellite", choices=["terra", "aqua"], default=None)
+    cd.add_argument("--out", default=None, help="optional output file")
+    cd.set_defaults(fn=cmd_collect_dates)
 
     rf = sub.add_parser("reload-fraction")
     rf.add_argument("--root", required=True)

@@ -91,3 +91,26 @@ def test_cli_reload_fraction(spark, tiles, capsys):
     assert "reloaded fraction 0" in capsys.readouterr().out
     got = cube.load_slice_array(spark, (0, 0), (40, 40))
     np.testing.assert_array_equal(got, full)
+
+
+def test_cli_collect_dates(spark, tmp_path, capsys):
+    """collect-dates mirrors ndvi_collect_dates.py: sorted ISO dates for
+    one tile, written to a file."""
+    names = [
+        "MOD13Q1.A2016033.h10v09.005.2016050000000.hdf",
+        "MOD13Q1.A2016017.h10v09.005.2016034145345.hdf",
+        "MOD13Q1.A2016017.h11v09.005.2016034145345.hdf",  # other tile
+        "MYD13Q1.A2016049.h10v09.005.2016066000000.hdf",  # aqua
+    ]
+    for n in names:
+        (tmp_path / n).write_bytes(b"x")
+    out = tmp_path / "dates.csv"
+    assert main([
+        "collect-dates", "--src", str(tmp_path), "--tile", "h10v09",
+        "--satellite", "terra", "--out", str(out),
+    ]) == 0
+    assert out.read_text().splitlines() == ["2016-01-17", "2016-02-02"]
+    assert main([
+        "collect-dates", "--src", str(tmp_path), "--tile", "h10v09",
+    ]) == 0
+    assert "2016-02-18" in capsys.readouterr().out  # aqua date included
