@@ -47,9 +47,17 @@ from rastercube_spark.operators.text import (
     token_count,
 )
 from rastercube_spark.registry import query
-from rastercube_spark.sources.tables import load
+from rastercube_spark.sources.tables import load, rebalance_scan
 
 EMB_DIM = 64  # driver's embeddings table (TESTDATA.md)
+
+
+def _docs(spark, sf_dir):
+    """documents scan, rebalanced: every consumer here runs explode/hash/
+    Arrow stages far heavier than the 0-shuffle scan, so an
+    under-partitioned single-file input would serialize them."""
+    return rebalance_scan(load(spark, sf_dir, "documents"))
+
 
 
 # --- shared DuckDB fragments -------------------------------------------
@@ -162,7 +170,7 @@ def q90(spark, sf_dir):
     """Per-document text metrics: whitespace + BPE-ish token counts,
     punctuation ratio, composite quality score, stopword-marker language
     ID. All pure column expressions — whole-stage codegen, no shuffle."""
-    d = load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     t = F.col("text")
     return d.select(
         "doc_id",
@@ -190,7 +198,7 @@ def q91(spark, sf_dir):
     """Exact dedup by content fingerprint (md5 of normalized text): one
     shuffle on a fixed-width key — the only topology that survives 100 TB
     (no text ever crosses the wire, just 16-byte hashes)."""
-    d = load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return exact_dedup(d, "doc_id", "text").orderBy("fingerprint")
 
 
@@ -209,7 +217,7 @@ def q92(spark, sf_dir):
     pairs ≪ all pairs; no full-text comparison anywhere. Shuffles:
     (doc, shingle) distinct, signature groupBy, band groupBy, bucket join.
     """
-    d = load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     # minhash is duplicate-insensitive → skip the distinct shuffle
     sh = shingles_df(d, "doc_id", "text", k=3, distinct=False)
     sig = minhash_signatures(sh)
@@ -241,7 +249,7 @@ def q93(spark, sf_dir):
     """Exact-Jaccard verification of the LSH candidate pairs (the standard
     minhash-dedup second stage). The candidate set drives the join — only
     candidate documents' shingles ever meet."""
-    d = load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     sh = shingles_df(d, "doc_id", "text", k=3)  # distinct: jaccard needs sets
     pairs = lsh_candidate_pairs(
         minhash_signatures(shingles_df(d, "doc_id", "text", k=3, distinct=False))
@@ -286,7 +294,7 @@ def q94(spark, sf_dir):
     join, with hot-shingle pruning (df > 50 dropped) — the standard
     positional-filtering trick that keeps the co-occurrence join from
     degenerating on stop-bigrams at scale."""
-    d = load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     sh = shingles_df(d, "doc_id", "text", k=2)
     rare = (
         sh.groupBy("shingle")
@@ -331,7 +339,7 @@ def q95(spark, sf_dir):
     """32-bit SimHash per document (token-hash bit voting). Two shuffles
     (per-bit vote, per-doc pack); near-dups share fingerprints, so the
     downstream dedup is a groupBy on the fingerprint."""
-    d = load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return simhash_df(d, "doc_id", "text").orderBy("doc_id")
 
 
@@ -559,7 +567,7 @@ def q99(spark, sf_dir):
     """Rolling-hash document fingerprinting (winnowing-style): hash every
     16-char window, keep the minimum as the fingerprint plus window/distinct
     counts. Explode + hash aggregate — fully map-side-combinable."""
-    d = load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     n = F.length("text")
     idx = F.when(n >= 16, F.sequence(F.lit(1), n - 15)).otherwise(
         F.array().cast("array<int>")
@@ -613,7 +621,7 @@ def qa0(spark, sf_dir):
     md5-derived stub (no media libs in this container) so the whole
     pipeline — schema, batching, byte handling — is oracle-checked; see
     operators/multimodal.py."""
-    d = load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     media = attach_payload(d)
     return decode_metrics(media).orderBy("doc_id")
 
@@ -657,7 +665,7 @@ def qa1(spark, sf_dir):
     frequencies and document frequencies are both map-side-combinable
     aggregates; the score join broadcasts nothing wider than the df table
     (bounded by vocabulary, not corpus); top-k is a per-doc window."""
-    d = load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     tok = d.select(
         "doc_id",
         F.explode(F.split(F.lower("text"), r"\s+")).alias("term"),
@@ -793,7 +801,7 @@ def qa3(spark, sf_dir):
     at oracle scale; the Spark loop is the form that scales)."""
     from rastercube_spark.operators.graph import min_label_clusters
 
-    d = load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     sh = shingles_df(d, "doc_id", "text", k=3, distinct=False)
     pairs = lsh_candidate_pairs(minhash_signatures(sh))
     return min_label_clusters(pairs).orderBy("doc_id")
@@ -831,7 +839,7 @@ def qa4(spark, sf_dir):
     One anti-join against the (tiny) non-keeper set."""
     from rastercube_spark.operators.graph import min_label_clusters
 
-    d = load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     sh = shingles_df(d, "doc_id", "text", k=3, distinct=False)
     pairs = lsh_candidate_pairs(minhash_signatures(sh))
     clusters = min_label_clusters(pairs)
@@ -884,7 +892,7 @@ def qa5(spark, sf_dir):
     aggregation levels over exploded tokens/bigrams — the per-doc
     repetition profile of a 100 TB corpus costs two shuffles keyed by
     (doc, gram) and (doc)."""
-    d = load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     tok = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("t")
     )
@@ -950,7 +958,7 @@ def qa6(spark, sf_dir):
     from rastercube_spark.operators.prefix import running_sum_exclusive
     from rastercube_spark.operators.text import token_count
 
-    d = load(spark, sf_dir, "documents").select(
+    d = _docs(spark, sf_dir).select(
         "doc_id", token_count(F.col("text")).alias("n_tokens")
     )
     scanned = running_sum_exclusive(d, "doc_id", "n_tokens")
@@ -1002,7 +1010,7 @@ def qa7(spark, sf_dir):
     doc_id % 7 == 0 inside the query (identically in both engines) —
     the detection/redaction machinery is what's under test. At scale
     this is a zero-shuffle map pass."""
-    d = load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     aug = F.when(
         F.col("doc_id") % 7 == 0,
         F.concat(
@@ -1094,7 +1102,7 @@ def qa8(spark, sf_dir):
     hashes each frame so the whole fan-out is oracle-checked."""
     from rastercube_spark.operators.multimodal import sample_frames
 
-    d = load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     media = attach_payload(d)
     return (
         sample_frames(media, stride=2)
@@ -1151,7 +1159,7 @@ def qa9(spark, sf_dir):
     from rastercube_spark.operators.multimodal import extract_features
     from rastercube_spark.operators.similarity import brute_force_knn
 
-    d = load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     feats = extract_features(attach_payload(d), dim=16)
     qs = feats.where(F.col("doc_id") < 5).select(
         F.col("doc_id").alias("q_id"), F.col("feature").alias("q_vec")

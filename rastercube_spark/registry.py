@@ -67,23 +67,25 @@ ATTEST_FIRST: tuple[str, ...] = (
     "qa8_frame_sample",
     "qa9_media_knn",
     "q19_range_join",
+    # rebalance_scan loader change touches every datapipe query; the ones
+    # not already above rotate in here (outputs unchanged — goldens pinned)
+    "q90_text_metrics",
+    "q91_exact_dedup",
+    "q92_minhash_lsh_pairs",
+    "q93_lsh_jaccard",
+    "q94_ngram_jaccard_topk",
+    "q99_winnow_fingerprint",
+    "qa0_multimodal_decode",
+    "qa1_tfidf_topterms",
+    "qa5_repetition_filters",
+    "qa7_pii_redaction",
     # stalest standing attestation (round 2)
     # (q2a/q2b dropped from the window: declared no-oracle sketches — the
     # driver records only a rows-only check for them, so their slots go
     # to fully-oracled queries; their tolerance tests pin them instead)
     "q27_argmax_gather",
     "q28_zonal_percentile",
-    "q30_ranking",
-    "q31_lag_lead_gapfill",
-    "q32_moving_average",
-    "q33_running_total",
-    "q40_global_topk",
-    "q41_per_group_topk",
     # q50_union_all rotated out (frozen since r02) for q19_range_join
-    "q51_union_distinct",
-    "q52_intersect",
-    "q53_except",
-    "q60_string_funcs",
     "q61_date_funcs",
     "q62_math_funcs",
     "q65_affine_transform",

@@ -53,3 +53,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def fixture_path(name: str) -> str:
     return f"{FIXTURES_DIR}/{name}.parquet"
+
+
+def rebalance_scan(df: DataFrame) -> DataFrame:
+    """Repartition an under-partitioned scan to the cluster's default
+    parallelism — for compute-heavy consumers (explode/hash/UDF stages).
+
+    A single parquet row-group gives the scan ONE partition, which
+    serializes every pre-shuffle stage in the consumer regardless of
+    cluster size (observed: the winnowing fingerprint ran its whole
+    10M-row explode+hash in one task). The repartition only fires when
+    the scan has at most half the default parallelism — a no-op on
+    production inputs (many files / row-groups), a ~cores× parallelism
+    fix on single-file inputs; AQE cannot help here because the
+    bottleneck precedes the first exchange."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
