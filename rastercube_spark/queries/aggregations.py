@@ -314,30 +314,95 @@ def q29(spark, sf_dir):
     )
 
 
-@query("q2a_approx_count_distinct")  # rows-only: sketches aren't cross-engine stable
+@query(
+    "q2a_approx_count_distinct",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_orderkey) AS n_exact,
+               (abs(approx_count_distinct(l_orderkey)
+                    - COUNT(DISTINCT l_orderkey))
+                <= 0.05 * COUNT(DISTINCT l_orderkey)) AS approx_ok
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
 def q2a(spark, sf_dir):
     """HyperLogLog++ distinct-count sketch — the 100 TB replacement for
-    exact count-distinct (mergeable, fixed memory per group). No DuckDB
-    oracle (sketch estimates are engine-specific); tests/test_approx.py
-    bounds it against the exact count instead."""
-    li = load(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"))
-        .orderBy("l_returnflag")
-    )
+    exact count-distinct (mergeable, fixed memory per group).
 
-
-@query("q2b_approx_quantiles")  # rows-only: same reason
-def q2b(spark, sf_dir):
-    """Quantile sketch (percentile_approx) — mergeable alternative to
-    q28's exact percentiles; bounded-memory per group at any scale."""
+    Sketch ESTIMATES are engine-specific, so the raw estimate can never
+    hash-match a DuckDB oracle. What IS cross-engine checkable — and is
+    the actual correctness claim (SURVEY §2.9: approx ops at 5%
+    tolerance) — is the tolerance bound itself: each engine computes its
+    own sketch AND its own exact count, and emits whether the sketch
+    landed within 5%. The exact count anchors the value hash; the
+    boolean attests the sketch. tests/test_approx.py additionally bounds
+    the raw estimates."""
     li = load(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_price"),
-            F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_price"),
+            F.countDistinct("l_orderkey").alias("n_exact"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_a"),
+        )
+        .select(
+            "l_returnflag",
+            "n_exact",
+            (
+                F.abs(F.col("_a") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("approx_ok"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q2b_approx_quantiles",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               (abs(approx_quantile(l_extendedprice, 0.5)
+                    - quantile_cont(l_extendedprice, 0.5))
+                <= 0.05 * quantile_cont(l_extendedprice, 0.5)) AS median_ok,
+               (abs(approx_quantile(l_extendedprice, 0.99)
+                    - quantile_cont(l_extendedprice, 0.99))
+                <= 0.05 * quantile_cont(l_extendedprice, 0.99)) AS p99_ok
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def q2b(spark, sf_dir):
+    """Quantile sketch (percentile_approx) — mergeable alternative to
+    q28's exact percentiles; bounded-memory per group at any scale.
+
+    Same oracle shape as q2a: sketch estimates are engine-specific
+    (Spark KLL-style vs DuckDB t-digest), so each engine checks its own
+    sketch against its own exact quantile and emits the 5%-bound verdict
+    plus an exact bigint anchor. The booleans hash identically when both
+    sketches honor the declared tolerance; the raw estimates stay
+    bounded in tests/test_approx.py."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_m"),
+            F.percentile_approx("l_extendedprice", 0.99, 10000).alias("_p"),
+            F.percentile("l_extendedprice", 0.5).alias("_me"),
+            F.percentile("l_extendedprice", 0.99).alias("_pe"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            (F.abs(F.col("_m") - F.col("_me")) <= 0.05 * F.col("_me")).alias(
+                "median_ok"
+            ),
+            (F.abs(F.col("_p") - F.col("_pe")) <= 0.05 * F.col("_pe")).alias(
+                "p99_ok"
+            ),
         )
         .orderBy("l_returnflag")
     )

@@ -297,9 +297,8 @@ _DST_GT_UP = (0.0, 0.5, 0.0, 0.0, 0.0, -0.5)
         )
         SELECT l.dst_x, l.dst_y,
                max(CASE WHEN r.rn = 1 THEN r.v END) AS mode_v,
-               CAST(SUM(CAST(l.v AS BIGINT) * l.cnt) AS DOUBLE)
-                   / CAST(SUM(l.cnt) AS DOUBLE) AS avg_v,
-               SUM(l.cnt) AS n_src
+               CAST(SUM(CAST(l.v AS BIGINT) * l.cnt) AS BIGINT) AS sum_v,
+               CAST(SUM(l.cnt) AS BIGINT) AS n_src
         FROM l1 l
         JOIN ranked r ON r.dst_x = l.dst_x AND r.dst_y = l.dst_y
                      AND r.v = l.v AND r.cnt = l.cnt
@@ -313,7 +312,9 @@ def qr07(spark, sf_dir):
     resampling come out of one two-level groupBy (reference
     jgrid/utils.py:164-280 slice_and_reproject_to_grid with
     interpolation='average'/'mode'). No GDAL, no UDF: the warp is codegen'd
-    column math and one shuffle on target pixels."""
+    column math and one shuffle on target pixels. Emits exact integers
+    (mode_v, sum_v, n_src) — the average is sum_v/n_src, computed by the
+    consumer, never shipped as a raw double (driver-red r03+r04)."""
     from rastercube_spark.operators.resample import resample_downsample
 
     px = (

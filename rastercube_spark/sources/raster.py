@@ -356,12 +356,17 @@ class RasterCube:
                 .parquet(self.data_path)
             )
         for frac, chunk in sorted(bad_parts - surv_parts):
-            shutil.rmtree(
-                os.path.join(
-                    self.data_path, f"frac_num={frac}", f"time_chunk={chunk}"
-                ),
-                ignore_errors=True,
+            # local-filesystem path assumed (asserted in __init__ via the
+            # os.path handling throughout); a silent rmtree failure would
+            # report the chunk "fixed" while its directory survives —
+            # exactly the false idempotence this method exists to remove —
+            # so failures propagate and survival is an error.
+            d = os.path.join(
+                self.data_path, f"frac_num={frac}", f"time_chunk={chunk}"
             )
+            shutil.rmtree(d)
+            if os.path.isdir(d):
+                raise OSError(f"repair_truncate: {d} survived removal")
         return len(bad_chunks)
 
     # --- read ----------------------------------------------------------

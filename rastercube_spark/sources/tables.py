@@ -40,14 +40,24 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name in FIXTURE_TABLES:
         return spark.read.parquet(f"{FIXTURES_DIR}/{name}.parquet")
     if name == "events":
-        # The driver's events.parquet stores ts as parquet TIMESTAMP(NANOS),
-        # which Spark 4 rejects outright. Read it as raw int64 nanos and
-        # truncate to microseconds — the same truncation DuckDB applies when
-        # casting TIMESTAMP_NS to its microsecond TIMESTAMP, so both engines
-        # see identical values.
+        # The driver's events.parquet stores ts as parquet TIMESTAMP(NANOS).
+        # Spark version behavior differs:
+        #   - Spark 4.0 rejects NANOS outright unless
+        #     spark.sql.legacy.parquet.nanosAsLong=true, in which case ts
+        #     reads as raw int64 nanos → truncate to µs ourselves;
+        #   - Spark 4.1+ ignores that legacy conf and reads NANOS natively
+        #     as TIMESTAMP_NTZ, already truncated to µs.
+        # Both paths end at a µs TimestampType, matching DuckDB's
+        # TIMESTAMP_NS → TIMESTAMP truncation, so the two engines see
+        # identical values on either Spark version.
+        from pyspark.sql.types import LongType
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # session tz is UTC, so NTZ → TIMESTAMP keeps the wall-clock value
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -63,12 +73,24 @@ def rebalance_scan(df: DataFrame) -> DataFrame:
     serializes every pre-shuffle stage in the consumer regardless of
     cluster size (observed: the winnowing fingerprint ran its whole
     10M-row explode+hash in one task). The repartition only fires when
-    the scan has at most half the default parallelism — a no-op on
-    production inputs (many files / row-groups), a ~cores× parallelism
-    fix on single-file inputs; AQE cannot help here because the
-    bottleneck precedes the first exchange."""
+    the scan reads at most half the default parallelism in FILES — a
+    no-op on production inputs (many files), a ~cores× parallelism fix
+    on single-file inputs; AQE cannot help here because the bottleneck
+    precedes the first exchange.
+
+    The under-partitioned signal is ``len(df.inputFiles())``, NOT
+    ``df.rdd.getNumPartitions()``: the ``.rdd`` conversion forces full
+    plan analysis plus eager file-partition planning on the driver at
+    every query build — harmless at sf0.1, measurable on a
+    many-thousand-file production scan (ADVICE r04). Few files ⇒ few
+    partitions unless a file exceeds maxPartitionBytes (row-group
+    splitting only raises parallelism, making the fire-condition safely
+    conservative); the quiet case — many tiny files packed into few
+    partitions — is the production shape where rebalance was a
+    deliberate no-op anyway."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 <= target:
+    nfiles = len(df.inputFiles())
+    if nfiles and nfiles * 2 <= target:
         return df.repartition(target)
     return df

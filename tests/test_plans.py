@@ -78,6 +78,16 @@ def test_ivf_knn_is_equi_join_on_cid(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
 
 
+def test_lsh_pairs_no_nested_loop(spark, sf_dir):
+    """qb0 is the registered scale path for q98: its candidate join must
+    be an equi-join on (tbl, bucket) and its rescore joins equi-joins on
+    pair ids — NO nested-loop/cartesian anywhere in the plan (that was
+    q98's whole problem at 100 TB)."""
+    plan = _plan(spark, sf_dir, "qb0_cosine_pairs_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_q98_left_side_parallelized(spark, sf_dir):
     """The inequality self-join's task count equals the left side's
     partition count — the repartition must survive into the plan (a

@@ -74,3 +74,27 @@ def test_ivf_lists_balanced(spark, sf_dir):
     n = sum(r["count"] for r in sizes)
     assert len(sizes) >= 8, "fewer than half the inverted lists are used"
     assert max(r["count"] for r in sizes) < 0.5 * n, "one list dominates"
+
+
+def test_lsh_pairs_recall_vs_exact(spark, sf_dir):
+    """qb0's LSH-candidate pair search must recover a majority of the
+    TRUE most-similar pairs (exact half-matrix top-20): collision
+    probability rises with cosine, so the top pairs are precisely the
+    ones LSH is best at keeping — low recall here means broken hashing,
+    not an unlucky corpus."""
+    from rastercube_spark.operators.similarity import lsh_cosine_pairs
+    from rastercube_spark.registry import queries
+
+    exact_top = {
+        (r["vec_a"], r["vec_b"])
+        for r in queries()["q98_cosine_pairs_topk"](spark, sf_dir).collect()
+        if r["cosine"] >= 0.35
+    }
+    e = load(spark, sf_dir, "embeddings")
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in lsh_cosine_pairs(e, dim=64, threshold=0.35, k=50).collect()
+    }
+    assert exact_top, "fixture corpus has no pairs above threshold"
+    recall = len(got & exact_top) / len(exact_top)
+    assert recall >= 0.5, f"pair recall too low: {recall}"
