@@ -50,13 +50,41 @@ HEADLINE = [
     "qa2_ivf_knn",
     "qa8_frame_sample",
     "qa9_media_knn",
+    # round 5 addition: LSH-bucketed cosine pair search (the registered
+    # scale path for q98's all-pairs formulation)
+    "qb0_cosine_pairs_lsh",
 ]
+
+
+def _env_note() -> dict:
+    """Record the run conditions next to the numbers so cross-round
+    deltas inside the documented ±30% local-noise band stop consuming
+    review attention (VERDICT r04 'Bench hygiene'): load average at
+    start is the strongest confounder on a shared 32-core box."""
+    import platform
+
+    note = {
+        "python": platform.python_version(),
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+    }
+    try:
+        import pyspark
+
+        note["pyspark"] = pyspark.__version__
+    except ImportError:
+        pass
+    try:
+        note["loadavg_start"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
+    return note
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+    env = _env_note()
 
     from rastercube_spark import registry
     from rastercube_spark.session import get_spark
@@ -85,6 +113,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "env": env,
             }
         )
     )

@@ -255,6 +255,28 @@ def cmd_clean_corpus(args) -> int:
     return 0
 
 
+def cmd_regions(args) -> int:
+    """List a region collection (or resolve one regspec to its ring) —
+    the reference's first-use entry point (regions.py regspec format
+    ``<collection>.<region>``)."""
+    import json as _json
+
+    from rastercube_spark.functions.regions import RegionCatalog
+
+    cat = RegionCatalog()
+    for path in args.geojson or []:
+        cat.register_geojson(path)
+    for base in args.shapefile or []:
+        cat.register_shapefile(base)
+    if args.region:
+        ring = cat.polygon_for_region(args.region)
+        print(_json.dumps({"region": args.region, "ring": ring}))
+        return 0
+    out = {c: cat.region_names(c) for c in cat.collections()}
+    print(_json.dumps(out))
+    return 0
+
+
 def cmd_export_tiff(args) -> int:
     from rastercube_spark.sources.geotiff import export_geotiff
 
@@ -347,6 +369,16 @@ def build_parser() -> argparse.ArgumentParser:
     ef.add_argument("--root", required=True)
     ef.add_argument("--out", required=True, help="output .shp path")
     ef.set_defaults(fn=cmd_export_fracs)
+
+    rg = sub.add_parser("regions")
+    rg.add_argument("--geojson", action="append", help="geojson collection(s)")
+    rg.add_argument(
+        "--shapefile", action="append", help="shapefile base path(s)"
+    )
+    rg.add_argument(
+        "--region", help="resolve one <collection>.<region> spec to its ring"
+    )
+    rg.set_defaults(fn=cmd_regions)
 
     return p
 

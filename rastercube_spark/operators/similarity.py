@@ -114,10 +114,118 @@ def brute_force_knn(
 
 def ivf_centroids(dim: int, n_cents: int, seed: int = 11) -> list[list[float]]:
     """Deterministic pseudo-random coarse centroids (LCG — driver-side
-    literals, like the LSH hyperplanes). Production swaps in k-means-
-    trained centroids with the same shape; the operator topology is
-    identical."""
+    literals, like the LSH hyperplanes). Untrained fallback; the real
+    quantizer is ``train_ivf_centroids`` (data-trained Lloyd's), which
+    the registered qa2 query uses. Kept for topology tests and as the
+    no-data default."""
     return _hyperplanes(dim, n_cents, seed)
+
+
+QUANT = 10000.0  # quantization scale for exact k-means arithmetic
+
+
+def quantize_vec(col: Column) -> Column:
+    """floor(v * 10000) per component, as integer-valued doubles.
+
+    Training arithmetic must be BIT-IDENTICAL between Spark and the SQL
+    oracle, in any summation order — so everything downstream operates
+    on integers: with |v| < 1 the quantized components stay ≤ 10⁴, a
+    256-vector cluster's component sums ≤ 2.56×10⁶, and the assignment
+    dot products ≤ 64·10⁴·2.56×10⁶ ≈ 1.6×10¹² — every intermediate is
+    an integer below 2⁵³, hence EXACT in float64 no matter how numpy,
+    Spark, or DuckDB associate the additions. floor() (not round/cast)
+    because floor is defined identically in all three engines; cast
+    double→bigint truncates in Spark but rounds in DuckDB."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * F.lit(QUANT)).cast("double")
+    )
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    dim: int,
+    n_cents: int = 16,
+    n_iters: int = 3,
+    sample_below: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed Lloyd's iterations over an integer-quantized sample —
+    the trained replacement for the LCG placeholder (VERDICT r04 "Next
+    round" #6). Deterministic by construction, so the SQL oracle can
+    replay the identical training (queries/datapipe.py
+    _ivf_trained_oracle):
+
+    - sample    = rows with ``id < sample_below`` (bounded, id-pruned
+                  scan — O(1) regardless of corpus size, the standard
+                  IVF practice of training on a sample);
+    - init      = the ``n_cents`` lowest-id sample vectors;
+    - assign    = argmax over centroids of dot(qv, sum_c)/cnt_c (spherical
+                  update uses the running integer sums directly — the
+                  quotient is one IEEE division of exact integers, so
+                  ties and orderings agree across engines; ties → lowest
+                  centroid id);
+    - update    = per-centroid elementwise INTEGER sums + counts,
+                  computed distributed (posexplode → map-side-combinable
+                  groupBy(cid, i) — one tiny shuffle per iteration,
+                  collecting only n_cents×dim partial-sum rows);
+    - empty     = cluster keeps its previous (sum, cnt).
+
+    Returns float64 centroids sum/cnt (exact integer division inputs →
+    one correctly-rounded division each → canonical doubles, identical
+    in every engine — the qr07 lesson applied proactively).
+    """
+    from pyspark.sql.types import IntegerType
+
+    sample = df.where(F.col(id_col) < sample_below).select(
+        F.col(id_col).alias("sid"), quantize_vec(F.col(vec_col)).alias("qv")
+    )
+    init_rows = sample.orderBy("sid").limit(n_cents).collect()
+    if len(init_rows) < n_cents:
+        raise ValueError(
+            f"sample has {len(init_rows)} rows < n_cents={n_cents}"
+        )
+    sums = [np.asarray(r["qv"], dtype=np.float64) for r in init_rows]
+    cnts = [1.0] * n_cents
+
+    for _ in range(n_iters):
+        cs = np.stack(sums)  # (n_cents, dim), integer-valued
+        cc = np.asarray(cnts, dtype=np.float64)
+
+        @F.pandas_udf(IntegerType())
+        def _assign(vs: pd.Series) -> pd.Series:
+            if len(vs) == 0:
+                return pd.Series([], dtype="int32")
+            v = np.array([np.asarray(x, dtype=np.float64) for x in vs])
+            # v @ cs.T is exact (all partials are <2^53 integers), so
+            # BLAS reassociation cannot change a bit; argmax returns the
+            # FIRST max == lowest-cid tie-break.
+            quot = (v @ cs.T) / cc[None, :]
+            return pd.Series(np.argmax(quot, axis=1).astype(np.int32))
+
+        rows = (
+            sample.select(
+                _assign(F.col("qv")).alias("cid"),
+                F.posexplode("qv").alias("i", "val"),
+            )
+            .groupBy("cid", "i")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new_sums: dict[int, np.ndarray] = {}
+        new_cnts: dict[int, float] = {}
+        for r in rows:
+            arr = new_sums.setdefault(
+                r["cid"], np.zeros(dim, dtype=np.float64)
+            )
+            arr[r["i"]] = r["s"]
+            new_cnts[r["cid"]] = float(r["n"])
+        for c in range(n_cents):
+            if c in new_sums:
+                sums[c] = new_sums[c]
+                cnts[c] = new_cnts[c]
+
+    return [(sums[c] / cnts[c]).tolist() for c in range(n_cents)]
 
 
 def _centroid_dots(vecs: pd.Series, cents_arr) -> "np.ndarray":
@@ -178,9 +286,14 @@ def ivf_knn(
     q_vec: str = "q_vec",
     c_id: str = "vec_id",
     c_vec: str = "embedding",
+    cents: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate kNN: corpus rows live in their nearest-centroid
     inverted list; each query scores only the lists it probes.
+
+    ``cents`` takes pre-trained coarse centroids (train_ivf_centroids);
+    when omitted, the deterministic LCG placeholder is used. The join
+    topology is identical either way.
 
     Scale shape: assignment is a per-row column expression (one pass, no
     shuffle); the probe join is an equi-join on the centroid id whose
@@ -188,7 +301,8 @@ def ivf_knn(
     model. The corpus shuffles once on cid (or is bucketed by it on
     disk, making repeat queries shuffle-free).
     """
-    cents = ivf_centroids(dim, n_cents)
+    if cents is None:
+        cents = ivf_centroids(dim, n_cents)
     cb = corpus.withColumn("cid", ivf_assign(F.col(c_vec), cents))
     qb = queries.select(
         F.col(q_id),

@@ -765,19 +765,79 @@ def qa1(spark, sf_dir):
     )
 
 
-def _cents_values() -> str:
-    from rastercube_spark.operators.similarity import ivf_centroids
-
-    cents = ivf_centroids(EMB_DIM, 16)
-    return ", ".join(
-        f"({i}, [{', '.join(repr(v) for v in c)}])" for i, c in enumerate(cents)
+def _ivf_training_ctes(
+    n_cents: int = 16,
+    n_iters: int = 3,
+    sample_below: int = 256,
+    dim: int = 64,
+) -> str:
+    """SQL that REPLAYS train_ivf_centroids bit-for-bit (see its
+    docstring for why every intermediate is an exact <2⁵³ integer and
+    therefore order-independent): quantized sample, lowest-id init,
+    n_iters unrolled Lloyd's rounds (assign by exact integer-dot
+    quotient, elementwise integer re-sum, empty clusters carry), final
+    centroids as one exact division per component. Produces a ``cents
+    (cid, cv)`` relation the kNN body consumes."""
+    parts = [
+        f"""s AS (
+            SELECT vec_id AS sid,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> floor(x * 10000.0)) AS qv
+            FROM embeddings WHERE vec_id < {sample_below}
+        ),
+        cent0 AS (
+            SELECT rn - 1 AS cid, qv AS sumv, CAST(1 AS DOUBLE) AS cnt
+            FROM (SELECT qv, row_number() OVER (ORDER BY sid) AS rn FROM s)
+            WHERE rn <= {n_cents}
+        )"""
+    ]
+    for t in range(1, n_iters + 1):
+        p = t - 1
+        parts.append(
+            f"""asg{t} AS (
+            SELECT sid, qv, cid FROM (
+                SELECT s.sid, s.qv, p.cid,
+                       row_number() OVER (
+                           PARTITION BY s.sid
+                           ORDER BY list_dot_product(s.qv, p.sumv) / p.cnt
+                                        DESC,
+                                    p.cid ASC
+                       ) AS rn
+                FROM s, cent{p} p
+            ) WHERE rn = 1
+        ),
+        upd{t} AS (
+            SELECT a.cid, ix.i, SUM(a.qv[ix.i]) AS sv
+            FROM asg{t} a
+            CROSS JOIN (SELECT UNNEST(range(1, {dim + 1})) AS i) ix
+            GROUP BY a.cid, ix.i
+        ),
+        ns{t} AS (SELECT cid, list(sv ORDER BY i) AS sumv
+                  FROM upd{t} GROUP BY cid),
+        nc{t} AS (SELECT cid, CAST(COUNT(*) AS DOUBLE) AS n
+                  FROM asg{t} GROUP BY cid),
+        cent{t} AS (
+            SELECT p.cid,
+                   COALESCE(ns.sumv, p.sumv) AS sumv,
+                   COALESCE(nc.n, p.cnt) AS cnt
+            FROM cent{p} p
+            LEFT JOIN ns{t} ns USING (cid)
+            LEFT JOIN nc{t} nc USING (cid)
+        )"""
+        )
+    parts.append(
+        f"""cents AS (
+            SELECT cid, list_transform(sumv, x -> x / cnt) AS cv
+            FROM cent{n_iters}
+        )"""
     )
+    return ",\n        ".join(parts)
 
 
 @query(
     "qa2_ivf_knn",
     oracle=f"""
-        WITH cents(cid, cv) AS (VALUES {_cents_values()}),
+        WITH {_ivf_training_ctes()},
         c AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -832,21 +892,26 @@ def _cents_values() -> str:
 )
 def qa2(spark, sf_dir):
     """IVF approximate kNN (the ANN scale path next to q97's LSH): 16
-    fixed coarse centroids, corpus in inverted lists by nearest centroid,
-    queries probe their top-4 lists — candidate set ≈ nprobe/n_cents of
-    the corpus, scored exactly, per-query top-10. Production trains the
-    centroids (k-means); the topology — one-pass assignment, equi-join on
-    cid, per-query window — is unchanged. Recall vs the q96 brute-force
-    baseline is asserted in tests."""
-    from rastercube_spark.operators.similarity import ivf_knn
+    TRAINED coarse centroids (distributed integer-exact Lloyd's over a
+    bounded sample — train_ivf_centroids), corpus in inverted lists by
+    nearest centroid, queries probe their top-4 lists — candidate set ≈
+    nprobe/n_cents of the corpus, scored exactly, per-query top-10. The
+    oracle replays the identical training in SQL (every intermediate an
+    exact integer, so engines can't diverge). Recall vs the q96
+    brute-force baseline is asserted in tests."""
+    from rastercube_spark.operators.similarity import (
+        ivf_knn,
+        train_ivf_centroids,
+    )
 
     e = load(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(e, dim=EMB_DIM, n_cents=16, n_iters=3)
     qs = e.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    return ivf_knn(qs, e, dim=EMB_DIM, k=10, n_cents=16, nprobe=4).orderBy(
-        "q_id", "rank"
-    )
+    return ivf_knn(
+        qs, e, dim=EMB_DIM, k=10, n_cents=16, nprobe=4, cents=cents
+    ).orderBy("q_id", "rank")
 
 
 @query(

@@ -66,7 +66,8 @@ def geotiff_tile_codec(path: str, content: bytes) -> tuple[np.ndarray, int, int,
     if not m:
         raise ValueError(f"unrecognized tile name: {path}")
     x0, y0, t = int(m.group(1)), int(m.group(2)), int(m.group(3))
-    arr, _geot, _nodata = decode_geotiff(bytes(content))
+    # availability-dispatched: rasterio/GDAL in production, pure here
+    arr, _geot, _nodata = decode_geotiff_any(bytes(content))
     return arr, x0, y0, t
 
 
@@ -389,6 +390,51 @@ def read_geotiff(path: str) -> tuple[np.ndarray, tuple[float, ...], float | None
     export verification)."""
     with open(path, "rb") as f:
         return decode_geotiff(f.read())
+
+
+# --- production codec swap-in (S8 hardening, VERDICT r04 #8) ------------
+try:  # pragma: no cover - depends on container contents
+    import rasterio as _rasterio  # noqa: F401
+
+    HAVE_RASTERIO = True
+except ImportError:
+    HAVE_RASTERIO = False
+
+
+def _rasterio_decode(
+    buf: bytes,
+) -> tuple[np.ndarray, tuple[float, ...], float | None]:  # pragma: no cover
+    """GDAL-backed decode with the EXACT signature/return contract of
+    :func:`decode_geotiff` — exercised only where rasterio is installed
+    (this container has none; tests/test_geotiff.py carries a
+    skip-marked parity test that runs wherever it is). Handles the
+    compressed/tiled production variants the pure-python codec refuses
+    by design (reference gdal_utils.py:37-92 reads via GDAL the same
+    way)."""
+    import gzip
+
+    from rasterio.io import MemoryFile
+
+    if buf[:2] == b"\x1f\x8b":
+        buf = gzip.decompress(buf)
+    with MemoryFile(bytes(buf)) as mf, mf.open() as ds:
+        arr = ds.read(1)
+        t = ds.transform  # affine (a, b, c, d, e, f): x = c + a·col + b·row
+        geot = (t.c, t.a, t.b, t.f, t.d, t.e)  # GDAL order
+        nodata = None if ds.nodata is None else float(ds.nodata)
+    return arr, geot, nodata
+
+
+def decode_geotiff_any(
+    buf: bytes,
+) -> tuple[np.ndarray, tuple[float, ...], float | None]:
+    """Production decode entry point: GDAL/rasterio when available,
+    pure-python TIFF 6.0 codec otherwise. Selection is by availability,
+    not per-file fallback — a decode error must surface, not silently
+    reroute to a codec with different capabilities."""
+    if HAVE_RASTERIO:
+        return _rasterio_decode(buf)
+    return decode_geotiff(buf)
 
 
 def export_geotiff(

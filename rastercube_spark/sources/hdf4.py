@@ -185,6 +185,53 @@ def read_hdf4_sds(buf: bytes) -> dict[str, np.ndarray]:
     return out
 
 
+# --- production codec swap-in (S6 hardening, VERDICT r04 #8) ------------
+try:  # pragma: no cover - depends on container contents
+    from pyhdf.SD import SD as _pyhdf_SD  # noqa: F401
+
+    HAVE_PYHDF = True
+except ImportError:
+    HAVE_PYHDF = False
+
+
+def _pyhdf_read(buf: bytes) -> dict[str, np.ndarray]:  # pragma: no cover
+    """HDF4-library-backed decode with the EXACT contract of
+    :func:`read_hdf4_sds` — exercised only where pyhdf is installed
+    (skip-marked parity test in tests/test_hdf4.py). Handles the
+    production MODIS variants (external elements, chunked SDS) outside
+    the pure-python subset (reference modis.py:212-229 reads via
+    GDAL/HDF the same way). pyhdf's SD API is path-based, so the bytes
+    land in a NamedTemporaryFile first."""
+    import tempfile
+
+    from pyhdf.SD import SD, SDC
+
+    with tempfile.NamedTemporaryFile(suffix=".hdf") as tmp:
+        tmp.write(buf)
+        tmp.flush()
+        sd = SD(tmp.name, SDC.READ)
+        try:
+            out: dict[str, np.ndarray] = {}
+            for idx in range(len(sd.datasets())):
+                ds = sd.select(idx)
+                name = ds.info()[0]
+                out[name] = np.asarray(ds.get())
+                ds.endaccess()
+            return out
+        finally:
+            sd.end()
+
+
+def read_hdf4_sds_any(buf: bytes) -> dict[str, np.ndarray]:
+    """Production decode entry point: pyhdf when available, pure-python
+    SDS codec otherwise. Availability-selected, never per-file fallback
+    (a decode error must surface, not reroute to a codec with different
+    capabilities)."""
+    if HAVE_PYHDF:
+        return _pyhdf_read(buf)
+    return read_hdf4_sds(buf)
+
+
 # --- MODIS tile codec ---------------------------------------------------
 
 MODIS_NDVI_DATASET = "250m 16 days NDVI"
@@ -211,7 +258,8 @@ def modis_hdf_codec(dataset_name: str, date_to_t: dict[tuple[int, int], int]):
             raise ValueError(f"unrecognized MODIS HDF name: {path}")
         year, doy = int(m.group(2)), int(m.group(3))
         h, v = int(m.group(4)), int(m.group(5))
-        arr = read_hdf4_sds(bytes(content))[dataset_name]
+        # availability-dispatched: pyhdf in production, pure-python here
+        arr = read_hdf4_sds_any(bytes(content))[dataset_name]
         x0, y0 = MODISGrid.tile_xy_from(h, v)
         return arr, x0, y0, date_to_t[(year, doy)]
 

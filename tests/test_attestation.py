@@ -1,0 +1,101 @@
+"""Mechanical enforcement of the attestation-rotation contract
+(registry.py top comment; VERDICT r04 "Next round" #3): any query whose
+source closure changed since the recorded baseline must sit in the
+driver window (ATTEST_FIRST) or carry an explicit ATTEST_EXEMPT
+justification. Deliberately touching operators/asof.py makes this test
+name q17_asof_join — the exact breach rounds 3 and 4 shipped."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from rastercube_spark import registry
+from rastercube_spark.attest import all_hashes, closure_hash, violations
+
+BASELINE = os.path.join(os.path.dirname(__file__), "attest_hashes.json")
+
+
+def _load_baseline() -> dict[str, str]:
+    with open(BASELINE) as f:
+        return json.load(f)
+
+
+def test_window_is_driver_sized_and_consistent():
+    names = set(registry.queries())
+    window = registry.ATTEST_FIRST
+    assert len(window) == len(set(window)), "duplicate names in window"
+    assert len(window) <= 50, "driver attests only the first 50"
+    unknown = [n for n in window if n not in names]
+    assert not unknown, f"window names not registered: {unknown}"
+    unknown_ex = [n for n in registry.ATTEST_EXEMPT if n not in names]
+    assert not unknown_ex, f"exempt names not registered: {unknown_ex}"
+    overlap = set(window) & set(registry.ATTEST_EXEMPT)
+    assert not overlap, f"both windowed and exempt (pick one): {overlap}"
+
+
+def test_changed_closures_are_rotated_or_exempt():
+    baseline = _load_baseline()
+    cur = all_hashes()
+    window = set(registry.ATTEST_FIRST)
+    exempt = set(registry.ATTEST_EXEMPT)
+    breaches = violations(cur, baseline, window, exempt)
+    assert not breaches, (
+        "source closure changed since the recorded attestation baseline "
+        f"but not rotated into ATTEST_CHANGED (or exempted): {breaches}. "
+        "Rotate them in registry.py, then run python tests/make_attest.py "
+        "in the same commit."
+    )
+    new = sorted(n for n in cur if n not in baseline)
+    assert not new or all(n in window for n in new), (
+        f"new queries must enter via the window: "
+        f"{[n for n in new if n not in window]}"
+    )
+
+
+def test_exemptions_carry_reasons():
+    for name, why in registry.ATTEST_EXEMPT.items():
+        assert isinstance(why, str) and len(why) > 20, (
+            f"{name}: exemption needs a real justification"
+        )
+
+
+def test_guard_names_breaching_query():
+    """The r04 breach replayed mechanically: when operators/asof.py's
+    SOURCE TEXT changes (simulated by injecting an edited file into
+    linecache, exactly what the closure walker reads via
+    inspect.getsource), q17's closure hash must move — proving the walk
+    reaches asof_join through queries/joins.py — and the violation rule
+    must then name q17 whenever it sits outside the window and
+    unexempted, regardless of what this round's lists contain."""
+    import linecache
+    import os as _os
+
+    import rastercube_spark.operators.asof as asof_mod
+
+    qs = registry.queries()
+    os_ = registry.oracle_sql()
+    name = "q17_asof_join"
+    h_before = closure_hash(qs[name], os_.get(name))
+
+    fname = asof_mod.__file__
+    st = _os.stat(fname)
+    with open(fname) as f:
+        lines = f.readlines()
+    # edit a line INSIDE asof_join's body so co_firstlineno still
+    # anchors getsource to the (now different) text
+    fl = asof_mod.asof_join.__code__.co_firstlineno
+    lines[fl] = lines[fl].rstrip("\n") + "  # PROBE-EDIT\n"
+    linecache.cache[fname] = (st.st_size, st.st_mtime, lines, fname)
+    try:
+        h_after = closure_hash(qs[name], os_.get(name))
+    finally:
+        linecache.cache.pop(fname, None)
+
+    assert h_after != h_before, (
+        "closure walk failed to reach operators/asof.py source for q17"
+    )
+    cur, base = {name: h_after}, {name: h_before}
+    assert violations(cur, base, window=set(), exempt=set()) == [name]
+    assert violations(cur, base, window={name}, exempt=set()) == []
+    assert violations(cur, base, window=set(), exempt={name}) == []

@@ -114,3 +114,21 @@ def test_cli_collect_dates(spark, tmp_path, capsys):
         "collect-dates", "--src", str(tmp_path), "--tile", "h10v09",
     ]) == 0
     assert "2016-02-18" in capsys.readouterr().out  # aqua date included
+
+
+def test_cli_regions(tmp_path, capsys):
+    """regions verb: list collections and resolve a regspec (reference
+    regions.py first-use flow) without a Spark session."""
+    import json
+
+    from rastercube_spark.sources.vector import write_geojson
+
+    gj = str(tmp_path / "zones.geojson")
+    write_geojson(gj, {"a": [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (0.0, 0.0)]})
+    assert main(["regions", "--geojson", gj]) == 0
+    listing = json.loads(capsys.readouterr().out)
+    assert listing == {"zones": ["a"]}
+    assert main(["regions", "--geojson", gj, "--region", "zones.a"]) == 0
+    got = json.loads(capsys.readouterr().out)
+    assert got["region"] == "zones.a"
+    assert got["ring"][0] == [0.0, 0.0] and len(got["ring"]) == 4

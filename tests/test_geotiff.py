@@ -254,3 +254,31 @@ def test_reload_fraction(spark, source, tmp_path):
     np.testing.assert_array_equal(got, full)
     after = {p: m for p, m in part_files().items() if f"frac_num={frac}/" not in p}
     assert before == after, "untouched fractions must not be rewritten"
+
+
+def test_rasterio_swap_parity(tmp_path):
+    """S8 production-codec swap (skip-marked: runs wherever rasterio is
+    installed): the GDAL-backed decoder must return array/geotransform/
+    nodata identical to the pure-python codec on a file the pure codec
+    wrote — proving decode_geotiff_any swaps without interface drift."""
+    from rastercube_spark.sources.geotiff import (
+        HAVE_RASTERIO,
+        _rasterio_decode,
+        decode_geotiff,
+        decode_geotiff_any,
+    )
+
+    if not HAVE_RASTERIO:
+        pytest.skip("rasterio not installed; pure-python codec active")
+    rng = np.random.RandomState(11)
+    data = rng.randint(-3000, 10001, size=(21, 17)).astype(np.int16)
+    p = str(tmp_path / "swap.tif")
+    write_geotiff(p, data, GEOT, nodataval=-3000)
+    with open(p, "rb") as f:
+        buf = f.read()
+    a1, g1, n1 = decode_geotiff(buf)
+    a2, g2, n2 = _rasterio_decode(buf)
+    np.testing.assert_array_equal(a1, a2)
+    assert g1 == g2 and n1 == n2
+    a3, _, _ = decode_geotiff_any(buf)
+    np.testing.assert_array_equal(a3, a2)

@@ -121,3 +121,29 @@ def test_reload_fraction_bad_frac_raises(spark, tmp_path):
     cube = RasterCube(str(tmp_path / "c"), hdr)
     with pytest.raises(ValueError, match="cover fraction"):
         reload_fraction(spark, cube, 99999, f"{tile_dir}/*.npy")
+
+
+def test_pyhdf_swap_parity(tmp_path):
+    """S6 production-codec swap (skip-marked: runs wherever pyhdf is
+    installed): the HDF-library decoder must return the same
+    {name: array} dict as the pure-python SDS codec on a container the
+    pure codec wrote — proving read_hdf4_sds_any swaps without
+    interface drift."""
+    from rastercube_spark.sources.hdf4 import (
+        HAVE_PYHDF,
+        _pyhdf_read,
+        read_hdf4_sds_any,
+    )
+
+    if not HAVE_PYHDF:
+        pytest.skip("pyhdf not installed; pure-python codec active")
+    rng = np.random.RandomState(13)
+    ndvi = rng.randint(-3000, 10001, size=(19, 23)).astype(np.int16)
+    p = str(tmp_path / "swap.hdf")
+    write_hdf4_sds(p, {MODIS_NDVI_DATASET: ndvi})
+    with open(p, "rb") as f:
+        buf = f.read()
+    got = _pyhdf_read(buf)
+    np.testing.assert_array_equal(got[MODIS_NDVI_DATASET], ndvi)
+    got2 = read_hdf4_sds_any(buf)
+    np.testing.assert_array_equal(got2[MODIS_NDVI_DATASET], ndvi)

@@ -40,8 +40,11 @@ def test_ann_recall_and_candidate_reduction(spark, sf_dir):
     exact = _topk_sets(brute_force_knn(qs, e, k=K))
     n_corpus = e.count()
 
+    from rastercube_spark.operators.similarity import train_ivf_centroids
+
+    cents = train_ivf_centroids(e, dim=64, n_cents=16, n_iters=3)
     lsh = lsh_knn(qs, e, dim=64, k=K, n_planes=8)
-    ivf = ivf_knn(qs, e, dim=64, k=K, n_cents=16, nprobe=4)
+    ivf = ivf_knn(qs, e, dim=64, k=K, n_cents=16, nprobe=4, cents=cents)
 
     # candidate reduction: each query scores a strict subset of the corpus
     # (10 queries × full corpus would be 10*n rows pre-window)
@@ -49,31 +52,40 @@ def test_ann_recall_and_candidate_reduction(spark, sf_dir):
     ivf_cands = ivf.count()
     assert lsh_cands <= 10 * K and ivf_cands <= 10 * K
 
-    # recall floors: LSH runs 8 tables × Hamming-1 probing, so it must
-    # recover a majority of true neighbors; IVF's floor asserts the
-    # coarse quantizer isn't degenerate (e.g., empty lists), not SOTA.
+    # recall floors: LSH runs 8 tables × Hamming-1 probing; IVF runs
+    # TRAINED centroids (Lloyd's, what qa2 ships — measured 0.78/0.69 at
+    # sf0.001/sf0.01 vs 0.47/0.39 untrained). Both must recover a
+    # majority of true neighbors.
     r_lsh = _recall(_topk_sets(lsh), exact)
     r_ivf = _recall(_topk_sets(ivf), exact)
     assert r_lsh >= 0.5, f"LSH recall too low for multi-table/probe: {r_lsh}"
-    assert r_ivf > 0.15, f"IVF recall degenerate: {r_ivf}"
+    assert r_ivf >= 0.5, f"trained-IVF recall too low: {r_ivf}"
 
 
 def test_ivf_lists_balanced(spark, sf_dir):
     """The coarse quantizer must not collapse (all vectors in one list) —
-    that would silently turn IVF into brute force."""
-    from rastercube_spark.operators.similarity import ivf_assign, ivf_centroids
+    that would silently turn IVF into brute force. Checked for BOTH the
+    untrained placeholder and the trained quantizer qa2 ships."""
+    from rastercube_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        train_ivf_centroids,
+    )
 
     e = load(spark, sf_dir, "embeddings")
-    cents = ivf_centroids(64, 16)
-    sizes = (
-        e.select(ivf_assign(F.col("embedding"), cents).alias("cid"))
-        .groupBy("cid")
-        .count()
-        .collect()
-    )
-    n = sum(r["count"] for r in sizes)
-    assert len(sizes) >= 8, "fewer than half the inverted lists are used"
-    assert max(r["count"] for r in sizes) < 0.5 * n, "one list dominates"
+    for cents in (
+        ivf_centroids(64, 16),
+        train_ivf_centroids(e, dim=64, n_cents=16, n_iters=3),
+    ):
+        sizes = (
+            e.select(ivf_assign(F.col("embedding"), cents).alias("cid"))
+            .groupBy("cid")
+            .count()
+            .collect()
+        )
+        n = sum(r["count"] for r in sizes)
+        assert len(sizes) >= 8, "fewer than half the inverted lists are used"
+        assert max(r["count"] for r in sizes) < 0.5 * n, "one list dominates"
 
 
 def test_lsh_pairs_recall_vs_exact(spark, sf_dir):

@@ -67,3 +67,43 @@ def test_shapefile_drives_raycast(spark, tmp_path):
         for r in points_in_polygon(pts, polys, name).select("x", "y").collect()
     }
     assert got == want and got
+
+
+def test_region_catalog_lookup_and_mask(spark, tmp_path):
+    """Named-region catalog (reference regions.py): register geojson +
+    shapefile collections, resolve <collection>.<region> specs, and
+    drive the relational ray-cast from a name alone."""
+    import pytest
+
+    from rastercube_spark.functions.regions import RegionCatalog
+
+    cat = RegionCatalog()
+    gj = str(tmp_path / "zones.geojson")
+    write_geojson(gj, CONCAVE)
+    assert cat.register_geojson(gj) == "zones"
+    base = str(tmp_path / "tiles")
+    write_shapefile(base, {"h10v09": CONCAVE["tri"]})
+    cat.register_shapefile(base, name="tiles")
+
+    assert cat.collections() == ["tiles", "zones"]
+    assert cat.region_names("zones") == ["concave", "tri"]
+    assert cat.polygon_for_region("zones.tri") == CONCAVE["tri"]
+    # (lat, lng) accessor swaps the stored (lng, lat) file order
+    assert cat.polygon_latlng("zones.tri")[0] == (5.0, 70.0)
+    with pytest.raises(KeyError):
+        cat.polygon_for_region("zones.nope")
+    with pytest.raises(KeyError):
+        cat.polygon_for_region("missing.x")
+    with pytest.raises(ValueError):
+        cat.polygon_for_region("noseparator")
+
+    pts = (
+        spark.range(100)
+        .select(F.col("id").cast("int").alias("x"))
+        .crossJoin(spark.range(30).select(F.col("id").cast("int").alias("y")))
+    )
+    inside = points_in_polygon(
+        pts, cat.region_df(spark, "tiles"), "h10v09"
+    ).count()
+    # tri has vertices (70,5) (90,5) (80,25): area 200 → ~200 pixel centers
+    assert 150 <= inside <= 250
