@@ -110,3 +110,32 @@ def test_lsh_pairs_recall_vs_exact(spark, sf_dir):
     assert exact_top, "fixture corpus has no pairs above threshold"
     recall = len(got & exact_top) / len(exact_top)
     assert recall >= 0.5, f"pair recall too low: {recall}"
+
+
+def test_lsh_pairs_exactly_once_emission(spark):
+    """First-collision rule: on a densely self-similar corpus (where
+    pairs collide in MANY tables — the old OR-construction emitted up
+    to table×probe duplicates per pair), every output pair must appear
+    exactly once, with no DISTINCT in the plan doing the repair."""
+    import numpy as np
+
+    from rastercube_spark.operators.similarity import lsh_cosine_pairs
+
+    rng = np.random.RandomState(7)
+    cents = rng.randn(5, 64)
+    vecs = (cents[rng.randint(0, 5, 300)] + 0.3 * rng.randn(300, 64)).astype(
+        "float32"
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id int, embedding array<float>",
+    )
+    out = lsh_cosine_pairs(df, dim=64, threshold=0.5, k=10_000)
+    rows = [(r["vec_a"], r["vec_b"]) for r in out.collect()]
+    assert rows, "self-similar corpus must produce pairs"
+    assert len(rows) == len(set(rows)), "duplicate pair emission"
+    # DISTINCT would compile to a HashAggregate over (vec_a, vec_b);
+    # with exactly-once emission the operator has NO aggregate at all
+    # (hash → join → filter → TakeOrdered)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan and "Deduplicate" not in plan
