@@ -401,58 +401,45 @@ def lsh_cosine_pairs(
 
     Scale shape: one Arrow hash pass over the corpus, a self EQUI-join
     on (table, bucket) — never a nested loop (plan-asserted in
-    tests/test_plans.py) — then candidate-driven re-joins to fetch
-    vectors for exact rescoring. Every shuffle is keyed (bucket, then
-    pair ids); the final top-k is a global TakeOrdered, not a full sort.
+    tests/test_plans.py) — narrow-row DISTINCT pair dedup, then
+    candidate-driven re-joins to fetch vectors for exact rescoring.
+    Every shuffle is keyed (bucket, then pair ids); the final top-k is
+    a global TakeOrdered, not a full sort.
 
-    Pair emission is EXACTLY-ONCE by construction (the classic
-    first-collision rule, same family as the banding dedup in
-    operators/dedup.py): a pair found in table t is kept only if NO
-    table t' < t also collides (bit_count(xor) over the earlier bucket
-    pair, a JVM-side ≤8-element fold — within one table a pair can
-    match via at most one probe mask, since masks are distinct). The
-    naive OR-construction emits each colliding pair once per (table ×
-    probe) hit — measured up to 72× duplication on a self-similar
-    corpus — and then needs a global DISTINCT shuffle to repair it;
-    first-collision removes both the duplication and that shuffle.
+    NEGATIVE RESULT worth keeping: a pair colliding in several tables/
+    probes is emitted once per hit and deduped by the DISTINCT — and
+    that is the RIGHT plan, not a flaw. Two "exactly-once emission"
+    rewrites (first-collision rule: keep a pair at table t only if no
+    t' < t also collides) were measured strictly worse at every scale
+    tried — HOF formulation 14.9s and unrolled-codegen CASE chain
+    13-45s vs 5.4s for DISTINCT at n=4000 (13.1M raw join rows → 3.4M
+    pairs). The predicate must run per RAW joined row and forces the
+    8-int bucket arrays of both sides through the join, while DISTINCT
+    ships two ints per row and map-side partial aggregation collapses
+    duplicates before the shuffle. Dedup-by-aggregation beats
+    dedup-by-predicate whenever the dup factor is what hurts.
     """
     masks = probe_masks(n_planes, probe_hamming)
     hash_all = lsh_buckets_udf(dim, n_planes, n_tables, seed)
-    hashed = df.select(F.col(id_col), hash_all(F.col(vec_col)).alias("_bs"))
-    hb = hashed.select(
-        id_col, "_bs", F.posexplode("_bs").alias("tbl", "b")
-    )
+    hb = df.select(
+        F.col(id_col), hash_all(F.col(vec_col)).alias("_bs")
+    ).select(id_col, F.posexplode("_bs").alias("tbl", "b"))
     probes = hb.select(
         F.col(id_col).alias("vec_a"),
-        F.col("_bs").alias("_bsa"),
         "tbl",
         F.explode(F.array(*[F.lit(m) for m in masks])).alias("m"),
         F.col("b"),
     ).select(
-        "vec_a",
-        "_bsa",
-        "tbl",
-        F.col("b").bitwiseXOR(F.col("m")).alias("bucket"),
+        "vec_a", "tbl", F.col("b").bitwiseXOR(F.col("m")).alias("bucket")
     )
     exact = hb.select(
-        F.col(id_col).alias("vec_b"),
-        F.col("_bs").alias("_bsb"),
-        "tbl",
-        F.col("b").alias("bucket"),
-    )
-    no_earlier_collision = F.forall(
-        F.zip_with(
-            F.slice(F.col("_bsa"), 1, F.col("tbl")),
-            F.slice(F.col("_bsb"), 1, F.col("tbl")),
-            lambda x, y: F.bit_count(x.bitwiseXOR(y)) > probe_hamming,
-        ),
-        lambda ok: ok,
+        F.col(id_col).alias("vec_b"), "tbl", F.col("b").alias("bucket")
     )
     cand = (
         probes.join(exact, ["tbl", "bucket"])
         .where(F.col("vec_a") < F.col("vec_b"))
-        .where(no_earlier_collision)
         .select("vec_a", "vec_b")
+        .distinct()
     )
     va = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))

@@ -553,19 +553,14 @@ def _lsh_pairs_oracle(
     probe_hamming: int = 1,
 ) -> str:
     """DuckDB mirror of lsh_cosine_pairs: per-table sign buckets (seeds
-    7..7+n_tables-1), left-side Hamming probing, exactly-once pair
-    emission via the first-collision rule (a pair found at table t is
-    kept only when no table t' < t also collides within the probe
-    Hamming radius — no DISTINCT needed), exact rescore, threshold on
-    the 6-dp rounded cosine, global top-k."""
+    7..7+n_tables-1), left-side Hamming probing, a<b pair dedup, exact
+    rescore, threshold on the 6-dp rounded cosine, global top-k."""
     masks = probe_masks(8, probe_hamming)
     cb_cols = ",\n                   ".join(
         f"{_bucket_sql('cv', seed=7 + t)} AS b{t}" for t in range(n_tables)
     )
-    bl = "[" + ", ".join(f"b{t}" for t in range(n_tables)) + "]"
     cl = "\n            UNION ALL ".join(
-        f"SELECT vec_id, {t} AS tbl, b{t} AS b, {bl} AS bl FROM cb"
-        for t in range(n_tables)
+        f"SELECT vec_id, {t} AS tbl, b{t} AS b FROM cb" for t in range(n_tables)
     )
     mvals = ", ".join(f"({m})" for m in masks)
     return f"""
@@ -581,20 +576,13 @@ def _lsh_pairs_oracle(
             {cl}
         ),
         ap AS (
-            SELECT vec_id, tbl, xor(b, m.m) AS bucket, bl
+            SELECT vec_id, tbl, xor(b, m.m) AS bucket
             FROM cl CROSS JOIN (VALUES {mvals}) AS m(m)
         ),
         cand AS (
-            SELECT vec_a, vec_b FROM (
-                SELECT a.vec_id AS vec_a, e.vec_id AS vec_b,
-                       a.tbl AS tbl, a.bl AS abl, e.bl AS ebl
-                FROM ap a JOIN cl e ON a.tbl = e.tbl AND e.b = a.bucket
-                WHERE a.vec_id < e.vec_id
-            )
-            WHERE len(list_filter(
-                      range(1, tbl + 1),
-                      i -> bit_count(xor(abl[i], ebl[i])) <= {probe_hamming}
-                  )) = 0
+            SELECT DISTINCT a.vec_id AS vec_a, e.vec_id AS vec_b
+            FROM ap a JOIN cl e ON a.tbl = e.tbl AND e.b = a.bucket
+            WHERE a.vec_id < e.vec_id
         ),
         scored AS (
             SELECT cand.vec_a, cand.vec_b,
@@ -619,22 +607,24 @@ def qb0(spark, sf_dir):
     """Near-dup pair search at scale: q98's semantics (most-similar
     embedding pairs) with LSH-bucketed candidate generation instead of
     the O(n²) half-matrix — 8 hyperplane tables, Hamming-1 probing on
-    the left side, exactly-once pair emission (first-collision rule, no
-    DISTINCT shuffle), exact cosine rescore of the candidate union,
-    threshold 0.35, global top-50. This is the registered scale path
-    q98's docstring promises (VERDICT r04 named its absence the one
-    plan-level scale-killer); q98 keeps the oracle-scale role. The
-    candidate join is an equi-join on (table, bucket) — plan-asserted
-    nested-loop-free in tests/test_plans.py.
+    the left side, narrow-row DISTINCT pair dedup (measured better than
+    every "exactly-once emission" predicate tried — see the negative
+    result in lsh_cosine_pairs' docstring), exact cosine rescore of the
+    candidate union, threshold 0.35, global top-50. This is the
+    registered scale path q98's docstring promises (VERDICT r04 named
+    its absence the one plan-level scale-killer); q98 keeps the
+    oracle-scale role. The candidate join is an equi-join on (table,
+    bucket) — plan-asserted nested-loop-free in tests/test_plans.py.
 
     Measured crossover (local[32], 64-dim, synthetic clustered corpus,
-    rare-duplicate regime): half-matrix 2.7s/19.9s at n=2000/4000 vs
-    LSH 6.0s/9.8s — the bucketed path overtakes between 2k and 4k rows
-    and the gap widens quadratically; on a pathologically self-similar
-    corpus (most pairs ARE near-dups) the half-matrix stays ahead, as
-    candidate pruning cannot beat enumeration when nothing prunes.
-    The 500-row driver fixture sits far below crossover, so qb0's bench
-    number is stage overhead, not the scale story."""
+    rare-duplicate regime): at n=4000 the half-matrix costs 7.9-19.9s
+    vs 4.4-6.8s for the bucketed path (13.1M raw collisions → 3.4M
+    candidate pairs vs 8M enumerated), and the gap widens quadratically
+    with n; on a pathologically self-similar corpus (most pairs ARE
+    near-dups) enumeration stays competitive, since candidate pruning
+    cannot beat it when nothing prunes. The 500-row driver fixture sits
+    far below crossover, so qb0's bench number is stage overhead, not
+    the scale story."""
     from rastercube_spark.operators.similarity import lsh_cosine_pairs
 
     e = load(spark, sf_dir, "embeddings")

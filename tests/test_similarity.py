@@ -112,11 +112,11 @@ def test_lsh_pairs_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.5, f"pair recall too low: {recall}"
 
 
-def test_lsh_pairs_exactly_once_emission(spark):
-    """First-collision rule: on a densely self-similar corpus (where
-    pairs collide in MANY tables — the old OR-construction emitted up
-    to table×probe duplicates per pair), every output pair must appear
-    exactly once, with no DISTINCT in the plan doing the repair."""
+def test_lsh_pairs_unique_output(spark):
+    """On a densely self-similar corpus a pair collides in MANY tables
+    and probes; the operator must still emit each pair at most once
+    (the narrow-row DISTINCT — kept deliberately over first-collision
+    predicates, see the negative result in lsh_cosine_pairs)."""
     import numpy as np
 
     from rastercube_spark.operators.similarity import lsh_cosine_pairs
@@ -134,8 +134,3 @@ def test_lsh_pairs_exactly_once_emission(spark):
     rows = [(r["vec_a"], r["vec_b"]) for r in out.collect()]
     assert rows, "self-similar corpus must produce pairs"
     assert len(rows) == len(set(rows)), "duplicate pair emission"
-    # DISTINCT would compile to a HashAggregate over (vec_a, vec_b);
-    # with exactly-once emission the operator has NO aggregate at all
-    # (hash → join → filter → TakeOrdered)
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "HashAggregate" not in plan and "Deduplicate" not in plan
