@@ -65,7 +65,7 @@ def _env_note() -> dict:
 
     note = {
         "python": platform.python_version(),
-        "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
     try:
         import pyspark

@@ -23,6 +23,11 @@ QUERIES = [
     "q92_minhash_lsh_pairs",
     "q97_lsh_knn",
     "q19_range_join",
+    # round 5: trained-IVF kNN (distributed k-means partial sums must be
+    # partition-order-proof — the integer-exactness argument, tested) and
+    # the LSH pair search (bucket self-join + DISTINCT + re-joins)
+    "qa2_ivf_knn",
+    "qb0_cosine_pairs_lsh",
 ]
 
 VARIANTS = [
