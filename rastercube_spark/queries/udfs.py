@@ -141,3 +141,65 @@ def q82(spark, sf_dir):
         .agg(trimmed_mean(F.col("ndvi")).alias("trimmed_mean"))
         .orderBy("zone_id")
     )
+
+
+@query(
+    "q83_chunk_udtf",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        s AS (
+            SELECT doc_id, toks,
+                   UNNEST(range(0, len(toks), 24)) AS st
+            FROM d
+        )
+        SELECT doc_id,
+               CAST(st / 24 AS INT) AS chunk_idx,
+               array_to_string(toks[st + 1 : least(st + 32, len(toks))], ' ')
+                   AS chunk_text,
+               CAST(least(st + 32, len(toks)) - st AS INT) AS n_tokens
+        FROM s
+        ORDER BY doc_id, chunk_idx
+    """,
+)
+def q83(spark, sf_dir):
+    """Python UDTF (table function) surface: context-window chunking —
+    each document becomes overlapping 32-token windows with stride 24,
+    the standard chunker in a training-data / embedding pipeline (the
+    lateral-join row fan-out a scalar UDF cannot express). Completes the
+    UDF family next to q80 (scalar), q81 (grouped map), q82 (grouped
+    agg); SURVEY §2.8 names the UDTF surface. Arrow-batched
+    (useArrow=True); tokenization is literal single-space split in BOTH
+    engines (python str.split(' ') ≡ DuckDB string_split), so chunk
+    boundaries and reconstructed text are engine-exact.
+
+    Scale shape: a map-side lateral fan-out — zero shuffle; the ~4/3
+    row amplification is the point of the operator, and the ORDER BY is
+    only for the deterministic oracle compare."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="doc_id bigint, chunk_idx int, chunk_text string, "
+        "n_tokens int",
+        useArrow=True,
+    )
+    class ChunkDoc:
+        def eval(self, doc_id, text):
+            toks = (text or "").split(" ")
+            n = len(toks)
+            if n == 0:
+                return
+            for idx, s in enumerate(range(0, n, 24)):
+                chunk = toks[s : s + 32]
+                yield doc_id, idx, " ".join(chunk), len(chunk)
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("q83_docs")
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens
+        FROM q83_docs, LATERAL chunk_doc(doc_id, text) AS c
+        ORDER BY c.doc_id, c.chunk_idx
+        """
+    )

@@ -76,6 +76,7 @@ ATTEST_CHANGED: tuple[str, ...] = (
     "qa7_pii_redaction",
     "qa8_frame_sample",
     "qa9_media_knn",
+    "q83_chunk_udtf",
 )
 
 # Stalest standing attestations: everything last attested in round 2
@@ -103,7 +104,9 @@ ATTEST_STALE: tuple[str, ...] = (
     "qr08_reproject_nearest",
     "qr09_chunk_checksum",
     "q10_inner_equi",
-    "q13_left_outer_null",
+    # q13_left_outer_null yielded its slot to the new q83_chunk_udtf
+    # (new queries must enter via the window); q13 stays frozen-valid
+    # under its r03 attestation and is exempt-listed below.
 )
 
 ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE
@@ -126,6 +129,7 @@ ATTEST_EXEMPT: dict[str, str] = {
         "q01_scan_count",
         "q02_project_filter",
         "q03_in_null_predicates",
+        "q13_left_outer_null",
         "q11_broadcast_join",
         "q12_sort_merge_join",
         "q14_left_semi",
