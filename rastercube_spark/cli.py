@@ -277,6 +277,28 @@ def cmd_regions(args) -> int:
     return 0
 
 
+def cmd_download_modis(args) -> int:
+    """Acquire missing MODIS HDF files from an archive (reference
+    ndvi_hdf_download.py): mirror per-date listings, diff against the
+    local per-year tree, download atomically. Works against file:// test
+    archives and (with --user/--password) Earthdata-authenticated HTTPS."""
+    import json as _json
+
+    from rastercube_spark.sources.acquire import sync_archive
+
+    tiles = set(args.tile) if args.tile else None
+    rep = sync_archive(
+        args.base_url,
+        args.mirror_dir,
+        args.hdf_dir,
+        tiles=tiles,
+        user=args.user,
+        password=args.password,
+    )
+    print(_json.dumps(rep))
+    return 0
+
+
 def cmd_export_tiff(args) -> int:
     from rastercube_spark.sources.geotiff import export_geotiff
 
@@ -369,6 +391,15 @@ def build_parser() -> argparse.ArgumentParser:
     ef.add_argument("--root", required=True)
     ef.add_argument("--out", required=True, help="output .shp path")
     ef.set_defaults(fn=cmd_export_fracs)
+
+    dm = sub.add_parser("download-modis")
+    dm.add_argument("--base-url", required=True, help="archive dir URL")
+    dm.add_argument("--mirror-dir", required=True)
+    dm.add_argument("--hdf-dir", required=True)
+    dm.add_argument("--tile", action="append", help="restrict to tile(s)")
+    dm.add_argument("--user", default=None)
+    dm.add_argument("--password", default=None)
+    dm.set_defaults(fn=cmd_download_modis)
 
     rg = sub.add_parser("regions")
     rg.add_argument("--geojson", action="append", help="geojson collection(s)")

@@ -132,3 +132,36 @@ def test_cli_regions(tmp_path, capsys):
     got = json.loads(capsys.readouterr().out)
     assert got["region"] == "zones.a"
     assert got["ring"][0] == [0.0, 0.0] and len(got["ring"]) == 4
+
+
+def test_cli_download_modis(tmp_path, capsys, monkeypatch):
+    """download-modis verb drives the acquisition flow offline."""
+    import json
+
+    import rastercube_spark.sources.acquire as A
+
+    root = tmp_path / "www"
+    d = root / "2016.01.17"
+    d.mkdir(parents=True)
+    f = "MOD13Q1.A2016017.h10v08.005.2016034145345.hdf"
+    (d / "index.html").write_text(f'<html><a href="{f}">{f}</a></html>')
+    (d / f).write_bytes(b"HDFDATA")
+    (root / "index.html").write_text(
+        '<html><a href="2016.01.17/">2016.01.17/</a></html>'
+    )
+    real_fetch = A._fetch
+    monkeypatch.setattr(
+        A,
+        "_fetch",
+        lambda u, op=None: real_fetch(
+            u + "index.html" if u.endswith("/") else u, op
+        ),
+    )
+    assert main([
+        "download-modis", "--base-url", f"{root.as_uri()}/",
+        "--mirror-dir", str(tmp_path / "m"),
+        "--hdf-dir", str(tmp_path / "h"),
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep == {"pages_fetched": 1, "advertised": 1, "downloaded": 1}
+    assert (tmp_path / "h" / "2016" / f).read_bytes() == b"HDFDATA"
