@@ -245,3 +245,37 @@ def simhash_df(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         start=F.lit(0).cast("bigint"),
     )
     return sig.select("doc_id", fingerprint.alias("simhash"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Train/eval contamination detection — the standard n-gram overlap
+    filter every training pipeline runs before a model sees the corpus:
+    flag training documents sharing ANY word k-gram with a benchmark/
+    eval set, so leaked eval text can be dropped.
+
+    Scale shape: the eval side is tiny by definition (benchmarks are
+    KBs-MBs vs a 100 TB corpus), so its DISTINCT shingle set broadcasts;
+    the corpus explodes to (doc, shingle) map-side and the flagging is a
+    broadcast hash join — the corpus is never shuffled, and the only
+    wide operation is the per-doc hit count (map-side combinable).
+    k=5 word-grams are the conventional decontamination setting (long
+    enough that common phrasing doesn't false-positive, short enough to
+    catch partial leaks); returns (doc_id, n_hits) per contaminated doc.
+    """
+    ev = (
+        shingles_df(eval_docs, id_col, text_col, k=k)
+        .select("shingle")
+        .distinct()
+    )
+    tr = shingles_df(docs, id_col, text_col, k=k)
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )

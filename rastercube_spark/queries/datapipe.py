@@ -631,6 +631,34 @@ def qb0(spark, sf_dir):
     return lsh_cosine_pairs(e, dim=EMB_DIM, threshold=0.35, k=50)
 
 
+@query(
+    "qb1_decontaminate",
+    oracle=f"""
+        WITH {_shingles_cte(5)},
+        ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20)
+        SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM sh s JOIN ev USING (shingle)
+        WHERE s.doc_id >= 20
+        GROUP BY s.doc_id
+        ORDER BY s.doc_id
+    """,
+)
+def qb1(spark, sf_dir):
+    """Train/eval decontamination (operators/dedup.py decontaminate):
+    docs with id < 20 stand in as the benchmark set; training docs
+    sharing any 5-gram with it are flagged with their hit count — on
+    this corpus that surfaces exactly the planted near-duplicates of
+    eval documents (k=5 keeps shared vocabulary from false-positive
+    flagging: k=3 flags ~80% of the corpus, k=5 only the true leaks).
+    The eval shingle set broadcasts; the corpus is never shuffled."""
+    from rastercube_spark.operators.dedup import decontaminate
+
+    d = _docs(spark, sf_dir)
+    ev = d.where(F.col("doc_id") < 20)
+    tr = d.where(F.col("doc_id") >= 20)
+    return decontaminate(tr, ev, k=5).orderBy("doc_id")
+
+
 # --- fingerprinting + multimodal ---------------------------------------
 
 @query(

@@ -77,6 +77,7 @@ ATTEST_CHANGED: tuple[str, ...] = (
     "qa8_frame_sample",
     "qa9_media_knn",
     "q83_chunk_udtf",
+    "qb1_decontaminate",
 )
 
 # Stalest standing attestations: everything last attested in round 2
@@ -103,10 +104,10 @@ ATTEST_STALE: tuple[str, ...] = (
     "qr05_date_coverage",
     "qr08_reproject_nearest",
     "qr09_chunk_checksum",
-    "q10_inner_equi",
-    # q13_left_outer_null yielded its slot to the new q83_chunk_udtf
-    # (new queries must enter via the window); q13 stays frozen-valid
-    # under its r03 attestation and is exempt-listed below.
+    # q10_inner_equi and q13_left_outer_null yielded their slots to the
+    # new q83_chunk_udtf and qb1_decontaminate (new queries must enter
+    # via the window); both stay frozen-valid under their r03
+    # attestations and are exempt-listed below.
 )
 
 ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE
@@ -129,6 +130,7 @@ ATTEST_EXEMPT: dict[str, str] = {
         "q01_scan_count",
         "q02_project_filter",
         "q03_in_null_predicates",
+        "q10_inner_equi",
         "q13_left_outer_null",
         "q11_broadcast_join",
         "q12_sort_merge_join",

@@ -78,6 +78,15 @@ def test_ivf_knn_is_equi_join_on_cid(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
 
 
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """qb1: the benchmark shingle set must BROADCAST (it is tiny by
+    definition); the corpus side must never shuffle before the flagging
+    join — contamination checks run over the full 100 TB corpus, so a
+    corpus shuffle here would dominate the whole pipeline."""
+    plan = _plan(spark, sf_dir, "qb1_decontaminate")
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+
 def test_lsh_pairs_no_nested_loop(spark, sf_dir):
     """qb0 is the registered scale path for q98: its candidate join must
     be an equi-join on (tbl, bucket) and its rescore joins equi-joins on
