@@ -384,7 +384,7 @@ def lsh_cosine_pairs(
     df: DataFrame,
     dim: int,
     threshold: float,
-    k: int = 50,
+    k: int | None = 50,
     n_planes: int = 8,
     n_tables: int = 8,
     probe_hamming: int = 1,
@@ -453,6 +453,10 @@ def lsh_cosine_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+    if k is None:
+        # full above-threshold pair set (e.g. as the edge relation for
+        # semantic-dedup clustering); caller orders if it needs order
+        return scored
     return scored.orderBy(F.col("cosine").desc(), "vec_a", "vec_b").limit(k)
 
 

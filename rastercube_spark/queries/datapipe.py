@@ -546,15 +546,16 @@ def q98(spark, sf_dir):
     )
 
 
-def _lsh_pairs_oracle(
+def _lsh_pairs_ctes(
     threshold: float = 0.35,
-    k: int = 50,
     n_tables: int = 8,
     probe_hamming: int = 1,
 ) -> str:
-    """DuckDB mirror of lsh_cosine_pairs: per-table sign buckets (seeds
-    7..7+n_tables-1), left-side Hamming probing, a<b pair dedup, exact
-    rescore, threshold on the 6-dp rounded cosine, global top-k."""
+    """Shared CTE body mirroring lsh_cosine_pairs up to the thresholded
+    pair set ``pairs(vec_a, vec_b, cosine)``: per-table sign buckets
+    (seeds 7..7+n_tables-1), left-side Hamming probing, a<b pair dedup,
+    exact rescore, threshold on the 6-dp rounded cosine. Composed by the
+    qb0 (top-k) and qb2 (cluster) oracles."""
     masks = probe_masks(8, probe_hamming)
     cb_cols = ",\n                   ".join(
         f"{_bucket_sql('cv', seed=7 + t)} AS b{t}" for t in range(n_tables)
@@ -563,8 +564,7 @@ def _lsh_pairs_oracle(
         f"SELECT vec_id, {t} AS tbl, b{t} AS b FROM cb" for t in range(n_tables)
     )
     mvals = ", ".join(f"({m})" for m in masks)
-    return f"""
-        WITH c AS (
+    return f"""c AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
         ),
         cb AS (
@@ -593,10 +593,23 @@ def _lsh_pairs_oracle(
             FROM cand
             JOIN c qa ON qa.vec_id = cand.vec_a
             JOIN c qb ON qb.vec_id = cand.vec_b
-        )
+        ),
+        pairs AS (
+            SELECT vec_a, vec_b, cosine FROM scored
+            WHERE cosine >= {threshold}
+        )"""
+
+
+def _lsh_pairs_oracle(
+    threshold: float = 0.35,
+    k: int = 50,
+    n_tables: int = 8,
+    probe_hamming: int = 1,
+) -> str:
+    return f"""
+        WITH {_lsh_pairs_ctes(threshold, n_tables, probe_hamming)}
         SELECT vec_a, vec_b, cosine
-        FROM scored
-        WHERE cosine >= {threshold}
+        FROM pairs
         ORDER BY cosine DESC, vec_a, vec_b
         LIMIT {k}
     """
@@ -629,6 +642,54 @@ def qb0(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings")
     return lsh_cosine_pairs(e, dim=EMB_DIM, threshold=0.35, k=50)
+
+
+@query(
+    "qb2_semantic_dedup",
+    oracle=f"""
+        WITH RECURSIVE {_lsh_pairs_ctes(0.35)},
+        edges AS (
+            SELECT vec_a AS a, vec_b AS b FROM pairs
+            UNION
+            SELECT vec_b, vec_a FROM pairs
+        ),
+        reach(a, b) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+        )
+        SELECT a AS vec_id, min(b) AS cluster_id,
+               (a = min(b)) AS keeper
+        FROM reach GROUP BY a ORDER BY vec_id
+    """,
+)
+def qb2(spark, sf_dir):
+    """SEMANTIC dedup keep-list — qa3/qa4's text-level flow lifted to the
+    embedding level, composing round-5 pieces end to end: LSH-bucketed
+    cosine pairs ≥ 0.35 (lsh_cosine_pairs, k=None → the full edge set,
+    no nested loop) → iterative min-label connected components
+    (operators/graph.py, O(log diameter) rounds) → keeper = the minimum
+    vec_id of each semantic cluster. This is the embedding analog of
+    near-dup document removal: drop every non-keeper and one
+    representative per meaning survives. Oracle: same candidate CTEs +
+    recursive-CTE transitive closure (viable at oracle scale; the Spark
+    loop is the form that scales)."""
+    from rastercube_spark.operators.graph import min_label_clusters
+    from rastercube_spark.operators.similarity import lsh_cosine_pairs
+
+    e = load(spark, sf_dir, "embeddings")
+    pairs = lsh_cosine_pairs(e, dim=EMB_DIM, threshold=0.35, k=None).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return (
+        min_label_clusters(pairs)
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("keeper"),
+        )
+        .orderBy("vec_id")
+    )
 
 
 @query(

@@ -78,6 +78,7 @@ ATTEST_CHANGED: tuple[str, ...] = (
     "qa9_media_knn",
     "q83_chunk_udtf",
     "qb1_decontaminate",
+    "qb2_semantic_dedup",
 )
 
 # Stalest standing attestations: everything last attested in round 2
@@ -95,7 +96,8 @@ ATTEST_STALE: tuple[str, ...] = (
     "q52_intersect",
     "q53_except",
     "q60_string_funcs",
-    "q21_count_distinct",
+    # q21_count_distinct yielded its slot to qb2_semantic_dedup (same
+    # pattern as q10/q13 below); frozen-valid, exempt-listed.
     "q81_grouped_map_udf",
     "q82_grouped_agg_udf",
     "qr01_windowed_read_fill",
@@ -132,6 +134,7 @@ ATTEST_EXEMPT: dict[str, str] = {
         "q03_in_null_predicates",
         "q10_inner_equi",
         "q13_left_outer_null",
+        "q21_count_distinct",
         "q11_broadcast_join",
         "q12_sort_merge_join",
         "q14_left_semi",
