@@ -50,9 +50,13 @@ HEADLINE = [
     "qa2_ivf_knn",
     "qa8_frame_sample",
     "qa9_media_knn",
-    # round 5 addition: LSH-bucketed cosine pair search (the registered
-    # scale path for q98's all-pairs formulation)
+    # round 5 additions: LSH-bucketed cosine pair search (the registered
+    # scale path for q98's all-pairs formulation) and the broadcast
+    # n-gram decontamination pass (qb2's clustering is driver-iterative,
+    # so its noop-sink timing would measure only the final labels plan —
+    # excluded rather than reported misleadingly)
     "qb0_cosine_pairs_lsh",
+    "qb1_decontaminate",
 ]
 
 
