@@ -277,6 +277,24 @@ def cmd_regions(args) -> int:
     return 0
 
 
+def cmd_decontaminate(args) -> int:
+    """Flag training documents sharing any word k-gram with an eval/
+    benchmark parquet (columns doc_id, text); writes the flagged list."""
+    import json as _json
+
+    from rastercube_spark.operators.dedup import decontaminate
+    from rastercube_spark.sources.tables import load
+
+    spark = _spark()
+    docs = load(spark, args.sf_dir, "documents")
+    ev = spark.read.parquet(args.eval_set)
+    flagged = decontaminate(docs, ev, k=args.k)
+    flagged.write.mode("overwrite").parquet(args.out)
+    n = flagged.count()
+    print(_json.dumps({"contaminated_docs": n, "k": args.k}))
+    return 0
+
+
 def cmd_download_modis(args) -> int:
     """Acquire missing MODIS HDF files from an archive (reference
     ndvi_hdf_download.py): mirror per-date listings, diff against the
@@ -391,6 +409,13 @@ def build_parser() -> argparse.ArgumentParser:
     ef.add_argument("--root", required=True)
     ef.add_argument("--out", required=True, help="output .shp path")
     ef.set_defaults(fn=cmd_export_fracs)
+
+    dc = sub.add_parser("decontaminate")
+    dc.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    dc.add_argument("--eval-set", required=True, help="parquet: doc_id, text")
+    dc.add_argument("--out", required=True)
+    dc.add_argument("--k", type=int, default=5)
+    dc.set_defaults(fn=cmd_decontaminate)
 
     dm = sub.add_parser("download-modis")
     dm.add_argument("--base-url", required=True, help="archive dir URL")

@@ -165,3 +165,25 @@ def test_cli_download_modis(tmp_path, capsys, monkeypatch):
     rep = json.loads(capsys.readouterr().out)
     assert rep == {"pages_fetched": 1, "advertised": 1, "downloaded": 1}
     assert (tmp_path / "h" / "2016" / f).read_bytes() == b"HDFDATA"
+
+
+def test_cli_decontaminate(spark, tmp_path, capsys):
+    """decontaminate verb flags corpus docs leaking eval text and writes
+    the flagged parquet."""
+    import json
+
+    ev_dir = str(tmp_path / "eval")
+    # use two real corpus docs as the "benchmark" -> they flag themselves
+    from rastercube_spark.sources.tables import load
+
+    load(spark, "/root/testdata/sf0.001", "documents").where(
+        "doc_id < 2"
+    ).select("doc_id", "text").write.parquet(ev_dir)
+    out = str(tmp_path / "flagged")
+    assert main([
+        "decontaminate", "--sf-dir", "/root/testdata/sf0.001",
+        "--eval-set", ev_dir, "--out", out, "--k", "5",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["contaminated_docs"] >= 2  # at least the eval docs themselves
+    assert spark.read.parquet(out).count() == rep["contaminated_docs"]

@@ -68,3 +68,27 @@ def test_fingerprint_column_stable(spark):
     fps = d.select(content_fingerprint(F.col("text")).alias("fp")).collect()
     assert fps[0]["fp"] == fps[1]["fp"] == fps[2]["fp"]
     assert len(fps[0]["fp"]) == 32  # md5 hex
+
+
+def test_decontaminate_plants_and_disjoint(spark):
+    """Property anchors for the decontamination operator: a training doc
+    containing an exact copy of eval text MUST be flagged with at least
+    (len - k + 1) hits; a training set with fully disjoint vocabulary
+    MUST produce zero flags."""
+    from rastercube_spark.operators.dedup import decontaminate
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta"
+    ev = spark.createDataFrame(
+        [(0, eval_text)], "doc_id long, text string"
+    )
+    tr = spark.createDataFrame(
+        [
+            (100, "prefix words " + eval_text + " suffix words"),  # planted
+            (101, "uno dos tres cuatro cinco seis siete ocho"),    # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_hits"] for r in decontaminate(tr, ev, k=5).collect()}
+    assert 101 not in got, "disjoint-vocabulary doc falsely flagged"
+    # 8 eval tokens -> 4 distinct 5-grams, all present in the planted doc
+    assert got.get(100) == 4, got
