@@ -148,6 +148,7 @@ def q82(spark, sf_dir):
     oracle="""
         WITH d AS (
             SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            WHERE text IS NOT NULL
         ),
         s AS (
             SELECT doc_id, toks,
@@ -186,10 +187,15 @@ def q83(spark, sf_dir):
     )
     class ChunkDoc:
         def eval(self, doc_id, text):
-            toks = (text or "").split(" ")
-            n = len(toks)
-            if n == 0:
+            # NULL text is dropped in BOTH engines (the WHERE below ≡ the
+            # oracle's WHERE text IS NOT NULL); this guard is belt-and-
+            # braces for direct UDTF use. Empty string is NOT special:
+            # ''.split(' ') == [''] ≡ DuckDB string_split('', ' '), one
+            # empty chunk — engine-exact either way (ADVICE r05).
+            if text is None:
                 return
+            toks = text.split(" ")
+            n = len(toks)
             for idx, s in enumerate(range(0, n, 24)):
                 chunk = toks[s : s + 32]
                 yield doc_id, idx, " ".join(chunk), len(chunk)
@@ -199,7 +205,8 @@ def q83(spark, sf_dir):
     return spark.sql(
         """
         SELECT c.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens
-        FROM q83_docs, LATERAL chunk_doc(doc_id, text) AS c
+        FROM (SELECT * FROM q83_docs WHERE text IS NOT NULL) d,
+             LATERAL chunk_doc(d.doc_id, d.text) AS c
         ORDER BY c.doc_id, c.chunk_idx
         """
     )

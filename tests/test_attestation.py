@@ -99,3 +99,62 @@ def test_guard_names_breaching_query():
     assert violations(cur, base, window=set(), exempt=set()) == [name]
     assert violations(cur, base, window={name}, exempt=set()) == []
     assert violations(cur, base, window=set(), exempt={name}) == []
+
+
+def test_function_local_imports_are_in_closure():
+    """ADVICE r05 (high): function-BODY imports bind locals, not
+    globals, so the r05 walker silently excluded qb0/qb1/qb2/qa2's
+    operators from their closures — edits to those operators would not
+    have tripped this suite. The fixed walker resolves
+    IMPORT_NAME/IMPORT_FROM from bytecode; these queries import their
+    operator inside the query function, so each operator's `def` must
+    appear in the closure source."""
+    from rastercube_spark.attest import closure_sources
+
+    qs = registry.queries()
+    os_ = registry.oracle_sql()
+    expected = {
+        "qb0_cosine_pairs_lsh": "def lsh_cosine_pairs",
+        "qb1_decontaminate": "def decontaminate",
+        "qb2_semantic_dedup": "def min_label_clusters",
+        "qa2_ivf_knn": "def train_ivf_centroids",
+    }
+    for name, needle in expected.items():
+        src = "\n".join(closure_sources(qs[name], os_.get(name)))
+        assert needle in src, (
+            f"{name}: locally-imported operator ({needle}) missing from "
+            "its hashed closure — the exact r05 blind spot"
+        )
+
+
+def test_guard_names_breaching_query_via_local_import():
+    """The local-import breach shape replayed mechanically (same
+    linecache probe as above, different import path): editing
+    operators/dedup.py's decontaminate — imported INSIDE qb1's body —
+    must move qb1's closure hash."""
+    import linecache
+    import os as _os
+
+    import rastercube_spark.operators.dedup as dedup_mod
+
+    qs = registry.queries()
+    os_ = registry.oracle_sql()
+    name = "qb1_decontaminate"
+    h_before = closure_hash(qs[name], os_.get(name))
+
+    fname = dedup_mod.__file__
+    st = _os.stat(fname)
+    with open(fname) as f:
+        lines = f.readlines()
+    fl = dedup_mod.decontaminate.__code__.co_firstlineno
+    lines[fl] = lines[fl].rstrip("\n") + "  # PROBE-EDIT\n"
+    linecache.cache[fname] = (st.st_size, st.st_mtime, lines, fname)
+    try:
+        h_after = closure_hash(qs[name], os_.get(name))
+    finally:
+        linecache.cache.pop(fname, None)
+
+    assert h_after != h_before, (
+        "closure walk failed to reach operators/dedup.py through qb1's "
+        "function-local import"
+    )
