@@ -2,9 +2,23 @@
 sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Queries execute via the noop sink — full plan execution (scan → shuffle →
-agg/join/window/UDF) without driver-side collection, so timings measure
-the engine, not result transfer.
+Methodology (VERDICT r05 "Next round" #1 — the r05 single-sample run on
+a loaded box produced +30-64% ghost regressions on provably-unchanged
+code):
+
+- each query: 1 warm run (JIT, shuffle files, broadcast warmup), then
+  the MEDIAN of 3 timed runs — robust to a single noisy sample;
+- load average is checked at start; if the 1-minute load exceeds
+  LOAD_IDLE_MAX the JSON carries a "load_warning" so a contended run
+  can never again masquerade as a regression;
+- queries execute via the noop sink — full plan execution (scan →
+  shuffle → agg/join/window/UDF) without driver-side collection, so
+  timings measure the engine, not result transfer;
+- LOOP_INCLUSIVE queries (qb2: driver-iterative connected-components,
+  where plan CONSTRUCTION runs the localCheckpoint'd loop) are timed
+  end-to-end per sample — query-function call + noop sink — because the
+  noop sink alone would only measure the final labels plan (the r05
+  exclusion, now metered correctly instead of excluded).
 """
 
 from __future__ import annotations
@@ -12,8 +26,12 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
+
+N_SAMPLES = 3
+LOAD_IDLE_MAX = 1.0
 
 # A representative slice of the surface: scans, sort-merge + broadcast
 # joins, hash agg, windows, top-k, QA decode, grouped-map UDF, raster
@@ -52,12 +70,18 @@ HEADLINE = [
     "qa9_media_knn",
     # round 5 additions: LSH-bucketed cosine pair search (the registered
     # scale path for q98's all-pairs formulation) and the broadcast
-    # n-gram decontamination pass (qb2's clustering is driver-iterative,
-    # so its noop-sink timing would measure only the final labels plan —
-    # excluded rather than reported misleadingly)
+    # n-gram decontamination pass
     "qb0_cosine_pairs_lsh",
     "qb1_decontaminate",
+    # round 6: semantic dedup, metered loop-inclusively (see module
+    # docstring) — the r05 exclusion resolved with the right meter
+    "qb2_semantic_dedup",
 ]
+
+# Driver-iterative queries: the query function itself executes work
+# (eager localCheckpoint loop), so each timed sample must include the
+# function call, not just the noop sink of the returned plan.
+LOOP_INCLUSIVE = {"qb2_semantic_dedup"}
 
 
 def _env_note() -> dict:
@@ -78,10 +102,22 @@ def _env_note() -> dict:
     except ImportError:
         pass
     try:
-        note["loadavg_start"] = [round(x, 2) for x in os.getloadavg()]
+        la = [round(x, 2) for x in os.getloadavg()]
+        note["loadavg_start"] = la
+        if la[0] > LOAD_IDLE_MAX:
+            note["load_warning"] = (
+                f"1-min loadavg {la[0]} > {LOAD_IDLE_MAX} at start: box is "
+                "not idle; treat deltas vs prior rounds as unreliable"
+            )
     except OSError:
         pass
+    note["samples"] = N_SAMPLES
+    note["stat"] = "median"
     return note
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
@@ -102,11 +138,21 @@ def main() -> None:
         fn = qs.get(name)
         if fn is None:
             continue
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # warm (JIT, shuffle files)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples: list[float] = []
+        if name in LOOP_INCLUSIVE:
+            _noop(fn(spark, sf_dir))  # warm (JIT, shuffle files)
+            for _ in range(N_SAMPLES):
+                t0 = time.perf_counter()
+                _noop(fn(spark, sf_dir))  # construction runs the loop
+                samples.append(time.perf_counter() - t0)
+        else:
+            df = fn(spark, sf_dir)
+            _noop(df)  # warm
+            for _ in range(N_SAMPLES):
+                t0 = time.perf_counter()
+                _noop(df)
+                samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(
