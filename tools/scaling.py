@@ -1,0 +1,199 @@
+"""Scaling rehearsal (VERDICT r05 "Next round" #1b): run the registered
+scale-path operators at n = 5k / 20k / 80k synthetic rows and RECORD the
+wall-time curve, turning the docstring crossover claims
+(operators/similarity.py lsh_cosine_pairs) into an artifact.
+
+    python tools/scaling.py            # writes SCALING.json, prints table
+
+Ops measured (operator level, synthetic deterministic inputs — the
+sf-dir fixtures cap out near 5k rows, which cannot show a curve):
+
+- qb0  lsh_cosine_pairs      banded cosine pair search (threshold+top-k)
+- q92  minhash→LSH pairs     shingle → signature → banded candidates
+- qa3  min_label_clusters    connected components (loop-INCLUSIVE: the
+                             driver-iterative localCheckpoint loop is
+                             the cost, same meter as bench.py's qb2)
+- q97  lsh_knn               100 queries vs n-row corpus, 8 tables
+
+Sub-quadratic gate: data grows 16× (5k→80k); a quadratic operator grows
+~256×. The recorded `growth_80k_over_5k` must stay well under
+`QUADRATIC_GROWTH` — the JSON carries the verdict per op so the claim
+is checkable, not narrative.
+
+Data shape mirrors the testdata embeddings/documents regime: 64-dim
+vectors, ~20% planted near-duplicates (id % 5 == 1 rows are small
+perturbations of id-1), CC edges in chains of 32 so pointer doubling
+has real depth to halve.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
+)
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+DIM = 64
+SIZES = [5_000, 20_000, 80_000]
+N_SAMPLES = 3
+QUADRATIC_GROWTH = 256.0  # 16× data, squared
+OUT = os.path.join(os.path.dirname(__file__), os.pardir, "SCALING.json")
+
+
+def synth_embeddings(spark: SparkSession, n: int) -> DataFrame:
+    """Deterministic 64-dim vectors, components hash-derived JVM-side
+    (no driver materialization — the generator itself is scale-clean).
+    Rows with id % 5 == 1 are near-copies of id-1 (cosine ≈ 1); unrelated
+    rows sit near cosine 0 in 64 dims, so threshold pruning has a real
+    signal to find."""
+    base = F.when(F.col("id") % 5 == 1, F.col("id") - 1).otherwise(F.col("id"))
+    comp = F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda i: (
+            (F.pmod(F.hash(F.col("_base"), i), F.lit(1000)) - 500) / 500.0
+            + F.pmod(F.hash(F.col("id"), i, F.lit(99)), F.lit(100)) / 5000.0
+        ).cast("float"),
+    )
+    return (
+        spark.range(n)
+        .withColumn("_base", base)
+        .select(F.col("id").alias("vec_id"), comp.alias("embedding"))
+    )
+
+
+def synth_docs(spark: SparkSession, n: int, n_tokens: int = 40) -> DataFrame:
+    """Deterministic token documents over a 5k vocab; id % 5 == 1 rows
+    share all but the final token with id-1 (high-Jaccard planted dups)."""
+    base = F.when(F.col("id") % 5 == 1, F.col("id") - 1).otherwise(F.col("id"))
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(n_tokens - 1)),
+        lambda i: F.concat(
+            F.lit("w"), F.pmod(F.hash(F.col("_base"), i), F.lit(5000)).cast("string")
+        ),
+    )
+    text = F.concat_ws(
+        " ",
+        F.concat_ws(" ", toks),
+        F.concat(F.lit("t"), (F.col("id") % 7).cast("string")),
+    )
+    return (
+        spark.range(n)
+        .withColumn("_base", base)
+        .select(F.col("id").alias("doc_id"), text.alias("text"))
+    )
+
+
+def synth_edges(spark: SparkSession, n: int) -> DataFrame:
+    """Chains of length 32 over [0, n): edge (i, i+1) unless i ends a
+    chain — deep enough that CC convergence takes real pointer-doubling
+    rounds, the thing whose growth we are measuring."""
+    return (
+        spark.range(n - 1)
+        .where(F.col("id") % 32 != 31)
+        .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    )
+
+
+def _noop(df: DataFrame) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _median_time(build, loop_inclusive: bool) -> float:
+    """1 warm run, then median of N_SAMPLES. ``build`` returns the
+    DataFrame; loop-inclusive ops re-run ``build`` inside the timed
+    region (driver-iterative construction IS their cost)."""
+    _noop(build())
+    samples = []
+    if loop_inclusive:
+        for _ in range(N_SAMPLES):
+            t0 = time.perf_counter()
+            _noop(build())
+            samples.append(time.perf_counter() - t0)
+    else:
+        df = build()
+        for _ in range(N_SAMPLES):
+            t0 = time.perf_counter()
+            _noop(df)
+            samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 3)
+
+
+def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
+    from rastercube_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles_df,
+    )
+    from rastercube_spark.operators.graph import min_label_clusters
+    from rastercube_spark.operators.similarity import lsh_cosine_pairs, lsh_knn
+
+    emb = synth_embeddings(spark, n)
+    docs = synth_docs(spark, n)
+    edges = synth_edges(spark, n)
+    queries = (
+        synth_embeddings(spark, 100)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    return {
+        "qb0_lsh_cosine_pairs": (
+            lambda: lsh_cosine_pairs(emb, dim=DIM, threshold=0.35, k=50),
+            False,
+        ),
+        "q92_minhash_lsh_pairs": (
+            lambda: lsh_candidate_pairs(
+                minhash_signatures(shingles_df(docs, "doc_id", "text", distinct=False))
+            ),
+            False,
+        ),
+        "qa3_min_label_clusters": (lambda: min_label_clusters(edges), True),
+        "q97_lsh_knn": (
+            lambda: lsh_knn(queries, emb, dim=DIM, k=10),
+            False,
+        ),
+    }
+
+
+def main() -> int:
+    from rastercube_spark.session import get_spark
+
+    spark = get_spark("rastercube-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    curves: dict[str, dict] = {}
+    for n in SIZES:
+        for name, (build, loop_inc) in ops(spark, n).items():
+            t = _median_time(build, loop_inc)
+            curves.setdefault(name, {"seconds": {}})["seconds"][str(n)] = t
+            print(f"n={n:>6}  {name:<24} {t:>8.3f}s", file=sys.stderr)
+
+    lo, hi = str(SIZES[0]), str(SIZES[-1])
+    for name, c in curves.items():
+        g = round(c["seconds"][hi] / c["seconds"][lo], 2)
+        c["growth_80k_over_5k"] = g
+        c["data_growth"] = SIZES[-1] // SIZES[0]
+        c["quadratic_growth"] = QUADRATIC_GROWTH
+        c["sub_quadratic"] = g < QUADRATIC_GROWTH / 4  # generous margin
+    result = {
+        "sizes": SIZES,
+        "samples": N_SAMPLES,
+        "stat": "median",
+        "dim": DIM,
+        "loadavg_start": [round(x, 2) for x in os.getloadavg()],
+        "ops": curves,
+    }
+    with open(os.path.abspath(OUT), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
