@@ -269,7 +269,15 @@ def cmd_regions(args) -> int:
     for base in args.shapefile or []:
         cat.register_shapefile(base)
     if args.region:
-        ring = cat.polygon_for_region(args.region)
+        try:
+            ring = cat.polygon_for_region(args.region)
+        except (KeyError, ValueError) as ex:
+            # unknown collection/region (or none registered) is a user
+            # error, not a traceback (ADVICE r05) — match the other
+            # verbs' clean-exit contract
+            msg = ex.args[0] if ex.args else str(ex)
+            print(f"regions: {msg}", file=sys.stderr)
+            return 2
         print(_json.dumps({"region": args.region, "ring": ring}))
         return 0
     out = {c: cat.region_names(c) for c in cat.collections()}

@@ -34,15 +34,40 @@ HDF_HREF_RE = re.compile(
 )
 
 
-def opener(user: str | None = None, password: str | None = None):
-    """URL opener; with credentials, an HTTP basic-auth opener (the real
-    LP DAAC archive sits behind Earthdata auth)."""
+# The Earthdata login host: LP DAAC endpoints 302 to it for the actual
+# Basic challenge, then 302 back with a session cookie the data host
+# requires (the reference's ndvi_hdf_download.py rides the same flow
+# through its .netrc/cookie setup).
+EARTHDATA_URL = "https://urs.earthdata.nasa.gov/"
+
+
+def opener(
+    user: str | None = None,
+    password: str | None = None,
+    base_url: str | None = None,
+):
+    """URL opener; with credentials, an HTTP basic-auth + cookie opener
+    (the real LP DAAC archive sits behind Earthdata auth).
+
+    Credentials are registered against the ACTUAL archive URL and the
+    Earthdata login host — registering against the bare scheme
+    (``"https://"``) parses to an empty authority that
+    ``find_user_password`` never matches, so the r05 version silently
+    sent no credentials (ADVICE r05 medium). The cookie processor is
+    load-bearing too: Earthdata answers the authenticated login with a
+    session cookie and redirects back to the data host, which 401s
+    again without it."""
     if not user:
         return urllib.request.build_opener()
+    import http.cookiejar
+
     mgr = urllib.request.HTTPPasswordMgrWithDefaultRealm()
-    mgr.add_password(None, "https://", user, password or "")
+    for uri in (base_url, EARTHDATA_URL):
+        if uri:
+            mgr.add_password(None, uri, user, password or "")
     return urllib.request.build_opener(
-        urllib.request.HTTPBasicAuthHandler(mgr)
+        urllib.request.HTTPBasicAuthHandler(mgr),
+        urllib.request.HTTPCookieProcessor(http.cookiejar.CookieJar()),
     )
 
 
@@ -179,7 +204,7 @@ def sync_archive(
 ) -> dict:
     """End-to-end acquisition pass: mirror listings → diff → download.
     Idempotent: a second run mirrors nothing and downloads nothing."""
-    op = opener(user, password)
+    op = opener(user, password, base_url=base_url)
     n_pages = mirror_date_pages(base_url, mirror_dir, op)
     avail = available_from_mirror(base_url, mirror_dir)
     todo = missing_files(avail, hdf_dir, tiles)

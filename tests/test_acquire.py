@@ -130,3 +130,82 @@ def test_download_retries_then_fails(tmp_path):
             retries=2,
             backoff_s=0.0,
         )
+
+
+def test_opener_registers_credentials_for_real_urls():
+    """ADVICE r05 (medium): add_password(None, "https://", ...) parses
+    to an empty authority and never matches a real URL — the opener must
+    register against the actual archive URL and the Earthdata host."""
+    import urllib.request
+
+    from rastercube_spark.sources.acquire import EARTHDATA_URL, opener
+
+    base = "https://e4ftl01.cr.usgs.gov/MOLT/MOD13Q1.006/"
+    op = opener("user", "secret", base_url=base)
+    auth = [
+        h for h in op.handlers
+        if isinstance(h, urllib.request.HTTPBasicAuthHandler)
+    ]
+    cookies = [
+        h for h in op.handlers
+        if isinstance(h, urllib.request.HTTPCookieProcessor)
+    ]
+    assert auth and cookies, "need basic-auth AND cookie handlers"
+    mgr = auth[0].passwd
+    assert mgr.find_user_password(None, base + "2016.01.01/") == (
+        "user",
+        "secret",
+    )
+    assert mgr.find_user_password(None, EARTHDATA_URL + "oauth/authorize") == (
+        "user",
+        "secret",
+    )
+    # the r05 bug shape: nothing registered ⇒ (None, None)
+    assert mgr.find_user_password(None, "https://other.example.com/") == (
+        None,
+        None,
+    )
+
+
+def test_authenticated_fetch_presents_credentials(tmp_path):
+    """End-to-end over a real localhost HTTP exchange: the server 401s
+    with a Basic challenge; the opener must retry WITH the Authorization
+    header (the r05 opener sent none and died on the 401)."""
+    import base64
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from rastercube_spark.sources.acquire import _fetch, opener
+
+    expected = "Basic " + base64.b64encode(b"user:secret").decode()
+    seen: list[str | None] = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            got = self.headers.get("Authorization")
+            seen.append(got)
+            if got != expected:
+                self.send_response(401)
+                self.send_header("WWW-Authenticate", 'Basic realm="x"')
+                self.end_headers()
+                return
+            body = b"<html>ok</html>"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}/"
+        op = opener("user", "secret", base_url=base)
+        assert _fetch(base + "data.hdf", op) == b"<html>ok</html>"
+    finally:
+        srv.shutdown()
+        t.join(timeout=5)
+    assert expected in seen, "credentials were never presented"

@@ -132,6 +132,14 @@ def test_cli_regions(tmp_path, capsys):
     got = json.loads(capsys.readouterr().out)
     assert got["region"] == "zones.a"
     assert got["ring"][0] == [0.0, 0.0] and len(got["ring"]) == 4
+    # unknown collection/region/regspec: clean nonzero exit + stderr
+    # message, never a raw traceback (ADVICE r05)
+    for spec in ("nope.a", "zones.nope", "zones"):
+        assert main(["regions", "--geojson", gj, "--region", spec]) == 2
+        err = capsys.readouterr().err
+        assert err.startswith("regions: ") and "Traceback" not in err
+    assert main(["regions", "--region", "any.a"]) == 2  # nothing registered
+    assert "regions: " in capsys.readouterr().err
 
 
 def test_cli_download_modis(tmp_path, capsys, monkeypatch):

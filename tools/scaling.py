@@ -37,6 +37,10 @@ import time
 sys.path.insert(
     0, os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
 )
+# local-mode executors live in the driver JVM; the 1g default heap is
+# sized for the sf fixtures, not an 80k-row rehearsal — must be set
+# before the JVM starts, hence env, not SparkConf.
+os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 16g pyspark-shell")
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -44,6 +48,16 @@ DIM = 64
 SIZES = [5_000, 20_000, 80_000]
 N_SAMPLES = 3
 QUADRATIC_GROWTH = 256.0  # 16× data, squared
+
+# Hyperplane count per corpus size for the cosine-LSH ops. Bucket count
+# (2^n_planes per table) is a DEPLOYMENT parameter that must track the
+# corpus, exactly like IVF's nlist: hold it fixed and within-bucket
+# candidate pairs grow as n²/buckets — the first rehearsal run proved it
+# by OOMing the 80k qb0 leg at the query default of 8 planes (256
+# buckets → ~312-row buckets → ~10⁹ candidate rows). Scaling planes
+# with log2(n) keeps expected bucket occupancy ~constant, which is what
+# a production rollout would tune.
+N_PLANES = {5_000: 14, 20_000: 16, 80_000: 18}
 OUT = os.path.join(os.path.dirname(__file__), os.pardir, "SCALING.json")
 
 
@@ -141,9 +155,12 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
         synth_embeddings(spark, 100)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     )
+    planes = N_PLANES[n]
     return {
         "qb0_lsh_cosine_pairs": (
-            lambda: lsh_cosine_pairs(emb, dim=DIM, threshold=0.35, k=50),
+            lambda: lsh_cosine_pairs(
+                emb, dim=DIM, threshold=0.35, k=50, n_planes=planes
+            ),
             False,
         ),
         "q92_minhash_lsh_pairs": (
@@ -154,7 +171,7 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
         ),
         "qa3_min_label_clusters": (lambda: min_label_clusters(edges), True),
         "q97_lsh_knn": (
-            lambda: lsh_knn(queries, emb, dim=DIM, k=10),
+            lambda: lsh_knn(queries, emb, dim=DIM, k=10, n_planes=planes),
             False,
         ),
     }
@@ -185,6 +202,7 @@ def main() -> int:
         "samples": N_SAMPLES,
         "stat": "median",
         "dim": DIM,
+        "n_planes": {str(k): v for k, v in N_PLANES.items()},
         "loadavg_start": [round(x, 2) for x in os.getloadavg()],
         "ops": curves,
     }
