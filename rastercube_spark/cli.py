@@ -285,6 +285,66 @@ def cmd_regions(args) -> int:
     return 0
 
 
+def cmd_query_region(args) -> int:
+    """Zonal stats for a NAMED region over a cube — the reference's
+    notebook one-liner (regions.py:119-130: polygon_for_region → mask →
+    stats) as a CLI verb. Spark shape: catalog polygon → tiny broadcast
+    edge table → relational ray-cast mask (operators/polygon.py, bbox
+    prefilter prunes partitions first) → engine-side aggregate; only the
+    5-number summary reaches the driver."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from rastercube_spark.functions.regions import RegionCatalog
+    from rastercube_spark.operators.polygon import points_in_polygon
+
+    cat = RegionCatalog()
+    for path in args.geojson or []:
+        cat.register_geojson(path)
+    for base in args.shapefile or []:
+        cat.register_shapefile(base)
+    colname, _, regname = args.region.partition(".")
+    try:
+        cat.polygon_for_region(args.region)  # validate regspec up front
+    except (KeyError, ValueError) as ex:
+        print(
+            f"query-region: {ex.args[0] if ex.args else ex}", file=sys.stderr
+        )
+        return 2
+    cube = _open_cube(args.root)
+    spark = _spark()
+    px = cube.df(spark)
+    if args.t is not None:
+        px = px.where(F.col("t") == args.t)
+    inside = points_in_polygon(px, cat.region_df(spark, colname), regname)
+    vcol, nodata = cube.header.value_col, cube.header.nodataval
+    valid = F.when(F.col(vcol) == nodata, None).otherwise(F.col(vcol))
+    row = inside.agg(
+        F.count("*").alias("n_px"),
+        F.count(valid).alias("n_valid"),
+        F.avg(valid).alias("mean"),
+        F.min(valid).alias("vmin"),
+        F.max(valid).alias("vmax"),
+    ).collect()[0]
+    print(
+        _json.dumps(
+            {
+                "region": args.region,
+                "t": args.t,
+                "n_px": row["n_px"],
+                "n_valid": row["n_valid"],
+                "mean": None
+                if row["mean"] is None
+                else round(float(row["mean"]), 6),
+                "min": row["vmin"],
+                "max": row["vmax"],
+            }
+        )
+    )
+    return 0
+
+
 def cmd_decontaminate(args) -> int:
     """Flag training documents sharing any word k-gram with an eval/
     benchmark parquet (columns doc_id, text); writes the flagged list."""
@@ -443,6 +503,20 @@ def build_parser() -> argparse.ArgumentParser:
         "--region", help="resolve one <collection>.<region> spec to its ring"
     )
     rg.set_defaults(fn=cmd_regions)
+
+    qr = sub.add_parser("query-region")
+    qr.add_argument("--root", required=True, help="cube root")
+    qr.add_argument(
+        "--region", required=True, help="<collection>.<region> spec"
+    )
+    qr.add_argument("--geojson", action="append", help="geojson collection(s)")
+    qr.add_argument(
+        "--shapefile", action="append", help="shapefile base path(s)"
+    )
+    qr.add_argument(
+        "--t", type=int, default=None, help="restrict to one time index"
+    )
+    qr.set_defaults(fn=cmd_query_region)
 
     return p
 

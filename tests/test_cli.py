@@ -142,6 +142,46 @@ def test_cli_regions(tmp_path, capsys):
     assert "regions: " in capsys.readouterr().err
 
 
+def test_cli_query_region(spark, tiles, capsys):
+    """query-region verb: named-region zonal stats over a cube — the
+    reference notebook one-liner (regions.py:119-130) end-to-end:
+    geojson catalog → ray-cast mask → engine aggregate, verified
+    against the source array's numpy slice."""
+    import json
+
+    from rastercube_spark.sources.vector import write_geojson
+
+    w, full, _ = tiles
+    assert main([
+        "create-cube", "--root", f"{w}/qr_cube", "--tiles",
+        f"{w}/tile_*.npy", "--width", "40", "--height", "40",
+        "--frac-ndates", "2", "--nodata=-3000", "--timestamps", "0,100,200",
+    ]) == 0
+    capsys.readouterr()
+    gj = f"{w}/zones.geojson"
+    # rectangle in grid pixel coords: centers x∈[5,20), y∈[5,15)
+    write_geojson(
+        gj,
+        {"box": [(5.0, 5.0), (20.0, 5.0), (20.0, 15.0), (5.0, 15.0), (5.0, 5.0)]},
+    )
+    assert main([
+        "query-region", "--root", f"{w}/qr_cube", "--region", "zones.box",
+        "--geojson", gj, "--t", "1",
+    ]) == 0
+    got = json.loads(capsys.readouterr().out)
+    window = full[5:15, 5:20, 1].astype("int64")
+    assert got["n_px"] == window.size
+    assert got["n_valid"] == int((window != -3000).sum())
+    assert got["min"] == int(window.min()) and got["max"] == int(window.max())
+    assert got["mean"] == round(float(window.mean()), 6)
+    # unknown region: clean error, no traceback
+    assert main([
+        "query-region", "--root", f"{w}/qr_cube", "--region", "zones.nope",
+        "--geojson", gj,
+    ]) == 2
+    assert "query-region: " in capsys.readouterr().err
+
+
 def test_cli_download_modis(tmp_path, capsys, monkeypatch):
     """download-modis verb drives the acquisition flow offline."""
     import json
