@@ -356,14 +356,25 @@ def ivf_knn(
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG; no numpy at runtime
-    on executors — these are driver-side literals baked into the plan)."""
+    on executors — these are driver-side literals baked into the plan).
+
+    The component map must span BOTH signs: ``state >> 32`` keeps 32
+    bits, /2^31 → [0, 2), −1 → [−1, 1). An earlier ``>> 33`` kept only
+    31 bits ([0,1) − 1 → [−1, 0)): every component negative, so all
+    planes shared an orthant (pairwise cosine ≈ 0.76) and sign bits
+    were ~enslaved to one direction — at n=80k, 19% of vectors landed
+    in bucket 0 and 14% in the all-ones bucket, turning the LSH
+    candidate equi-join quasi-quadratic (~2.9e9 identity-join pairs,
+    482 s) while small fixtures hid it. Caught by the r6 scaling
+    rehearsal (tools/scaling.py); guarded by the orthant test in
+    tests/test_similarity.py."""
     state = seed
     planes = []
     for _ in range(n_planes):
         row = []
         for _ in range(dim):
             state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-            row.append(((state >> 33) / float(1 << 31)) - 1.0)  # [-1, 1)
+            row.append(((state >> 32) / float(1 << 31)) - 1.0)  # [-1, 1)
         planes.append(row)
     return planes
 

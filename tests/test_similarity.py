@@ -112,6 +112,34 @@ def test_lsh_pairs_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.5, f"pair recall too low: {recall}"
 
 
+def test_hyperplanes_span_orthants():
+    """LSH bucket uniformity depends on the hyperplanes NOT sharing an
+    orthant: the pre-r6 generator mapped every component to [−1, 0)
+    (pairwise plane cosine ≈ 0.76), which funnelled a third of all
+    vectors into the two all-same-sign buckets and made the candidate
+    equi-join quasi-quadratic at n=80k (caught by tools/scaling.py).
+    Guard both the generator's sign balance and the resulting bucket
+    occupancy on neutral gaussian vectors."""
+    import numpy as np
+
+    from rastercube_spark.operators.similarity import _hyperplanes
+
+    planes = np.array(_hyperplanes(64, 18, seed=7))
+    assert (planes > 0).any(axis=1).all(), "a plane has no positive component"
+    normed = planes / np.linalg.norm(planes, axis=1, keepdims=True)
+    cos = normed @ normed.T
+    off = cos[~np.eye(len(planes), dtype=bool)]
+    assert abs(off.mean()) < 0.15, f"planes correlated: mean cos {off.mean():.3f}"
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20_000, 64)
+    bits = (vecs @ planes.T) >= 0
+    degenerate = (bits.all(axis=1) | (~bits).all(axis=1)).mean()
+    assert degenerate < 0.01, (
+        f"{degenerate:.1%} of vectors hash to an all-same-sign bucket"
+    )
+
+
 def test_lsh_pairs_unique_output(spark):
     """On a densely self-similar corpus a pair collides in MANY tables
     and probes; the operator must still emit each pair at most once

@@ -177,17 +177,31 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
     }
 
 
+PARTIAL = OUT + ".partial"
+
+
 def main() -> int:
     from rastercube_spark.session import get_spark
 
     spark = get_spark("rastercube-scaling")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # A full 5k→80k sweep is tens of minutes; checkpoint each (op, n)
+    # leg so an interrupted run resumes instead of repaying the sweep.
     curves: dict[str, dict] = {}
+    if os.path.exists(PARTIAL):
+        with open(PARTIAL) as f:
+            curves = json.load(f)
+        done = sum(len(c["seconds"]) for c in curves.values())
+        print(f"resuming: {done} legs cached in {PARTIAL}", file=sys.stderr)
     for n in SIZES:
         for name, (build, loop_inc) in ops(spark, n).items():
+            if str(n) in curves.get(name, {}).get("seconds", {}):
+                continue
             t = _median_time(build, loop_inc)
             curves.setdefault(name, {"seconds": {}})["seconds"][str(n)] = t
+            with open(PARTIAL, "w") as f:
+                json.dump(curves, f)
             print(f"n={n:>6}  {name:<24} {t:>8.3f}s", file=sys.stderr)
 
     lo, hi = str(SIZES[0]), str(SIZES[-1])
@@ -208,6 +222,8 @@ def main() -> int:
     }
     with open(os.path.abspath(OUT), "w") as f:
         json.dump(result, f, indent=1)
+    if os.path.exists(PARTIAL):
+        os.remove(PARTIAL)
     print(json.dumps(result))
     spark.stop()
     return 0
