@@ -180,25 +180,81 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
 PARTIAL = OUT + ".partial"
 
 
-def main() -> int:
+LOAD_IDLE_MAX = 2.0
+IDLE_WAIT_S = 900
+
+
+def _wait_for_idle() -> None:
+    """Block (bounded) until the 1-minute loadavg decays below
+    LOAD_IDLE_MAX. The first r6 sweep started seconds after a 32-core
+    pytest run; the still-decaying load inflated the 5k legs ~10× and
+    produced non-monotone curves. Recording loadavg is diagnosis;
+    waiting is prevention."""
+    t0 = time.time()
+    while time.time() - t0 < IDLE_WAIT_S:
+        la = os.getloadavg()[0]
+        if la < LOAD_IDLE_MAX:
+            return
+        print(f"loadavg {la:.1f} > {LOAD_IDLE_MAX}; waiting...", file=sys.stderr)
+        time.sleep(30)
+    print(f"proceeding despite loadavg {os.getloadavg()[0]:.1f}", file=sys.stderr)
+
+
+def run_leg(name: str, n: int) -> int:
+    """Measure ONE (op, n) leg in this process and print the median.
+
+    Per-leg process isolation is load-bearing, not convenience: a first
+    shared-session sweep measured q92@80k at 16.3 s where an isolated
+    session measures 1.5 s — legs that ran late inherited heap/GC state
+    from the 80k joins before them, and the first legs ate the one-time
+    JIT + Python-worker-pool spawn. Each leg therefore gets a fresh JVM
+    plus an untimed JIT warmup of the SAME op at the smallest size
+    before its own warm run and timed samples."""
     from rastercube_spark.session import get_spark
 
-    spark = get_spark("rastercube-scaling")
+    spark = get_spark(f"rastercube-scaling-{name}-{n}")
     spark.sparkContext.setLogLevel("ERROR")
+    warm_build, _ = ops(spark, SIZES[0])[name]
+    _noop(warm_build())  # JIT/codegen/worker-pool warmup, tiny data
+    build, loop_inc = ops(spark, n)[name]
+    t = _median_time(build, loop_inc)
+    print(f"LEG_RESULT {name} {n} {t}")
+    spark.stop()
+    return 0
 
-    # A full 5k→80k sweep is tens of minutes; checkpoint each (op, n)
-    # leg so an interrupted run resumes instead of repaying the sweep.
+
+def main() -> int:
+    import subprocess
+
+    _wait_for_idle()
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
+
+    # Checkpoint each (op, n) leg so an interrupted sweep resumes
+    # instead of repaying tens of minutes.
     curves: dict[str, dict] = {}
     if os.path.exists(PARTIAL):
         with open(PARTIAL) as f:
             curves = json.load(f)
         done = sum(len(c["seconds"]) for c in curves.values())
         print(f"resuming: {done} legs cached in {PARTIAL}", file=sys.stderr)
+
     for n in SIZES:
-        for name, (build, loop_inc) in ops(spark, n).items():
+        for name in ("qb0_lsh_cosine_pairs", "q92_minhash_lsh_pairs",
+                     "qa3_min_label_clusters", "q97_lsh_knn"):
             if str(n) in curves.get(name, {}).get("seconds", {}):
                 continue
-            t = _median_time(build, loop_inc)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--leg", name, str(n)],
+                capture_output=True, text=True, timeout=1800,
+            )
+            t = None
+            for line in proc.stdout.splitlines():
+                if line.startswith("LEG_RESULT "):
+                    t = float(line.split()[3])
+            if t is None:
+                print(f"LEG FAILED {name} n={n}:\n{proc.stderr[-2000:]}",
+                      file=sys.stderr)
+                return 1
             curves.setdefault(name, {"seconds": {}})["seconds"][str(n)] = t
             with open(PARTIAL, "w") as f:
                 json.dump(curves, f)
@@ -215,9 +271,10 @@ def main() -> int:
         "sizes": SIZES,
         "samples": N_SAMPLES,
         "stat": "median",
+        "isolation": "one JVM per (op, n) leg, JIT-warmed",
         "dim": DIM,
         "n_planes": {str(k): v for k, v in N_PLANES.items()},
-        "loadavg_start": [round(x, 2) for x in os.getloadavg()],
+        "loadavg_start": loadavg_start,
         "ops": curves,
     }
     with open(os.path.abspath(OUT), "w") as f:
@@ -225,9 +282,10 @@ def main() -> int:
     if os.path.exists(PARTIAL):
         os.remove(PARTIAL)
     print(json.dumps(result))
-    spark.stop()
     return 0
 
 
 if __name__ == "__main__":
+    if len(sys.argv) == 4 and sys.argv[1] == "--leg":
+        sys.exit(run_leg(sys.argv[2], int(sys.argv[3])))
     sys.exit(main())
