@@ -14,6 +14,12 @@ sf-dir fixtures cap out near 5k rows, which cannot show a curve):
                              driver-iterative localCheckpoint loop is
                              the cost, same meter as bench.py's qb2)
 - q97  lsh_knn               100 queries vs n-row corpus, 8 tables
+- qb1  decontaminate         fixed 500-doc eval set broadcast vs n-doc
+                             corpus — the "corpus grows, eval doesn't"
+                             claim, measured
+- qa6  sequence packing      two-pass distributed prefix scan
+                             (loop-inclusive: pass 1 collects bucket
+                             totals during construction)
 
 Sub-quadratic gate: data grows 16× (5k→80k); a quadratic operator grows
 ~256×. The recorded `growth_80k_over_5k` must stay well under
@@ -141,12 +147,15 @@ def _median_time(build, loop_inclusive: bool) -> float:
 
 def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
     from rastercube_spark.operators.dedup import (
+        decontaminate,
         lsh_candidate_pairs,
         minhash_signatures,
         shingles_df,
     )
     from rastercube_spark.operators.graph import min_label_clusters
+    from rastercube_spark.operators.prefix import running_sum_exclusive
     from rastercube_spark.operators.similarity import lsh_cosine_pairs, lsh_knn
+    from rastercube_spark.operators.text import token_count
 
     emb = synth_embeddings(spark, n)
     docs = synth_docs(spark, n)
@@ -155,6 +164,13 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
         synth_embeddings(spark, 100)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     )
+    # Fixed-size eval set drawn from the same generator: doc ids 0-499
+    # share token streams with the scaled corpus, so contamination hits
+    # exist at every n while the broadcast side stays constant — the
+    # decontamination scale claim is exactly "corpus grows, eval
+    # doesn't".
+    eval_docs = synth_docs(spark, 500)
+    toks = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
     planes = N_PLANES[n]
     return {
         "qb0_lsh_cosine_pairs": (
@@ -173,6 +189,17 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
         "q97_lsh_knn": (
             lambda: lsh_knn(queries, emb, dim=DIM, k=10, n_planes=planes),
             False,
+        ),
+        "qb1_decontaminate": (
+            lambda: decontaminate(docs, eval_docs, id_col="doc_id"),
+            False,
+        ),
+        # construction runs approxQuantile + the bucket-totals collect
+        # (the first pass of the two-pass scan) — loop-inclusive, same
+        # meter as qa3/qb2.
+        "qa6_sequence_packing": (
+            lambda: running_sum_exclusive(toks, "doc_id", "n_tokens"),
+            True,
         ),
     }
 
@@ -240,7 +267,8 @@ def main() -> int:
 
     for n in SIZES:
         for name in ("qb0_lsh_cosine_pairs", "q92_minhash_lsh_pairs",
-                     "qa3_min_label_clusters", "q97_lsh_knn"):
+                     "qa3_min_label_clusters", "q97_lsh_knn",
+                     "qb1_decontaminate", "qa6_sequence_packing"):
             if str(n) in curves.get(name, {}).get("seconds", {}):
                 continue
             proc = subprocess.run(
