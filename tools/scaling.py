@@ -63,6 +63,17 @@ QUADRATIC_GROWTH = 256.0  # 16× data, squared
 # buckets → ~312-row buckets → ~10⁹ candidate rows). Scaling planes
 # with log2(n) keeps expected bucket occupancy ~constant, which is what
 # a production rollout would tune.
+#
+# Measured ablation (isolated JVMs, idle box, 2026-08-14): the qb0
+# curve's steeper last segment is NOT data superlinearity — it is this
+# parameter still lagging the corpus. At FIXED planes=18, 20k→80k is
+# 3.58 s → 15.1 s (4.2× for 4× data: linear); dropping 80k to planes=16
+# costs 37.9 s (2.5× worse — under-bucketing, not probe overhead,
+# dominates). More planes is FASTER at large n; the recorded growth
+# ratio is therefore an upper bound on the operator's true data
+# scaling. qb0's 80k leg also carries the sweep's largest cross-JVM
+# variance (15–28 s across three isolated runs); treat single-leg
+# deltas under ~2× as noise.
 N_PLANES = {5_000: 14, 20_000: 16, 80_000: 18}
 OUT = os.path.join(os.path.dirname(__file__), os.pardir, "SCALING.json")
 
@@ -300,6 +311,14 @@ def main() -> int:
         "samples": N_SAMPLES,
         "stat": "median",
         "isolation": "one JVM per (op, n) leg, JIT-warmed",
+        "qb0_ablation": {
+            "note": "fixed planes=18: 20k 3.58s -> 80k 15.1s (linear); "
+                    "80k at planes=16: 37.9s — the curve's last-segment "
+                    "steepness is the n_planes deployment parameter "
+                    "lagging the corpus, not data superlinearity",
+            "fixed_planes_18": {"20000": 3.581, "80000": 15.063},
+            "planes_16_80k": 37.879,
+        },
         "dim": DIM,
         "n_planes": {str(k): v for k, v in N_PLANES.items()},
         "loadavg_start": loadavg_start,
