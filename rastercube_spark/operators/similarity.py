@@ -379,6 +379,35 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     return planes
 
 
+def planes_for_corpus(n_rows: int, target_occupancy: float = 1.0) -> int:
+    """Signature length (bits per LSH table) sized to the corpus.
+
+    ``n_planes`` is a DEPLOYMENT parameter that must track corpus size,
+    exactly like IVF's nlist: bucket count is 2^n_planes per table, so
+    holding it fixed while the corpus grows means expected within-bucket
+    candidate pairs grow as n²/2^n_planes. Measured on the r6 scaling
+    rehearsal at n=80k: planes=16 → 37.9 s, planes=18 → 15.1 s for the
+    same pair search — MORE planes is FASTER at large n, because bucket
+    dilution (fewer false candidates) dominates the extra probe fan-out.
+    At fixed adequate planes the operator scales linearly in n
+    (tools/scaling.py, SCALING.json qb0_ablation).
+
+    Sizing 2^n_planes ≈ n/target_occupancy keeps expected bucket
+    occupancy ~constant as the corpus grows; recall is then governed by
+    n_tables × probe_hamming (the OR-construction), not by the bucket
+    width. Callers at real scale should pass
+    ``n_planes=planes_for_corpus(corpus_count)`` to lsh_cosine_pairs /
+    lsh_knn rather than leaning on the fixture-sized default of 8.
+    Floor of 8 keeps tiny corpora off degenerate 1-bucket tables; cap of
+    30 keeps the bucket id in a signed int32.
+    """
+    import math
+
+    if n_rows < 1:
+        return 8
+    return max(8, min(30, math.ceil(math.log2(max(1.0, n_rows / target_occupancy)))))
+
+
 def lsh_buckets_udf(dim: int, n_planes: int = 8, n_tables: int = 1, seed: int = 7):
     """Arrow-batched pandas UDF: vector → array of ``n_tables`` sign-pattern
     bucket ids (0 .. 2^n_planes−1), one per hyperplane table.

@@ -140,6 +140,22 @@ def test_hyperplanes_span_orthants():
     )
 
 
+def test_planes_for_corpus_sizing():
+    """The deployment-parameter rule measured by the r6 ablation: bucket
+    count tracks the corpus (2^planes ≈ n), floored at 8 for tiny
+    corpora and capped at 30 so bucket ids stay signed-int32."""
+    from rastercube_spark.operators.similarity import planes_for_corpus
+
+    assert planes_for_corpus(0) == 8
+    assert planes_for_corpus(100) == 8
+    assert planes_for_corpus(80_000) == 17
+    assert planes_for_corpus(80_000, target_occupancy=0.3) == 19
+    assert planes_for_corpus(10**12) == 30  # int32 cap
+    # monotone in n: a bigger corpus never gets fewer buckets
+    vals = [planes_for_corpus(n) for n in (10**3, 10**5, 10**7, 10**9)]
+    assert vals == sorted(vals)
+
+
 def test_lsh_pairs_unique_output(spark):
     """On a densely self-similar corpus a pair collides in MANY tables
     and probes; the operator must still emit each pair at most once

@@ -74,6 +74,11 @@ QUADRATIC_GROWTH = 256.0  # 16× data, squared
 # scaling. qb0's 80k leg also carries the sweep's largest cross-JVM
 # variance (15–28 s across three isolated runs); treat single-leg
 # deltas under ~2× as noise.
+#
+# The API-level version of this sizing rule is
+# operators.similarity.planes_for_corpus (target_occupancy≈0.3 here —
+# these hand values predate the helper and are kept so the recorded
+# curves match the parameters that produced them).
 N_PLANES = {5_000: 14, 20_000: 16, 80_000: 18}
 OUT = os.path.join(os.path.dirname(__file__), os.pardir, "SCALING.json")
 
