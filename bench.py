@@ -76,6 +76,12 @@ HEADLINE = [
     # round 6: semantic dedup, metered loop-inclusively (see module
     # docstring) — the r05 exclusion resolved with the right meter
     "qb2_semantic_dedup",
+    # round 6 additions: deterministic mixture sampling, passage-level
+    # dedup, quality-rule gate, SQ8+ADC quantized kNN
+    "qb3_mixture_sample",
+    "qb4_passage_dedup",
+    "qb5_quality_rules",
+    "qb6_quantized_knn",
 ]
 
 # Driver-iterative queries: the query function itself executes work

@@ -279,3 +279,37 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )
+
+
+def passages_df(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 8,
+) -> DataFrame:
+    """(doc_id, passage) fixed-size non-overlapping token windows — the
+    sub-document granularity for span-level dedup (the C4-style pass
+    that removes boilerplate repeated ACROSS documents even when no two
+    documents are near-duplicates as wholes).
+
+    Tokenization is a literal single-space split (identical to the q83
+    chunker and to DuckDB ``string_split(text, ' ')``), so passage
+    boundaries are engine-exact. Like shingles_df, the token array is
+    materialized as a named column first; the window builder slices it
+    by name (embedding the split per element is O(tokens²) per doc).
+
+    Scale shape: a map-side explode with ~1/size as many output rows as
+    tokens — strictly narrower than the shingle relation (k-grams emit
+    one row PER TOKEN); everything downstream keys on the passage hash.
+    """
+    toks_mat = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("__tk"),
+    )
+    n = F.size("__tk")
+    starts = F.sequence(F.lit(0), n - 1, F.lit(size))
+    pas = F.transform(
+        starts,
+        lambda s: F.array_join(F.slice(F.col("__tk"), s + 1, size), " "),
+    )
+    return toks_mat.select("doc_id", F.explode(pas).alias("passage"))

@@ -1,0 +1,75 @@
+"""Deterministic hash sampling — the dataset-mixture stage of a
+training-data pipeline (per-source up/down-weighting before training).
+
+A mixture spec is a tiny table (source → sampling rate); applying it to
+a 100 TB corpus must not involve randomness (reruns must keep the same
+rows — checkpoint/resume and auditability both demand it) and must not
+shuffle the corpus. Both hold here:
+
+- the keep/drop decision for a row is a pure function of a salted md5
+  of its key: ``substr(md5(salt || key), 1, 8)`` is an 8-hex-digit
+  uniform draw, and comparing it lexicographically against an 8-hex
+  threshold string is EXACTLY the numeric compare (fixed-width
+  lowercase hex), so the whole predicate stays in string space — no
+  float arithmetic to diverge between engines, no RNG to diverge
+  between runs;
+- the rates table broadcasts (it is one row per source), so the plan is
+  scan → broadcast-hash-join → filter: zero shuffles of the corpus, and
+  Catalyst pushes the projection into the scan.
+
+The salt namespaces the draw: sampling decisions must not correlate
+with any other md5-derived artifact in the pipeline (shingle hashes,
+fingerprints), and two different mixture passes over the same corpus
+get independent draws by choosing different salts.
+
+Cross-engine: Spark and DuckDB md5() agree byte-for-byte on UTF-8
+input, so the oracle replays the identical decision.
+
+No reference analog (rastercube has no sampling surface); this is part
+of the net-new LLM-datapipe pillar the builder brief requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# 2^32 in hex is a 9-digit string; any 8-hex-digit draw is < "g", so "g"
+# is the keep-everything threshold (hex digits are 0-9a-f < 'g').
+KEEP_ALL_THR = "g"
+
+
+def rate_to_hex_threshold(rate: float) -> str:
+    """8-hex-digit threshold t such that P[draw < t] == rate (draw
+    uniform over the 16^8 8-hex-digit strings). rate >= 1 keeps all."""
+    if rate >= 1.0:
+        return KEEP_ALL_THR
+    if rate <= 0.0:
+        return "00000000"
+    return format(int(rate * 16**8), "08x")
+
+
+def hash_draw(key: Column, salt: str) -> Column:
+    """The uniform draw: first 8 lowercase-hex chars of md5(salt||key)."""
+    return F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8)
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: DataFrame,
+    on: str = "source",
+    key: str = "doc_id",
+    salt: str = "mix:",
+) -> DataFrame:
+    """Keep each row of ``df`` with its source's rate, deterministically.
+
+    ``rates`` has columns (``on``, ``thr``) where thr is an 8-hex-digit
+    threshold from :func:`rate_to_hex_threshold`. Inner join (a source
+    absent from the spec contributes nothing — the explicit-allowlist
+    semantics a curation pipeline wants), broadcast because a mixture
+    spec is always tiny.
+    """
+    return (
+        df.join(F.broadcast(rates), on)
+        .where(hash_draw(F.col(key), salt) < F.col("thr"))
+        .drop("thr")
+    )

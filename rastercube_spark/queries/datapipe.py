@@ -1406,3 +1406,302 @@ def qa9(spark, sf_dir):
     return brute_force_knn(
         qs, feats, k=5, c_id="doc_id", c_vec="feature"
     ).orderBy("q_id", "rank")
+
+
+# --- round 6: mixture sampling, passage dedup, quality rules, SQ8 ANN ---
+
+@query(
+    "qb3_mixture_sample",
+    oracle="""
+        WITH rates AS (
+            SELECT source,
+                   CASE CAST(substr(source, 4) AS INT) % 4
+                       WHEN 0 THEN 'g'
+                       WHEN 1 THEN '80000000'
+                       WHEN 2 THEN '40000000'
+                       ELSE        '20000000'
+                   END AS thr
+            FROM (SELECT DISTINCT source FROM documents)
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN rates r USING (source)
+        WHERE substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < r.thr
+        ORDER BY d.doc_id
+    """,
+)
+def qb3(spark, sf_dir):
+    """Dataset-mixture sampling (operators/sampling.py): re-weight the
+    corpus per source with DETERMINISTIC hash sampling — srcN keeps
+    [100, 50, 25, 12.5]% by N mod 4, standing in for the up/down-
+    weighting every pretraining mixture applies. The keep decision is a
+    salted-md5 hex draw compared lexicographically against an 8-hex
+    threshold (fixed-width lowercase hex ⇒ string compare ≡ numeric
+    compare), so there is NO randomness and NO float arithmetic — rerun
+    at any partitioning and the same rows survive, and the oracle
+    replays the decision byte-for-byte.
+
+    Scale shape: rates (one row per source) broadcast; the corpus plan
+    is scan → broadcast-join → filter — zero corpus shuffles."""
+    from rastercube_spark.operators.sampling import (
+        mixture_sample,
+        rate_to_hex_threshold,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    rates = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.element_at(
+                F.array(
+                    *[
+                        F.lit(rate_to_hex_threshold(r))
+                        for r in (1.0, 0.5, 0.25, 0.125)
+                    ]
+                ),
+                (F.substring("source", 4, 10).cast("int") % 4) + 1,
+            ).alias("thr"),
+        )
+    )
+    return (
+        mixture_sample(d, rates, on="source", key="doc_id", salt="mix:")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "qb4_passage_dedup",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        p AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       toks[st + 1 : least(st + 8, len(toks))], ' '
+                   )) AS ph
+            FROM (
+                SELECT doc_id, toks, UNNEST(range(0, len(toks), 8)) AS st
+                FROM d
+            )
+        ),
+        c AS (SELECT ph, count(*) AS cnt FROM p GROUP BY ph)
+        SELECT p.doc_id,
+               CAST(count(*) AS BIGINT) AS n_passages,
+               CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup,
+               round(CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS dup_ratio
+        FROM p JOIN c USING (ph)
+        GROUP BY p.doc_id
+        ORDER BY p.doc_id
+    """,
+)
+def qb4(spark, sf_dir):
+    """Passage-level exact dedup report (operators/dedup.py
+    passages_df): split every document into non-overlapping 8-token
+    passages, hash each, and flag passages whose exact text occurs more
+    than once in the corpus — the sub-document granularity that catches
+    repeated boilerplate (headers, license blocks, navigation chrome)
+    which whole-document dedup (q91) and near-dup LSH (q92) both miss
+    when the surrounding text differs. Emits per-document duplicated-
+    span counts; a curation pipeline drops docs above a dup_ratio
+    threshold or strips the flagged spans.
+
+    Scale shape: map-side explode (~tokens/8 rows) → combinable count
+    per 16-byte passage hash → equi-join back on the hash → combinable
+    per-doc rollup. Two keyed shuffles, no row ever carries text wider
+    than one passage."""
+    from rastercube_spark.operators.dedup import passages_df
+
+    d = _docs(spark, sf_dir)
+    p = passages_df(d, "doc_id", "text", size=8).select(
+        "doc_id", F.md5("passage").alias("ph")
+    )
+    c = p.groupBy("ph").agg(F.count("*").alias("cnt"))
+    dup = F.when(F.col("cnt") > 1, F.lit(1)).otherwise(F.lit(0))
+    return (
+        p.join(c, "ph")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum(dup).alias("n_dup"),
+            F.round(
+                F.sum(dup).cast("double") / F.count("*"), 6
+            ).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "qb5_quality_rules",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   string_split(lower(text), ' ') AS toks,
+                   lower(text) AS lt
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS INT) AS n_words,
+                   round(CAST(list_sum(list_transform(toks, w -> length(w)))
+                              AS DOUBLE) / len(toks), 6) AS mean_word_len,
+                   CAST(list_max(list_transform(toks, w -> length(w)))
+                        AS INT) AS max_word_len,
+                   round(CAST(length(regexp_replace(lt, '[a-z0-9 ]', '', 'g'))
+                              AS DOUBLE)
+                         / greatest(length(lt), 1), 6) AS sym_ratio,
+                   CAST(len(list_filter(toks,
+                        t -> t IN ('the', 'a', 'of', 'and', 'is')))
+                        AS INT) AS n_stop
+            FROM m
+        )
+        SELECT doc_id, n_words, mean_word_len, max_word_len, sym_ratio,
+               n_stop,
+               (n_words BETWEEN 30 AND 10000) AS r_len,
+               (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                   AS r_wordlen,
+               (max_word_len <= 20) AS r_maxword,
+               (sym_ratio <= 0.1) AS r_symbol,
+               (n_stop >= 2) AS r_stop,
+               ((n_words BETWEEN 30 AND 10000)
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND max_word_len <= 20
+                AND sym_ratio <= 0.1
+                AND n_stop >= 2) AS keep
+        FROM s ORDER BY doc_id
+    """,
+)
+def qb5(spark, sf_dir):
+    """Gopher-style heuristic quality gate: the rule COMPOSITION stage
+    of a curation pipeline — five document-level rules (word-count band,
+    mean word length band, no over-long token, symbol-character ratio,
+    minimum stopword evidence) each emitted as its own verdict column
+    plus the conjunctive keep flag, so downstream can both filter and
+    audit WHICH rule rejected a document (the per-rule ablation every
+    data team runs). Complements q90 (raw metrics) and qa5 (repetition):
+    this is the decision layer.
+
+    Every statistic is integer-exact until a single final division
+    (sums of token lengths as bigint, counts as int), and both engines
+    round to 6 dp before the band comparisons — no accumulation-order
+    or representation divergence is possible. Pure column expressions
+    over one scan: zero shuffles, fully codegen'd."""
+    stop = LANG_MARKERS["en"]
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    wlens = F.transform(toks, F.length)
+    m = d.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.round(
+            F.aggregate(
+                wlens, F.lit(0).cast("bigint"), lambda a, v: a + v
+            ).cast("double")
+            / F.size(toks),
+            6,
+        ).alias("mean_word_len"),
+        F.array_max(wlens).alias("max_word_len"),
+        F.round(
+            F.length(
+                F.regexp_replace(F.lower("text"), "[a-z0-9 ]", "")
+            ).cast("double")
+            / F.greatest(F.length(F.lower("text")), F.lit(1)),
+            6,
+        ).alias("sym_ratio"),
+        F.size(F.filter(toks, lambda t: t.isin(*stop))).alias("n_stop"),
+    )
+    r_len = F.col("n_words").between(30, 10000)
+    r_wordlen = (F.col("mean_word_len") >= 3.0) & (
+        F.col("mean_word_len") <= 10.0
+    )
+    r_maxword = F.col("max_word_len") <= 20
+    r_symbol = F.col("sym_ratio") <= 0.1
+    r_stop = F.col("n_stop") >= 2
+    return m.select(
+        "*",
+        r_len.alias("r_len"),
+        r_wordlen.alias("r_wordlen"),
+        r_maxword.alias("r_maxword"),
+        r_symbol.alias("r_symbol"),
+        r_stop.alias("r_stop"),
+        (r_len & r_wordlen & r_maxword & r_symbol & r_stop).alias("keep"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "qb6_quantized_knn",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id,
+                   CASE WHEN sqrt(list_dot_product(v, v)) = 0
+                        THEN list_transform(v, x -> 0.0)
+                        ELSE list_transform(
+                            v, x -> x / sqrt(list_dot_product(v, v)))
+                   END AS vn
+            FROM e
+        ),
+        s AS (
+            SELECT vec_id, vn,
+                   list_max(list_transform(vn, x -> abs(x))) AS mx
+            FROM n
+        ),
+        enc AS (
+            SELECT vec_id,
+                   CASE WHEN mx = 0
+                        THEN list_transform(vn, x -> 0.0)
+                        ELSE list_transform(
+                            vn, x -> floor(x * (127.0 / mx) + 0.5))
+                   END AS cq,
+                   CASE WHEN mx = 0 THEN 0.0 ELSE mx / 127.0 END AS cs
+            FROM s
+        ),
+        qs AS (SELECT vec_id AS q_id, vn AS qn FROM n WHERE vec_id < 10),
+        sc AS (
+            SELECT qs.q_id, enc.vec_id,
+                   round(list_dot_product(
+                       qs.qn, list_transform(enc.cq, x -> x * enc.cs)
+                   ), 6) AS score
+            FROM qs, enc WHERE qs.q_id <> enc.vec_id
+        ),
+        r AS (
+            SELECT q_id, vec_id, score,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY score DESC, vec_id
+                   ) AS rank
+            FROM sc
+        )
+        SELECT q_id, vec_id, score, rank FROM r WHERE rank <= 10
+        ORDER BY q_id, rank
+    """,
+)
+def qb6(spark, sf_dir):
+    """Scalar-quantized kNN (SQ8 + asymmetric scoring) — the
+    compression ANN path next to LSH (q97) and IVF (qa2): the CORPUS is
+    L2-normalized and int8-encoded per vector (codes + one float
+    dequantization step, operators/similarity.py _sq8_pd), queries stay
+    float and score against dequantized codes (FAISS's ADC). The 4×
+    corpus payload shrink is the production point — the exhaustive scan
+    is memory-bandwidth-bound over the corpus side, and keeping the
+    tiny query side float buys recall 1.0 on this corpus where
+    symmetric int8×int8 measured 0.78 (gated ≥ 0.9 vs the q96 exact
+    baseline in tests/test_similarity.py). Every arithmetic step is
+    either elementwise float64 or an ordered fold, so both engines are
+    bit-identical before the single 6-dp rounding.
+
+    At 100 TB: encode once at ingest, persist (int8[dim], step) instead
+    of the float column; per-query scan bytes drop ~4×."""
+    from rastercube_spark.operators.similarity import quantized_knn
+
+    e = load(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return quantized_knn(qs, e, k=10).orderBy("q_id", "rank")

@@ -49,8 +49,18 @@ _ORACLES: dict[str, str] = {}
 #     from bytecode (ADVICE r05 high — qb0/qb1/qb2/qa2 etc. had their
 #     operators silently outside the hashed closure). Every query whose
 #     hash moved because its closure GREW under the fixed instrument is
-#     rotated here so the driver re-attests it under the sound hash.
+#     rotated here so the driver re-attests it under the sound hash;
+# (c) NEW queries (first attestation): qb3 mixture sampling, qb4
+#     passage-level dedup, qb5 quality-rule gate, qb6 int8-quantized
+#     kNN. Their 4 slots displace q30 (already green in r05, the
+#     youngest standing row) and q01/q02/q03 (trivial scans, golden-
+#     hash-pinned at sf0.001) from ATTEST_STALE; those four lead the
+#     r07 stale rotation.
 ATTEST_CHANGED: tuple[str, ...] = (
+    "qb3_mixture_sample",
+    "qb4_passage_dedup",
+    "qb5_quality_rules",
+    "qb6_quantized_knn",
     "qa2_ivf_knn",
     "q83_chunk_udtf",
     "qb0_cosine_pairs_lsh",
@@ -70,16 +80,14 @@ ATTEST_CHANGED: tuple[str, ...] = (
     "qr08_reproject_nearest",
 )
 
-# Stalest standing attestations — the entire r05 exempt list (everything
-# still sitting on r03/r04 driver rows: the scan/join/agg/function
-# families, q10/q13/q21 displaced in r05, the heavy hitters q20/q96/q97/
-# qr02) rotates through the window this round, plus q30 to fill slot 50.
-# VERDICT r05 "Next round" #2: after this rotation every query's last
-# green driver row is ≤ 2 rounds old and the exempt list is EMPTY.
+# Stalest standing attestations — the r05 exempt list (everything still
+# sitting on r03/r04 driver rows: the join/agg/function families,
+# q10/q13/q21 displaced in r05, the heavy hitters q20/q96/q97/qr02)
+# rotates through the window this round (VERDICT r05 "Next round" #2).
+# Exceptions, displaced by the four NEW qb3-qb6 slots and first in line
+# for r07: q30 (green in r05) and q01/q02/q03 (r03/r04 rows, but
+# trivial scans pinned by the sf0.001 golden hashes).
 ATTEST_STALE: tuple[str, ...] = (
-    "q01_scan_count",
-    "q02_project_filter",
-    "q03_in_null_predicates",
     "q10_inner_equi",
     "q11_broadcast_join",
     "q12_sort_merge_join",
@@ -109,7 +117,6 @@ ATTEST_STALE: tuple[str, ...] = (
     "q96_knn_bruteforce",
     "q97_lsh_knn",
     "qr02_polygon_mask",
-    "q30_ranking",
 )
 
 ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE

@@ -159,3 +159,31 @@ def test_range_join_matches_naive(spark, sf_dir):
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, naive))
     assert len(naive) > 300  # the fixture actually exercises overlaps
+
+
+def test_mixture_sample_broadcasts_rates(spark, sf_dir):
+    """qb3: the mixture-spec join must broadcast (one row per source)
+    and the corpus must reach the filter without a shuffle — mixture
+    sampling runs over the full corpus, so any corpus exchange before
+    the keep/drop filter would dominate the pass."""
+    plan = _plan(spark, sf_dir, "qb3_mixture_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_passage_dedup_joins_on_hash(spark, sf_dir):
+    """qb4: passage-count join must be an equi-join on the md5 key —
+    never a product — and both aggregates must have map-side partials
+    (HashAggregate pairs), the shape that survives a 100 TB corpus."""
+    plan = _plan(spark, sf_dir, "qb4_passage_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_quality_rules_zero_shuffle(spark, sf_dir):
+    """qb5 is pure per-row column expressions: the only Exchange allowed
+    in the plan is the final presentation sort's range partitioning."""
+    plan = _plan(spark, sf_dir, "qb5_quality_rules")
+    assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
+    assert plan.count("Exchange") <= 2  # rangepartitioning for orderBy
