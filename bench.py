@@ -77,7 +77,9 @@ HEADLINE = [
     # docstring) — the r05 exclusion resolved with the right meter
     "qb2_semantic_dedup",
     # round 6 additions: deterministic mixture sampling, passage-level
-    # dedup, quality-rule gate, SQ8+ADC quantized kNN
+    # dedup, quality-rule gate, SQ8+ADC quantized kNN, stream-static
+    # enrichment join
+    "q75_stream_static_join",
     "qb3_mixture_sample",
     "qb4_passage_dedup",
     "qb5_quality_rules",

@@ -201,3 +201,53 @@ def q74(spark, sf_dir):
         .drop("rn")
         .orderBy("event_id")
     )
+
+
+@query(
+    "q75_stream_static_join",
+    oracle=f"""
+        SELECT n.n_name,
+               time_bucket(INTERVAL '30 minutes', e.ts) AS window_start,
+               count(*) AS cnt,
+               {davg_sql('e.value')} AS avg_value
+        FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) e
+        JOIN nation n ON n.n_nationkey = e.user_id % 25
+        GROUP BY n.n_name, window_start
+        ORDER BY n.n_name, window_start
+    """,
+)
+def q75(spark, sf_dir):
+    """Stream-static enrichment join — the remaining Structured
+    Streaming join surface next to q70-q74's windowed/stateful aggs:
+    an unbounded event stream enriched against a bounded dimension
+    (here ``nation`` via user_id % 25 — the demographic/config lookup
+    every event pipeline performs), then windowed per dimension value.
+    Registered in its deterministic batch form (stream-static joins are
+    batch-equivalent by definition: the static side is fixed across
+    microbatches); tests/test_streaming.py re-runs it through a real
+    readStream → static join → watermark → windowed agg → writeStream
+    pipeline and asserts the terminal sink matches this result.
+
+    Scale shape: the dimension broadcasts (Spark re-broadcasts it per
+    microbatch); the stream is never shuffled for the join — the only
+    wide op is the windowed aggregation, map-side combinable on
+    (n_name, window). At 100 TB/day this is the canonical enrichment
+    topology: no stream-stream state, no watermark bookkeeping for the
+    join itself."""
+    e = load(spark, sf_dir, "events")
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), "n_name"
+    )
+    return (
+        e.withColumn("nk", F.col("user_id") % 25)
+        .join(F.broadcast(n), "nk")
+        .groupBy("n_name", F.window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"), davg("value").alias("avg_value"))
+        .select(
+            "n_name",
+            F.col("w.start").alias("window_start"),
+            "cnt",
+            "avg_value",
+        )
+        .orderBy("n_name", "window_start")
+    )

@@ -52,11 +52,13 @@ _ORACLES: dict[str, str] = {}
 #     rotated here so the driver re-attests it under the sound hash;
 # (c) NEW queries (first attestation): qb3 mixture sampling, qb4
 #     passage-level dedup, qb5 quality-rule gate, qb6 int8-quantized
-#     kNN. Their 4 slots displace q30 (already green in r05, the
-#     youngest standing row) and q01/q02/q03 (trivial scans, golden-
-#     hash-pinned at sf0.001) from ATTEST_STALE; those four lead the
-#     r07 stale rotation.
+#     kNN, q75 stream-static enrichment join. Their 5 slots displace
+#     q30 (already green in r05, the youngest standing row),
+#     q01/q02/q03 (trivial scans, golden-hash-pinned at sf0.001) and
+#     q62 (pure deterministic column functions, golden-pinned) from
+#     ATTEST_STALE; those five lead the r07 stale rotation.
 ATTEST_CHANGED: tuple[str, ...] = (
+    "q75_stream_static_join",
     "qb3_mixture_sample",
     "qb4_passage_dedup",
     "qb5_quality_rules",
@@ -84,9 +86,10 @@ ATTEST_CHANGED: tuple[str, ...] = (
 # sitting on r03/r04 driver rows: the join/agg/function families,
 # q10/q13/q21 displaced in r05, the heavy hitters q20/q96/q97/qr02)
 # rotates through the window this round (VERDICT r05 "Next round" #2).
-# Exceptions, displaced by the four NEW qb3-qb6 slots and first in line
-# for r07: q30 (green in r05) and q01/q02/q03 (r03/r04 rows, but
-# trivial scans pinned by the sf0.001 golden hashes).
+# Exceptions, displaced by the five NEW qb3-qb6/q75 slots and first in
+# line for r07: q30 (green in r05), q01/q02/q03 (r03/r04 rows, but
+# trivial scans pinned by the sf0.001 golden hashes) and q62 (pure
+# deterministic column functions, likewise golden-pinned).
 ATTEST_STALE: tuple[str, ...] = (
     "q10_inner_equi",
     "q11_broadcast_join",
@@ -106,7 +109,6 @@ ATTEST_STALE: tuple[str, ...] = (
     "q28_zonal_percentile",
     "q29_salted_agg",
     "q61_date_funcs",
-    "q62_math_funcs",
     "q63_qa_bitops",
     "q64_nodata_case",
     "q66_array_json",

@@ -187,3 +187,12 @@ def test_quality_rules_zero_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "qb5_quality_rules")
     assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
     assert plan.count("Exchange") <= 2  # rangepartitioning for orderBy
+
+
+def test_stream_static_join_broadcasts_dim(spark, sf_dir):
+    """q75: the enrichment dimension must broadcast — in the streaming
+    form Spark re-broadcasts it per microbatch and the stream is never
+    shuffled for the join (the canonical 100 TB/day enrichment shape)."""
+    plan = _plan(spark, sf_dir, "q75_stream_static_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

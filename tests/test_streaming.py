@@ -244,3 +244,40 @@ def test_stream_stream_interval_join_conformance(spark, tmp_path):
     cols = ["user_id", "click_id", "p_id"]
     got, want = _rows(sink, cols), _rows(batch, cols)
     assert got == want and len(got) > 0
+
+
+def test_stream_static_join_conformance(spark, tmp_path):
+    """q75 through a real pipeline: readStream → static broadcast join →
+    watermark → windowed agg → writeStream must equal the batch form.
+    The sentinel rows (user_id = -1) are dropped by the enrichment join
+    itself (-1 % 25 matches no nation key) — but only AFTER they pass
+    the watermark node, which sits on the stream side of the join, so
+    they still flush every real window."""
+    from rastercube_spark.sources.tables import load
+
+    replay = EventReplay(spark, SF, str(tmp_path), n_files=4)
+    s = replay.stream(max_files_per_trigger=None).withWatermark(
+        "ts", "45 minutes"
+    )
+    n = load(spark, SF, "nation").select(
+        F.col("n_nationkey").alias("nk"), "n_name"
+    )
+    agg = (
+        s.withColumn("nk", F.col("user_id") % 25)
+        .join(F.broadcast(n), "nk")
+        .groupBy("n_name", F.window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"), davg("value").alias("avg_value"))
+        .select(
+            "n_name",
+            F.col("w.start").alias("window_start"),
+            "cnt",
+            "avg_value",
+        )
+    )
+    sink = run_to_completion(agg, replay, "t75_sink")
+
+    from rastercube_spark.registry import queries
+
+    batch = queries()["q75_stream_static_join"](spark, SF)
+    cols = ["n_name", "window_start", "cnt", "avg_value"]
+    assert _rows(sink, cols) == _rows(batch, cols)
