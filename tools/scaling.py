@@ -20,6 +20,11 @@ sf-dir fixtures cap out near 5k rows, which cannot show a curve):
 - qa6  sequence packing      two-pass distributed prefix scan
                              (loop-inclusive: pass 1 collects bucket
                              totals during construction)
+- qb4  passage dedup         fixed 8-token spans hashed corpus-wide,
+                             combinable count + equi-join back
+- qb6  quantized kNN (SQ8)   100 fixed queries vs n-row int8 corpus
+                             (the ADC exhaustive scan: linear by
+                             construction, measured to confirm)
 
 Sub-quadratic gate: data grows 16× (5k→80k); a quadratic operator grows
 ~256×. The recorded `growth_80k_over_5k` must stay well under
@@ -170,7 +175,11 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
     )
     from rastercube_spark.operators.graph import min_label_clusters
     from rastercube_spark.operators.prefix import running_sum_exclusive
-    from rastercube_spark.operators.similarity import lsh_cosine_pairs, lsh_knn
+    from rastercube_spark.operators.similarity import (
+        lsh_cosine_pairs,
+        lsh_knn,
+        quantized_knn,
+    )
     from rastercube_spark.operators.text import token_count
 
     emb = synth_embeddings(spark, n)
@@ -217,7 +226,36 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
             lambda: running_sum_exclusive(toks, "doc_id", "n_tokens"),
             True,
         ),
+        # round-6 scale paths: passage-level dedup (map-side explode →
+        # combinable count on the 16-byte hash → equi-join back) and
+        # SQ8+ADC quantized kNN (100 fixed queries vs the growing
+        # corpus — the same "corpus grows, queries don't" claim as q97,
+        # over int8 codes).
+        "qb4_passage_dedup": (lambda: _passage_dedup(docs), False),
+        "qb6_quantized_knn": (
+            lambda: quantized_knn(queries, emb, k=10),
+            False,
+        ),
     }
+
+
+def _passage_dedup(docs: DataFrame) -> DataFrame:
+    """qb4's aggregation over passages_df (queries/datapipe.py qb4)."""
+    from rastercube_spark.operators.dedup import passages_df
+
+    p = passages_df(docs, "doc_id", "text", size=8).select(
+        "doc_id", F.md5("passage").alias("ph")
+    )
+    c = p.groupBy("ph").agg(F.count("*").alias("cnt"))
+    dup = F.when(F.col("cnt") > 1, F.lit(1)).otherwise(F.lit(0))
+    return (
+        p.join(c, "ph")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum(dup).alias("n_dup"),
+        )
+    )
 
 
 PARTIAL = OUT + ".partial"
@@ -284,7 +322,8 @@ def main() -> int:
     for n in SIZES:
         for name in ("qb0_lsh_cosine_pairs", "q92_minhash_lsh_pairs",
                      "qa3_min_label_clusters", "q97_lsh_knn",
-                     "qb1_decontaminate", "qa6_sequence_packing"):
+                     "qb1_decontaminate", "qa6_sequence_packing",
+                     "qb4_passage_dedup", "qb6_quantized_knn"):
             if str(n) in curves.get(name, {}).get("seconds", {}):
                 continue
             proc = subprocess.run(
