@@ -84,6 +84,10 @@ HEADLINE = [
     "qb4_passage_dedup",
     "qb5_quality_rules",
     "qb6_quantized_knn",
+    # fixed-size per-group sample (two-level top-k) and fractional
+    # upsampling (broadcast + map-side explode)
+    "qb7_group_sample",
+    "qb8_mixture_upsample",
 ]
 
 # Driver-iterative queries: the query function itself executes work

@@ -31,7 +31,7 @@ of the net-new LLM-datapipe pillar the builder brief requires.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # 2^32 in hex is a 9-digit string; any 8-hex-digit draw is < "g", so "g"
 # is the keep-everything threshold (hex digits are 0-9a-f < 'g').
@@ -72,4 +72,76 @@ def mixture_sample(
         df.join(F.broadcast(rates), on)
         .where(hash_draw(F.col(key), salt) < F.col("thr"))
         .drop("thr")
+    )
+
+
+def group_sample(
+    df: DataFrame,
+    k: int,
+    on: str = "source",
+    key: str = "doc_id",
+    salt: str = "samp:",
+) -> DataFrame:
+    """Deterministic fixed-SIZE uniform sample per group: the k rows
+    with the smallest salted-md5 draw — reservoir sampling's result
+    without RNG or sequential state (the draw is a pure function of the
+    key, so reruns and re-partitions return the identical sample; a
+    real reservoir is order-dependent and unreproducible distributed).
+
+    Scale shape — two-level top-k, because the obvious single window
+    over each group funnels every group through one task (a 100 TB
+    corpus with 20 sources = 20 tasks sorting 5 TB each): level 1 takes
+    the k smallest per (group, first hex digit of the draw) — 16-way
+    parallel per group, map-side combinable; level 2 takes the true k
+    smallest of the ≤16k survivors. Exact, not approximate: every one
+    of a group's k smallest draws is among the k smallest of its own
+    hex bucket. Adds a ``sample_rank`` column (1-based, draw order).
+    """
+    d = df.withColumn("_draw", hash_draw(F.col(key), salt))
+    w1 = Window.partitionBy(on, F.substring("_draw", 1, 1)).orderBy(
+        "_draw", key
+    )
+    cand = (
+        d.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy(on).orderBy("_draw", key)
+    return (
+        cand.withColumn("sample_rank", F.row_number().over(w2))
+        .where(F.col("sample_rank") <= k)
+        .drop("_draw")
+    )
+
+
+def mixture_upsample(
+    df: DataFrame,
+    weights: DataFrame,
+    on: str = "source",
+    key: str = "doc_id",
+    salt: str = "rep:",
+) -> DataFrame:
+    """Deterministic FRACTIONAL upsampling — the epoch/repeat-factor
+    side of mixture building (qb3/mixture_sample is the downsampling
+    side): a source with weight w contributes floor(w) copies of every
+    row plus one more for the frac(w) share of rows whose salted-md5
+    draw falls under the fractional threshold. ``weights`` has columns
+    (``on``, ``n_base`` int = floor(w), ``thr`` hex threshold for
+    frac(w) from :func:`rate_to_hex_threshold`). Adds ``copy`` (0-based
+    replica index) so downstream shuffles can spread the replicas.
+
+    Same contract as mixture_sample: no RNG, no floats — reruns emit
+    identical rows — and the weights table broadcasts, so the corpus
+    plan is scan → broadcast-join → map-side fan-out, zero shuffles.
+    """
+    n = F.col("n_base") + F.when(
+        hash_draw(F.col(key), salt) < F.col("thr"), 1
+    ).otherwise(0)
+    copies = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return (
+        df.join(F.broadcast(weights), on)
+        .withColumn("copy", F.explode(copies))
+        .drop("n_base", "thr")
     )

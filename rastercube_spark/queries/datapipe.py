@@ -1705,3 +1705,114 @@ def qb6(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return quantized_knn(qs, e, k=10).orderBy("q_id", "rank")
+
+
+@query(
+    "qb7_group_sample",
+    oracle="""
+        SELECT doc_id, source, sample_rank FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY substr(md5('samp:' ||
+                                CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+                   ) AS sample_rank
+            FROM documents
+        )
+        WHERE sample_rank <= 5
+        ORDER BY source, sample_rank
+    """,
+)
+def qb7(spark, sf_dir):
+    """Fixed-SIZE per-source sample (operators/sampling.py
+    group_sample): exactly 5 documents per source, chosen as the 5
+    smallest salted-md5 draws — reservoir sampling's result with zero
+    RNG, so the eval subset every pipeline carves out is identical on
+    rerun and at any partitioning. Complements qb3 (rate-based
+    downsampling) and qb8 (fractional upsampling).
+
+    Scale shape: two-level top-k — k-smallest per (source, draw hex
+    digit) first (16-way parallel per group, map-side combinable), then
+    the true k among ≤16k survivors — so no task ever sorts a whole
+    source (the naive one-window form funnels each source through a
+    single task; at 20 sources × 5 TB that is the whole job). The
+    oracle IS the naive form, viable at oracle scale, and must agree
+    exactly."""
+    from rastercube_spark.operators.sampling import group_sample
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        group_sample(d, k=5, on="source", key="doc_id", salt="samp:")
+        .select("doc_id", "source", "sample_rank")
+        .orderBy("source", "sample_rank")
+    )
+
+
+@query(
+    "qb8_mixture_upsample",
+    oracle="""
+        WITH w AS (
+            SELECT source,
+                   CASE CAST(substr(source, 4) AS INT) % 4
+                       WHEN 0 THEN 1 WHEN 1 THEN 1 ELSE 2
+                   END AS n_base,
+                   CASE CAST(substr(source, 4) AS INT) % 4
+                       WHEN 0 THEN '00000000'
+                       WHEN 1 THEN '80000000'
+                       WHEN 2 THEN '00000000'
+                       ELSE        '80000000'
+                   END AS thr
+            FROM (SELECT DISTINCT source FROM documents)
+        )
+        SELECT d.doc_id, d.source,
+               CAST(UNNEST(range(0,
+                   w.n_base + CASE WHEN substr(md5('rep:' ||
+                        CAST(d.doc_id AS VARCHAR)), 1, 8) < w.thr
+                   THEN 1 ELSE 0 END)) AS INT) AS copy
+        FROM documents d JOIN w USING (source)
+        ORDER BY d.doc_id, copy
+    """,
+)
+def qb8(spark, sf_dir):
+    """Deterministic fractional UPSAMPLING (operators/sampling.py
+    mixture_upsample): srcN carries repeat weight [1.0, 1.5, 2.0, 2.5]
+    by N mod 4 — each document emits floor(w) replicas plus one more
+    for the frac(w) share whose salted draw falls under the fractional
+    threshold, with a 0-based ``copy`` index. This is the epoch /
+    repeat-factor half of mixture building (the half qb3's rate
+    sampling cannot express: rates only go DOWN), and like qb3 it is
+    RNG-free and float-free, so the emitted multiset is identical on
+    every rerun — which is what makes checkpointed multi-epoch
+    training data reproducible.
+
+    Scale shape: weights broadcast; scan → broadcast-join → map-side
+    explode, zero corpus shuffles; the ≈1.75× row amplification is the
+    operator's purpose, not overhead."""
+    from rastercube_spark.operators.sampling import (
+        mixture_upsample,
+        rate_to_hex_threshold,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    n_bases = (1, 1, 2, 2)
+    fracs = (0.0, 0.5, 0.0, 0.5)
+    weights = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.element_at(
+                F.array(*[F.lit(b) for b in n_bases]),
+                (F.substring("source", 4, 10).cast("int") % 4) + 1,
+            ).alias("n_base"),
+            F.element_at(
+                F.array(*[F.lit(rate_to_hex_threshold(r)) for r in fracs]),
+                (F.substring("source", 4, 10).cast("int") % 4) + 1,
+            ).alias("thr"),
+        )
+    )
+    return (
+        mixture_upsample(d, weights, on="source", key="doc_id", salt="rep:")
+        .select("doc_id", "source", "copy")
+        .orderBy("doc_id", "copy")
+    )

@@ -196,3 +196,23 @@ def test_stream_static_join_broadcasts_dim(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q75_stream_static_join")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_group_sample_two_level_map_side_limit(spark, sf_dir):
+    """qb7: both top-k levels must carry Spark's WindowGroupLimit
+    map-side (Partial) pushdown — rows beyond k die before each
+    exchange — and the first level must partition on (source, hex
+    digit), never on source alone first (that is the single-task-per-
+    group funnel the operator exists to avoid)."""
+    plan = _plan(spark, sf_dir, "qb7_group_sample")
+    assert plan.count("WindowGroupLimit") >= 4  # Partial+Final × 2 levels
+    assert "Partial" in plan
+
+
+def test_mixture_upsample_broadcast_explode(spark, sf_dir):
+    """qb8: weights broadcast, fan-out is a map-side Generate explode,
+    and the corpus scan reads only the two columns the query needs."""
+    plan = _plan(spark, sf_dir, "qb8_mixture_upsample")
+    assert "BroadcastHashJoin" in plan
+    assert "Generate explode" in plan
+    assert "SortMergeJoin" not in plan

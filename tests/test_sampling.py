@@ -1,0 +1,102 @@
+"""Sampling-operator properties (operators/sampling.py): determinism
+under re-partitioning (the whole point of hash sampling — a reservoir
+or rand() sample can't promise this), exactness of the two-level
+group top-k, threshold nesting, and upsampling multiplicity bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from rastercube_spark.operators.sampling import (
+    group_sample,
+    hash_draw,
+    mixture_sample,
+    mixture_upsample,
+    rate_to_hex_threshold,
+)
+from rastercube_spark.sources.tables import load
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+def test_mixture_sample_nested_rates(spark, sf_dir):
+    """Thresholds nest, so samples nest: the rate-0.25 sample is a
+    subset of the rate-0.5 sample is a subset of the corpus — the
+    property that lets a pipeline tighten a mixture WITHOUT churning
+    which rows survive (draw < t1 < t2 ⇒ kept@t1 ⊆ kept@t2)."""
+    d = load(spark, sf_dir, "documents")
+
+    def rates(rate):
+        return d.select("source").distinct().select(
+            "source", F.lit(rate_to_hex_threshold(rate)).alias("thr")
+        )
+
+    k25 = set(_ids(mixture_sample(d, rates(0.25))))
+    k50 = set(_ids(mixture_sample(d, rates(0.5))))
+    assert k25 < k50
+    assert len(k50) < d.count()
+
+
+def test_mixture_sample_partition_invariant(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    rates = d.select("source").distinct().select(
+        "source", F.lit(rate_to_hex_threshold(0.5)).alias("thr")
+    )
+    a = _ids(mixture_sample(d, rates))
+    b = _ids(mixture_sample(d.repartition(13), rates))
+    assert a == b
+
+
+def test_group_sample_two_level_equals_naive(spark, sf_dir):
+    """The scale formulation (per-hex-digit pre-top-k, then true top-k)
+    must equal the naive single window EXACTLY — it is an execution
+    strategy, not an approximation."""
+    d = load(spark, sf_dir, "documents")
+    got = group_sample(d, k=5).select("doc_id", "source", "sample_rank")
+    w = Window.partitionBy("source").orderBy(
+        hash_draw(F.col("doc_id"), "samp:"), "doc_id"
+    )
+    naive = (
+        d.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= 5)
+        .select("doc_id", "source", "sample_rank")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+
+
+def test_group_sample_exact_k_and_invariant(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    s = group_sample(d, k=5)
+    per = {r["source"]: r["n"] for r in
+           s.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # fixture sources all have >= 5 docs, so every group yields exactly k
+    assert per and all(n == 5 for n in per.values())
+    a = sorted(map(tuple, s.select("doc_id", "source").collect()))
+    b = sorted(map(tuple,
+        group_sample(d.repartition(13), k=5).select("doc_id", "source").collect()))
+    assert a == b
+
+
+def test_mixture_upsample_multiplicity_bounds(spark, sf_dir):
+    """Every row appears n_base or n_base+1 times, copy indices are
+    contiguous from 0, and the realized fractional share sits strictly
+    between none and all (the draw actually splits the corpus)."""
+    d = load(spark, sf_dir, "documents")
+    weights = d.select("source").distinct().select(
+        "source",
+        F.lit(2).alias("n_base"),
+        F.lit(rate_to_hex_threshold(0.5)).alias("thr"),
+    )
+    up = mixture_upsample(d, weights)
+    per = (
+        up.groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.max("copy").alias("mx"))
+        .collect()
+    )
+    assert all(r["n"] in (2, 3) and r["mx"] == r["n"] - 1 for r in per)
+    n3 = sum(1 for r in per if r["n"] == 3)
+    assert 0 < n3 < len(per)
