@@ -78,8 +78,9 @@ HEADLINE = [
     "qb2_semantic_dedup",
     # round 6 additions: deterministic mixture sampling, passage-level
     # dedup, quality-rule gate, SQ8+ADC quantized kNN, stream-static
-    # enrichment join
+    # enrichment join, stream-stream interval join (batch forms)
     "q75_stream_static_join",
+    "q76_stream_stream_join",
     "qb3_mixture_sample",
     "qb4_passage_dedup",
     "qb5_quality_rules",

@@ -251,3 +251,65 @@ def q75(spark, sf_dir):
         )
         .orderBy("n_name", "window_start")
     )
+
+
+@query(
+    "q76_stream_stream_join",
+    oracle="""
+        SELECT v.event_id AS view_id,
+               c.event_id AS click_id,
+               v.user_id,
+               epoch_us(c.ts) - epoch_us(v.ts) AS delay_us
+        FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) v
+        JOIN (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) c
+          ON v.user_id = c.user_id
+         AND v.event_type = 'view' AND c.event_type = 'click'
+         AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 60 MINUTE
+        ORDER BY view_id, click_id
+    """,
+)
+def q76(spark, sf_dir):
+    """Stream-STREAM interval join — the last Structured Streaming join
+    surface after q75's stream-static form: click-to-view attribution,
+    matching each click to the views it followed within 60 minutes for
+    the same user (the both-sides-unbounded join that forces real state
+    management: each side buffers rows until the watermark proves no
+    more matches can arrive). Registered in its deterministic batch
+    form; tests/test_streaming.py replays it through two readStream
+    branches with watermarks and a time-bound join condition and
+    asserts the sink matches this result exactly.
+
+    Scale shape: the join keys on user_id (an equi-key — Spark plans a
+    keyed join with the time bound as residual predicate, never a
+    cartesian; plan-asserted), and in the streaming form the time bound
+    plus watermark caps each side's state at ~60 minutes of events per
+    user — without the bound, state grows unboundedly and the join is
+    rejected by Spark's unsupported-operation check. delay_us is an
+    exact integer (µs difference), so the result hashes identically in
+    both engines."""
+    e = load(spark, sf_dir, "events")
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("v_ts"),
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        v.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") > F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + F.expr("interval 60 minutes")),
+        )
+        .select(
+            "view_id",
+            "click_id",
+            "user_id",
+            (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("delay_us"),
+        )
+        .orderBy("view_id", "click_id")
+    )

@@ -52,19 +52,21 @@ _ORACLES: dict[str, str] = {}
 #     rotated here so the driver re-attests it under the sound hash;
 # (c) NEW queries (first attestation): qb3 mixture sampling, qb4
 #     passage-level dedup, qb5 quality-rule gate, qb6 int8-quantized
-#     kNN, q75 stream-static enrichment join, qb7 fixed-size group
-#     sample, qb8 fractional upsampling. Their 7 slots displace, from
-#     ATTEST_STALE: q30 (already green in r05, the youngest standing
-#     row), q01/q02/q03 (trivial scans, golden-hash-pinned at sf0.001)
-#     and q62 (pure deterministic column functions, golden-pinned);
-#     and, from the instrument-rotation set (b): qa8/qa9 — their r05
-#     driver rows are green, their behavior is provably unchanged
-#     (golden pins), and the (b) rotation was precautionary, not a
-#     semantic change. All displaced rows lead the r07 rotation.
+#     kNN, q75 stream-static enrichment join, q76 stream-stream
+#     interval join, qb7 fixed-size group sample, qb8 fractional
+#     upsampling. Their 8 slots displace, from ATTEST_STALE: q30
+#     (already green in r05, the youngest standing row), q01/q02/q03
+#     (trivial scans, golden-hash-pinned at sf0.001) and q62 (pure
+#     deterministic column functions, golden-pinned); and, from the
+#     instrument-rotation set (b): qa8/qa9/q73 — their r05 driver rows
+#     are green, their behavior is provably unchanged (golden pins),
+#     and the (b) rotation was precautionary, not a semantic change.
+#     All displaced rows lead the r07 rotation.
 ATTEST_CHANGED: tuple[str, ...] = (
     "qb7_group_sample",
     "qb8_mixture_upsample",
     "q75_stream_static_join",
+    "q76_stream_stream_join",
     "qb3_mixture_sample",
     "qb4_passage_dedup",
     "qb5_quality_rules",
@@ -77,7 +79,6 @@ ATTEST_CHANGED: tuple[str, ...] = (
     "qa3_dup_clusters",
     "qa4_dedup_keep",
     "qa6_sequence_packing",
-    "q73_watermark_late_data",
     "q19_range_join",
     "q65_affine_transform",
     "q98_cosine_pairs_topk",

@@ -216,3 +216,15 @@ def test_mixture_upsample_broadcast_explode(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "Generate explode" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_stream_stream_join_is_keyed(spark, sf_dir):
+    """q76: the interval join must key on user_id with the time bound
+    as a residual predicate — a keyed join (sort-merge or hash), never
+    a nested-loop/cartesian over two event sets."""
+    plan = _plan(spark, sf_dir, "q76_stream_stream_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )

@@ -281,3 +281,51 @@ def test_stream_static_join_conformance(spark, tmp_path):
     batch = queries()["q75_stream_static_join"](spark, SF)
     cols = ["n_name", "window_start", "cnt", "avg_value"]
     assert _rows(sink, cols) == _rows(batch, cols)
+
+
+def test_stream_stream_join_conformance(spark, tmp_path):
+    """q76 through a real stream-stream join: two readStream branches
+    (views, clicks) with watermarks and a time-bound condition — the
+    both-sides-stateful join. Inner joins emit on match; the watermark
+    plus the 60-minute bound let Spark evict buffered state, and the
+    sentinel files advance the watermark far enough that every real
+    match has flushed by the final trigger. Sentinel rows never match
+    (their event_type is neither 'view' nor 'click')."""
+    replay = EventReplay(spark, SF, str(tmp_path), n_files=4)
+    s = replay.stream(max_files_per_trigger=None)
+    v = (
+        s.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "120 minutes")
+    )
+    c = (
+        s.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "120 minutes")
+    )
+    j = v.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("interval 60 minutes")),
+    ).select(
+        "view_id",
+        "click_id",
+        "user_id",
+        (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("delay_us"),
+    )
+    sink = run_to_completion(j, replay, "t76_sink", flushes=1)
+
+    from rastercube_spark.registry import queries
+
+    batch = queries()["q76_stream_stream_join"](spark, SF)
+    cols = ["view_id", "click_id", "user_id", "delay_us"]
+    assert _rows(sink, cols) == _rows(batch, cols)
