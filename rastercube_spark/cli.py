@@ -11,6 +11,7 @@ reference user's workflows have drop-in analogs:
 | worldgrid_fracs_to_shapefile.py | ``export-fracs`` |
 | — | ``list-queries`` / ``run`` / ``explain`` (the query surface) |
 | — | ``clean-corpus`` (training-data dedup + quality pipeline) |
+| — | ``sample-corpus`` (deterministic mixture down/up-sampling) |
 
 Usage: ``python -m rastercube_spark.cli <subcommand> ...``
 """
@@ -363,6 +364,54 @@ def cmd_decontaminate(args) -> int:
     return 0
 
 
+def cmd_sample_corpus(args) -> int:
+    """Apply a mixture spec (JSON: source → weight) to the documents
+    table with DETERMINISTIC hash sampling — weight < 1 downsamples
+    (keep that fraction), weight > 1 upsamples (floor(w) replicas plus
+    a hash-selected frac(w) share); reruns emit identical rows. Writes
+    the sampled corpus (with a ``copy`` replica index) and prints
+    per-source counts."""
+    import json as _json
+    import math
+
+    from pyspark.sql import functions as F
+
+    from rastercube_spark.operators.sampling import (
+        mixture_upsample,
+        rate_to_hex_threshold,
+    )
+    from rastercube_spark.sources.tables import load
+
+    spark = _spark()
+    docs = load(spark, args.sf_dir, "documents")
+    try:
+        with open(args.spec) as f:
+            spec = _json.load(f)
+        rows = [
+            (s, int(math.floor(float(w))),
+             rate_to_hex_threshold(float(w) - math.floor(float(w))))
+            for s, w in spec.items()
+        ]
+    except (OSError, ValueError, AttributeError) as ex:
+        print(f"sample-corpus: bad spec {args.spec}: {ex}", file=sys.stderr)
+        return 2
+    weights = spark.createDataFrame(
+        rows, "source string, n_base int, thr string"
+    )
+    out = mixture_upsample(docs, weights)
+    out.write.mode("overwrite").parquet(args.out)
+    per = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    print(_json.dumps(
+        {"input": docs.count(), "output": sum(per.values()),
+         "per_source": per},
+        sort_keys=True,
+    ))
+    return 0
+
+
 def cmd_download_modis(args) -> int:
     """Acquire missing MODIS HDF files from an archive (reference
     ndvi_hdf_download.py): mirror per-date listings, diff against the
@@ -484,6 +533,13 @@ def build_parser() -> argparse.ArgumentParser:
     dc.add_argument("--out", required=True)
     dc.add_argument("--k", type=int, default=5)
     dc.set_defaults(fn=cmd_decontaminate)
+
+    sc = sub.add_parser("sample-corpus")
+    sc.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sc.add_argument("--spec", required=True,
+                    help="JSON file: {source: weight}; <1 down, >1 up")
+    sc.add_argument("--out", required=True)
+    sc.set_defaults(fn=cmd_sample_corpus)
 
     dm = sub.add_parser("download-modis")
     dm.add_argument("--base-url", required=True, help="archive dir URL")

@@ -235,3 +235,52 @@ def test_cli_decontaminate(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out)
     assert rep["contaminated_docs"] >= 2  # at least the eval docs themselves
     assert spark.read.parquet(out).count() == rep["contaminated_docs"]
+
+
+def test_cli_sample_corpus(spark, tmp_path, capsys):
+    """sample-corpus verb applies a JSON mixture spec (down- and
+    up-weights) deterministically and reports per-source counts."""
+    import json
+
+    spec = {f"src{i}": (0.5 if i % 2 else 2.5) for i in range(20)}
+    spec_path = str(tmp_path / "spec.json")
+    with open(spec_path, "w") as f:
+        json.dump(spec, f)
+    out = str(tmp_path / "sampled")
+    assert main([
+        "sample-corpus", "--sf-dir", "/root/testdata/sf0.001",
+        "--spec", spec_path, "--out", out,
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["output"] == spark.read.parquet(out).count()
+    from rastercube_spark.sources.tables import load
+
+    per_in = {
+        r["source"]: r["n"]
+        for r in load(spark, "/root/testdata/sf0.001", "documents")
+        .groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    for s, n_out in rep["per_source"].items():
+        if spec[s] == 0.5:
+            assert 0 < n_out < per_in[s]
+        else:  # 2.5x: between 2x and 3x of the source
+            assert 2 * per_in[s] <= n_out <= 3 * per_in[s]
+    # deterministic: a second run emits the identical multiset
+    out2 = str(tmp_path / "sampled2")
+    assert main([
+        "sample-corpus", "--sf-dir", "/root/testdata/sf0.001",
+        "--spec", spec_path, "--out", out2,
+    ]) == 0
+    capsys.readouterr()
+    a = sorted(map(tuple, spark.read.parquet(out).select("doc_id", "copy").collect()))
+    b = sorted(map(tuple, spark.read.parquet(out2).select("doc_id", "copy").collect()))
+    assert a == b
+
+
+def test_cli_sample_corpus_bad_spec(tmp_path, capsys):
+    bad = str(tmp_path / "nope.json")
+    assert main([
+        "sample-corpus", "--sf-dir", "/root/testdata/sf0.001",
+        "--spec", bad, "--out", str(tmp_path / "x"),
+    ]) == 2
+    assert "bad spec" in capsys.readouterr().err
