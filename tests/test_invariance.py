@@ -28,6 +28,17 @@ QUERIES = [
     # the LSH pair search (bucket self-join + DISTINCT + re-joins)
     "qa2_ivf_knn",
     "qb0_cosine_pairs_lsh",
+    # round 6: the sampling family (hash draws must be partition-proof),
+    # passage dedup (two keyed shuffles + join back), SQ8+ADC kNN
+    # (Arrow-batch boundaries must not leak into scores), and the two
+    # new streaming-form joins in their batch registration
+    "qb3_mixture_sample",
+    "qb4_passage_dedup",
+    "qb6_quantized_knn",
+    "qb7_group_sample",
+    "qb8_mixture_upsample",
+    "q75_stream_static_join",
+    "q76_stream_stream_join",
 ]
 
 VARIANTS = [
