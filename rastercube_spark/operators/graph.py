@@ -59,12 +59,15 @@ def min_label_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 F.col("label").alias("src"), F.col("doc_id").alias("dst")
             )
             relay = edges.unionByName(pointer_edges)
+        # the NULL "old" placeholder must carry the label column's OWN
+        # type — ids may be strings (content hashes), and a hardcoded
+        # numeric NULL would coerce the whole union's label column
         msgs = (
             relay.join(labels, relay.src == labels.doc_id)
             .select(
                 F.col("dst").alias("doc_id"),
                 "label",
-                F.lit(None).cast("long").alias("old"),
+                F.lit(None).cast(labels.schema["label"].dataType).alias("old"),
             )
         )
         # carry each vertex's previous label through the aggregate (it

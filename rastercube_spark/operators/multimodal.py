@@ -73,15 +73,29 @@ def decode_metrics(media: DataFrame) -> DataFrame:
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_stub_decode(bytes(p)) for p in pdf["payload"]]
+            # NULL payload (missing media — normal in a real corpus)
+            # passes through with NULL metadata; bytes(None) raised
+            # before (caught by tests/test_edge_corpus.py). Nullable
+            # pandas int dtypes keep Arrow from coercing None to NaN
+            # floats on the way back.
+            payloads = [None if p is None else bytes(p) for p in pdf["payload"]]
+            decoded = [
+                (None, None, None) if p is None else _stub_decode(p)
+                for p in payloads
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
-                    "width": [d[0] for d in decoded],
-                    "height": [d[1] for d in decoded],
-                    "n_frames": [d[2] for d in decoded],
+                    "n_bytes": pd.array(
+                        [None if p is None else len(p) for p in payloads],
+                        dtype="Int64",
+                    ),
+                    "width": pd.array([d[0] for d in decoded], dtype="Int32"),
+                    "height": pd.array([d[1] for d in decoded], dtype="Int32"),
+                    "n_frames": pd.array(
+                        [d[2] for d in decoded], dtype="Int32"
+                    ),
                 }
             )
 
@@ -109,6 +123,8 @@ def sample_frames(media: DataFrame, stride: int = 2) -> DataFrame:
         for pdf in batches:
             out: dict[str, list] = {"doc_id": [], "frame_idx": [], "n_frames": [], "frame": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # missing media has no frames to emit
                 raw = bytes(payload)
                 _w, _h, n_frames = _stub_decode(raw)
                 size = max(1, len(raw) // n_frames)
@@ -141,8 +157,16 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
 
     def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # a featurizer cannot embed missing media: drop NULL-payload
+            # rows (plain lists, not a masked frame — pandas index
+            # alignment would desynchronize ids from features)
+            ids = [
+                i for i, p in zip(pdf["doc_id"], pdf["payload"])
+                if p is not None
+            ]
+            payloads = [p for p in pdf["payload"] if p is not None]
             feats = []
-            for payload in pdf["payload"]:
+            for payload in payloads:
                 raw = bytes(payload)
                 vec = []
                 for j in range(0, dim, 4):
@@ -152,7 +176,15 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                         for k in range(min(4, dim - j))
                     ]
                 feats.append(vec)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+            # explicit dtypes: an all-NULL batch yields empty columns,
+            # and pandas' float64 default for them breaks the Arrow
+            # list<float> conversion on the way back
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "feature": pd.Series(feats, dtype="object"),
+                }
+            )
 
     import numpy as np  # noqa: F401  (pandas object->list arrays)
 
@@ -181,6 +213,8 @@ def resize_media(media: DataFrame, max_dim: int = 128) -> DataFrame:
             for doc_id, mt, payload in zip(
                 pdf["doc_id"], pdf["media_type"], pdf["payload"]
             ):
+                if payload is None:
+                    continue  # nothing to resize
                 raw = bytes(payload)
                 w, h, _n = _stub_decode(raw)
                 k = max(1, -(-max(w, h) // max_dim))  # ceil div

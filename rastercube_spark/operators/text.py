@@ -73,6 +73,14 @@ def lang_guess(text: Column) -> Column:
     ]
     best = F.array_max(F.array(*scored))
     code_lookup = F.array(*[F.lit(c) for c in codes])
-    return F.when(best["hits"] <= 0, F.lit("und")).otherwise(
-        F.element_at(code_lookup, F.lit(len(codes)) - best["pri"])
+    # NULL text must be 'und' EXPLICITLY: with hits all NULL, the struct
+    # array_max and the `hits <= 0` guard both go NULL and the result
+    # falls through to an arbitrary code — and the SQL oracle's CASE
+    # chain falls through to a DIFFERENT arbitrary code ('de' vs 'fr',
+    # caught by tests/test_edge_corpus.py). Both engines now short-
+    # circuit NULL input identically.
+    return F.when(text.isNull(), F.lit("und")).otherwise(
+        F.when(best["hits"] <= 0, F.lit("und")).otherwise(
+            F.element_at(code_lookup, F.lit(len(codes)) - best["pri"])
+        )
     )

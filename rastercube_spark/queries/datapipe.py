@@ -90,7 +90,7 @@ def _shingles_cte(k: int) -> str:
 
 # md5-derived 32-bit hash of a string expr (≡ dedup._shingle_hash)
 def _h32(expr: str) -> str:
-    return f"CAST(concat('0x', substr(md5({expr}), 1, 8)) AS BIGINT)"
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
 
 
 _PERMS_VALUES = ", ".join(
@@ -152,7 +152,8 @@ _COS = (
                            '[^\\.,;:!\\?]', '', 'g'))
                            / CAST(greatest(length(text), 1) AS DOUBLE) > 0.1
                            THEN -0.2 ELSE 0.0 END), 6) AS DOUBLE) AS quality,
-               CASE WHEN greatest({_hits_sql('de')}, {_hits_sql('en')},
+               CASE WHEN text IS NULL THEN 'und'
+                    WHEN greatest({_hits_sql('de')}, {_hits_sql('en')},
                                   {_hits_sql('es')}, {_hits_sql('fr')}) <= 0
                     THEN 'und'
                     WHEN {_hits_sql('de')} >= {_hits_sql('en')}
@@ -779,11 +780,11 @@ def q99(spark, sf_dir):
         SELECT doc_id,
                'application/octet-stream' AS media_type,
                octet_length(encode(text)) AS n_bytes,
-               64 + CAST(concat('0x', substr(md5(text), 1, 4)) AS INT) % 448
+               64 + CAST(('0x' || substr(md5(text), 1, 4)) AS INT) % 448
                    AS width,
-               64 + CAST(concat('0x', substr(md5(text), 5, 4)) AS INT) % 448
+               64 + CAST(('0x' || substr(md5(text), 5, 4)) AS INT) % 448
                    AS height,
-               1 + CAST(concat('0x', substr(md5(text), 9, 4)) AS INT) % 8
+               1 + CAST(('0x' || substr(md5(text), 9, 4)) AS INT) % 8
                    AS n_frames
         FROM documents
         ORDER BY doc_id
@@ -1293,7 +1294,7 @@ def _media_feature_sql(dim: int = 16) -> str:
         salted = f"text || '|{j}'"
         for k in range(min(4, dim - j)):
             elems.append(
-                "CAST(CAST(CAST(concat('0x', substr(md5("
+                "CAST(CAST(CAST(('0x' || substr(md5("
                 f"{salted}), {k * 4 + 1}, 4)) AS INT) AS DOUBLE) / 65536.0 "
                 "AS REAL)"
             )
@@ -1308,7 +1309,7 @@ def _media_feature_sql(dim: int = 16) -> str:
         WITH m AS (
             SELECT doc_id, text AS payload,
                    octet_length(encode(text)) AS n_bytes,
-                   1 + CAST(concat('0x', substr(md5(text), 9, 4)) AS INT) % 8
+                   1 + CAST(('0x' || substr(md5(text), 9, 4)) AS INT) % 8
                        AS n_frames
             FROM documents
         ),
@@ -1362,6 +1363,7 @@ def qa8(spark, sf_dir):
         WITH f AS (
             SELECT doc_id, {_media_feature_sql(16)} AS feature
             FROM documents
+            WHERE text IS NOT NULL  -- featurizer drops missing media
         ),
         q AS (
             SELECT doc_id AS q_id, CAST(feature AS DOUBLE[]) AS qv

@@ -62,11 +62,24 @@ _ORACLES: dict[str, str] = {}
 #     are green, their behavior is provably unchanged (golden pins),
 #     and the (b) rotation was precautionary, not a semantic change.
 #     All displaced rows lead the r07 rotation.
+# (d) NULL-semantics fixes from the edge-corpus harness
+#     (tests/test_edge_corpus.py): q90 (NULL text → 'und' in BOTH
+#     engines — each engine previously fell through to a different
+#     arbitrary code), qa0 (NULL payload → NULL metadata instead of a
+#     worker crash), qa8/qa9 (NULL payload rows dropped by the
+#     frame/feature stages in both engines). Driver-fixture outputs are
+#     unchanged (golden hashes identical); the driver re-attests the
+#     new closures. qa8/qa9 re-enter the window for this real change
+#     after being displaced as precautionary-only earlier this round.
 ATTEST_CHANGED: tuple[str, ...] = (
     "qb7_group_sample",
     "qb8_mixture_upsample",
     "q75_stream_static_join",
     "q76_stream_stream_join",
+    "q90_text_metrics",
+    "qa0_multimodal_decode",
+    "qa8_frame_sample",
+    "qa9_media_knn",
     "qb3_mixture_sample",
     "qb4_passage_dedup",
     "qb5_quality_rules",
@@ -113,12 +126,8 @@ ATTEST_STALE: tuple[str, ...] = (
     "q27_argmax_gather",
     "q28_zonal_percentile",
     "q29_salted_agg",
-    "q61_date_funcs",
     "q63_qa_bitops",
     "q64_nodata_case",
-    "q66_array_json",
-    "q67_categorical_legend",
-    "q68_type_reinterpret",
     "q69_landsat_qa",
     "q80_scalar_pandas_udf",
     "q96_knn_bruteforce",
@@ -130,11 +139,22 @@ ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE
 
 # Closure-hash changes NOT rotated into the window, each with its
 # justification — the auditable escape hatch for shared-helper edits
-# that would otherwise force rotating the entire surface. EMPTY this
-# round: the full r05 exempt list rotated into the window above, and the
-# 36 queries outside the window all carry fresh r05 attestations with
-# unchanged closure hashes.
-ATTEST_EXEMPT: dict[str, str] = {}
+# that would otherwise force rotating the entire surface.
+_H32_SPELLING = (
+    "oracle-text-only: the shared _h32 SQL fragment changed spelling "
+    "from concat('0x', ...) to '0x' || ... (DuckDB concat SKIPS NULL "
+    "arguments, so the old spelling turned a NULL md5 slice into the "
+    "un-castable literal '0x'; || propagates NULL — edge-corpus "
+    "hardening, tests/test_edge_corpus.py). For non-NULL input the two "
+    "spellings are identical SQL, the engine-side code is untouched, "
+    "and the sf0.001 golden hash is unchanged."
+)
+ATTEST_EXEMPT: dict[str, str] = {
+    "q92_minhash_lsh_pairs": _H32_SPELLING,
+    "q93_lsh_jaccard": _H32_SPELLING,
+    "q95_simhash": _H32_SPELLING,
+    "q99_winnow_fingerprint": _H32_SPELLING,
+}
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
