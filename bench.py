@@ -89,6 +89,8 @@ HEADLINE = [
     # upsampling (broadcast + map-side explode)
     "qb7_group_sample",
     "qb8_mixture_upsample",
+    # dataset-card rollup report
+    "qb9_dataset_report",
 ]
 
 # Driver-iterative queries: the query function itself executes work

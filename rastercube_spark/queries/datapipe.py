@@ -1818,3 +1818,54 @@ def qb8(spark, sf_dir):
         .select("doc_id", "source", "copy")
         .orderBy("doc_id", "copy")
     )
+
+
+@query(
+    "qb9_dataset_report",
+    oracle="""
+        SELECT
+            COALESCE(source, '<all>') AS source,
+            COALESCE(lang, '<all>') AS lang,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+            round(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+                  / count(*), 6) AS mean_doc_tokens,
+            CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        FROM documents
+        GROUP BY ROLLUP (source, lang)
+        ORDER BY source, lang
+    """,
+)
+def qb9(spark, sf_dir):
+    """Dataset-card report — the datasheet every curation pipeline emits
+    before training: per (source, lang) document/token/char counts with
+    ROLLUP subtotals per source and a corpus grand total (labelled
+    '<all>'), exactly the table a mixture designer reads to set qb3/qb8
+    weights. Integer-exact sums; the single mean is one rounded IEEE
+    division, so the report hashes identically across engines.
+
+    Scale shape: one map-side-combinable rollup aggregate over a
+    two-column projection of the corpus scan — the same single-shuffle
+    cost as a plain groupBy at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    return (
+        d.rollup("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(toks).alias("n_tokens"),
+            F.round(
+                F.sum(toks).cast("double") / F.count("*"), 6
+            ).alias("mean_doc_tokens"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            "n_docs",
+            "n_tokens",
+            "mean_doc_tokens",
+            "n_chars",
+        )
+        .orderBy("source", "lang")
+    )

@@ -74,6 +74,7 @@ _ORACLES: dict[str, str] = {}
 ATTEST_CHANGED: tuple[str, ...] = (
     "qb7_group_sample",
     "qb8_mixture_upsample",
+    "qb9_dataset_report",
     "q75_stream_static_join",
     "q76_stream_stream_join",
     "q90_text_metrics",
@@ -127,7 +128,6 @@ ATTEST_STALE: tuple[str, ...] = (
     "q28_zonal_percentile",
     "q29_salted_agg",
     "q63_qa_bitops",
-    "q64_nodata_case",
     "q69_landsat_qa",
     "q80_scalar_pandas_udf",
     "q96_knn_bruteforce",

@@ -63,6 +63,7 @@ QUERIES = [
     "qb5_quality_rules",
     "qb7_group_sample",
     "qb8_mixture_upsample",
+    "qb9_dataset_report",
 ]
 
 
