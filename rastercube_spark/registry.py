@@ -52,16 +52,9 @@ _ORACLES: dict[str, str] = {}
 #     rotated here so the driver re-attests it under the sound hash;
 # (c) NEW queries (first attestation): qb3 mixture sampling, qb4
 #     passage-level dedup, qb5 quality-rule gate, qb6 int8-quantized
-#     kNN, q75 stream-static enrichment join, q76 stream-stream
-#     interval join, qb7 fixed-size group sample, qb8 fractional
-#     upsampling. Their 8 slots displace, from ATTEST_STALE: q30
-#     (already green in r05, the youngest standing row), q01/q02/q03
-#     (trivial scans, golden-hash-pinned at sf0.001) and q62 (pure
-#     deterministic column functions, golden-pinned); and, from the
-#     instrument-rotation set (b): qa8/qa9/q73 — their r05 driver rows
-#     are green, their behavior is provably unchanged (golden pins),
-#     and the (b) rotation was precautionary, not a semantic change.
-#     All displaced rows lead the r07 rotation.
+#     kNN, qb7 fixed-size group sample, qb8 fractional upsampling,
+#     qb9 dataset-card report, q75 stream-static enrichment join, q76
+#     stream-stream interval join — 9 slots.
 # (d) NULL-semantics fixes from the edge-corpus harness
 #     (tests/test_edge_corpus.py): q90 (NULL text → 'und' in BOTH
 #     engines — each engine previously fell through to a different
@@ -69,8 +62,14 @@ _ORACLES: dict[str, str] = {}
 #     worker crash), qa8/qa9 (NULL payload rows dropped by the
 #     frame/feature stages in both engines). Driver-fixture outputs are
 #     unchanged (golden hashes identical); the driver re-attests the
-#     new closures. qa8/qa9 re-enter the window for this real change
-#     after being displaced as precautionary-only earlier this round.
+#     new closures.
+#
+# The (c)+(d) slots displace ELEVEN standing rows from the stale
+# rotation, all golden-pinned at sf0.001 and first in line for r07:
+# q30 (green in r05, the youngest), q01/q02/q03 (trivial scans),
+# q61/q62/q64/q66/q67/q68 (pure deterministic scalar-function
+# families), and q73 (r05-green; its (b)-rotation was precautionary —
+# behavior unchanged under the instrument fix).
 ATTEST_CHANGED: tuple[str, ...] = (
     "qb7_group_sample",
     "qb8_mixture_upsample",
@@ -101,14 +100,11 @@ ATTEST_CHANGED: tuple[str, ...] = (
     "qr08_reproject_nearest",
 )
 
-# Stalest standing attestations — the r05 exempt list (everything still
-# sitting on r03/r04 driver rows: the join/agg/function families,
-# q10/q13/q21 displaced in r05, the heavy hitters q20/q96/q97/qr02)
-# rotates through the window this round (VERDICT r05 "Next round" #2).
-# Exceptions, displaced by the five NEW qb3-qb6/q75 slots and first in
-# line for r07: q30 (green in r05), q01/q02/q03 (r03/r04 rows, but
-# trivial scans pinned by the sf0.001 golden hashes) and q62 (pure
-# deterministic column functions, likewise golden-pinned).
+# Stalest standing attestations — the r05 exempt list (r03/r04 driver
+# rows: the join/agg families, q10/q13/q21 displaced in r05, the heavy
+# hitters q20/q96/q97/qr02) rotates through the remaining window slots
+# this round (VERDICT r05 "Next round" #2); the eleven displaced rows
+# are enumerated above ATTEST_CHANGED.
 ATTEST_STALE: tuple[str, ...] = (
     "q10_inner_equi",
     "q11_broadcast_join",

@@ -39,6 +39,7 @@ QUERIES = [
     "qb8_mixture_upsample",
     "q75_stream_static_join",
     "q76_stream_stream_join",
+    "qb9_dataset_report",
 ]
 
 VARIANTS = [
