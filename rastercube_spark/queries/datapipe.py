@@ -20,7 +20,6 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from rastercube_spark.operators.dedup import (
-    N_BANDS,
     P,
     MINHASH_PERMS,
     ROWS_PER_BAND,
