@@ -25,6 +25,9 @@ sf-dir fixtures cap out near 5k rows, which cannot show a curve):
 - qb6  quantized kNN (SQ8)   100 fixed queries vs n-row int8 corpus
                              (the ADC exhaustive scan: linear by
                              construction, measured to confirm)
+- qb7  group sampling        k smallest hash draws per group, 20 fixed
+                             groups — two-level top-k keeps per-task
+                             work flat as group size grows with n
 
 Sub-quadratic gate: data grows 16× (5k→80k); a quadratic operator grows
 ~256×. The recorded `growth_80k_over_5k` must stay well under
@@ -175,6 +178,7 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
     )
     from rastercube_spark.operators.graph import min_label_clusters
     from rastercube_spark.operators.prefix import running_sum_exclusive
+    from rastercube_spark.operators.sampling import group_sample
     from rastercube_spark.operators.similarity import (
         lsh_cosine_pairs,
         lsh_knn,
@@ -234,6 +238,18 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
         "qb4_passage_dedup": (lambda: _passage_dedup(docs), False),
         "qb6_quantized_knn": (
             lambda: quantized_knn(queries, emb, k=10),
+            False,
+        ),
+        # fixed-size per-group sampling: 20 groups regardless of n, so
+        # the naive one-window form would funnel n/20 rows per task;
+        # the two-level top-k must stay ~linear with flat per-task work
+        "qb7_group_sample": (
+            lambda: group_sample(
+                docs.withColumn(
+                    "source", (F.col("doc_id") % 20).cast("string")
+                ),
+                k=100,
+            ),
             False,
         ),
     }
@@ -323,7 +339,8 @@ def main() -> int:
         for name in ("qb0_lsh_cosine_pairs", "q92_minhash_lsh_pairs",
                      "qa3_min_label_clusters", "q97_lsh_knn",
                      "qb1_decontaminate", "qa6_sequence_packing",
-                     "qb4_passage_dedup", "qb6_quantized_knn"):
+                     "qb4_passage_dedup", "qb6_quantized_knn",
+                     "qb7_group_sample"):
             if str(n) in curves.get(name, {}).get("seconds", {}):
                 continue
             proc = subprocess.run(
