@@ -89,14 +89,16 @@ HEADLINE = [
     # upsampling (broadcast + map-side explode)
     "qb7_group_sample",
     "qb8_mixture_upsample",
-    # dataset-card rollup report
+    # dataset-card rollup report; cluster-balanced sampling (the qb0 →
+    # CC → group-sample composition; loop-inclusive like qb2)
     "qb9_dataset_report",
+    "qc0_balanced_sample",
 ]
 
 # Driver-iterative queries: the query function itself executes work
 # (eager localCheckpoint loop), so each timed sample must include the
 # function call, not just the noop sink of the returned plan.
-LOOP_INCLUSIVE = {"qb2_semantic_dedup"}
+LOOP_INCLUSIVE = {"qb2_semantic_dedup", "qc0_balanced_sample"}
 
 
 def _env_note() -> dict:

@@ -1868,3 +1868,77 @@ def qb9(spark, sf_dir):
         )
         .orderBy("source", "lang")
     )
+
+
+@query(
+    "qc0_balanced_sample",
+    oracle=f"""
+        WITH RECURSIVE {_lsh_pairs_ctes(0.35)},
+        edges AS (
+            SELECT vec_a AS a, vec_b AS b FROM pairs
+            UNION
+            SELECT vec_b, vec_a FROM pairs
+        ),
+        reach(a, b) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+        ),
+        clusters AS (
+            SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a
+        ),
+        u AS (
+            SELECT e.vec_id,
+                   COALESCE(c.cluster_id, e.vec_id) AS cluster_id
+            FROM embeddings e LEFT JOIN clusters c USING (vec_id)
+        )
+        SELECT vec_id, cluster_id, sample_rank FROM (
+            SELECT vec_id, cluster_id,
+                   row_number() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY substr(md5('bal:' ||
+                                CAST(vec_id AS VARCHAR)), 1, 8), vec_id
+                   ) AS sample_rank
+            FROM u
+        )
+        WHERE sample_rank <= 2
+        ORDER BY cluster_id, sample_rank
+    """,
+)
+def qc0(spark, sf_dir):
+    """Cluster-BALANCED sampling (SemDeDup-style diversity pruning) —
+    the round's pieces composed end to end: qb0's LSH cosine pairs →
+    qb2's min-label connected components give each embedding a semantic
+    cluster (singletons are their own cluster), then qb7's
+    deterministic group sampler keeps at most 2 representatives PER
+    CLUSTER. Where qb2/qa4 keep one representative per duplicate
+    cluster and leave the long tail untouched, this op bounds EVERY
+    semantic neighborhood — the curation step that stops a training
+    mixture over-representing its dense regions.
+
+    Scale shape: inherits its pieces' proofs — candidate pairs from
+    bucketed equi-joins (never all-pairs), O(log diameter) CC rounds,
+    and a two-level top-k whose per-task work stays flat however large
+    one cluster grows. The sampler's hash draw is salted ('bal:'), so
+    the keep-set is independent of every other sampling decision in
+    the pipeline."""
+    from rastercube_spark.operators.graph import min_label_clusters
+    from rastercube_spark.operators.sampling import group_sample
+    from rastercube_spark.operators.similarity import lsh_cosine_pairs
+
+    e = load(spark, sf_dir, "embeddings")
+    pairs = lsh_cosine_pairs(e, dim=EMB_DIM, threshold=0.35, k=None).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    clusters = min_label_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+    u = e.select("vec_id").join(clusters, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+    )
+    return (
+        group_sample(u, k=2, on="cluster_id", key="vec_id", salt="bal:")
+        .select("vec_id", "cluster_id", "sample_rank")
+        .orderBy("cluster_id", "sample_rank")
+    )

@@ -53,8 +53,9 @@ _ORACLES: dict[str, str] = {}
 # (c) NEW queries (first attestation): qb3 mixture sampling, qb4
 #     passage-level dedup, qb5 quality-rule gate, qb6 int8-quantized
 #     kNN, qb7 fixed-size group sample, qb8 fractional upsampling,
-#     qb9 dataset-card report, q75 stream-static enrichment join, q76
-#     stream-stream interval join — 9 slots.
+#     qb9 dataset-card report, qc0 cluster-balanced sampling, q75
+#     stream-static enrichment join, q76 stream-stream interval join —
+#     10 slots.
 # (d) NULL-semantics fixes from the edge-corpus harness
 #     (tests/test_edge_corpus.py): q90 (NULL text → 'und' in BOTH
 #     engines — each engine previously fell through to a different
@@ -64,16 +65,17 @@ _ORACLES: dict[str, str] = {}
 #     unchanged (golden hashes identical); the driver re-attests the
 #     new closures.
 #
-# The (c)+(d) slots displace ELEVEN standing rows from the stale
+# The (c)+(d) slots displace TWELVE standing rows from the stale
 # rotation, all golden-pinned at sf0.001 and first in line for r07:
 # q30 (green in r05, the youngest), q01/q02/q03 (trivial scans),
-# q61/q62/q64/q66/q67/q68 (pure deterministic scalar-function
+# q61/q62/q64/q66/q67/q68/q69 (pure deterministic scalar-function
 # families), and q73 (r05-green; its (b)-rotation was precautionary —
 # behavior unchanged under the instrument fix).
 ATTEST_CHANGED: tuple[str, ...] = (
     "qb7_group_sample",
     "qb8_mixture_upsample",
     "qb9_dataset_report",
+    "qc0_balanced_sample",
     "q75_stream_static_join",
     "q76_stream_stream_join",
     "q90_text_metrics",
@@ -124,7 +126,6 @@ ATTEST_STALE: tuple[str, ...] = (
     "q28_zonal_percentile",
     "q29_salted_agg",
     "q63_qa_bitops",
-    "q69_landsat_qa",
     "q80_scalar_pandas_udf",
     "q96_knn_bruteforce",
     "q97_lsh_knn",
