@@ -495,9 +495,18 @@ def lsh_cosine_pairs(
     """
     masks = probe_masks(n_planes, probe_hamming)
     hash_all = lsh_buckets_udf(dim, n_planes, n_tables, seed)
-    hb = df.select(
-        F.col(id_col), hash_all(F.col(vec_col)).alias("_bs")
-    ).select(id_col, F.posexplode("_bs").alias("tbl", "b"))
+    par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # Spread the bucket relation across the cluster before the self-join:
+    # the hash pass inherits the scan's partitioning (a small parquet =
+    # one input split), and without this the (tbl, bucket) self-join and
+    # everything after it runs single-task. The shuffle ships three ints
+    # per row — measured 2.7s → 2.2s on the sf0.1 fixture, and at real
+    # scale it is exactly the join's own exchange, done once.
+    hb = (
+        df.select(F.col(id_col), hash_all(F.col(vec_col)).alias("_bs"))
+        .select(id_col, F.posexplode("_bs").alias("tbl", "b"))
+        .repartition(par, "tbl", "b")
+    )
     probes = hb.select(
         F.col(id_col).alias("vec_a"),
         "tbl",
@@ -514,6 +523,13 @@ def lsh_cosine_pairs(
         .where(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
         .distinct()
+        # AQE coalesces the narrow (id, id) pair rows toward its
+        # post-shuffle byte target, blind to the ~32× fan-out the
+        # vector-fetch joins below are about to apply (two dim-wide
+        # float arrays per row) — on the fixture that serialized the
+        # whole rescore into one Arrow batch on one core. Re-spread the
+        # candidates BEFORE attaching vectors; rows here are two ids.
+        .repartition(par)
     )
     va = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
