@@ -11,7 +11,12 @@ Mechanics worth knowing (they shape the conformance tests):
   (modification-time, path) order — the harness spaces mtimes to force a
   deterministic arrival order;
 - the watermark used by trigger N is computed from data seen through
-  trigger N-1, so lateness is *file-granular*, not row-granular;
+  trigger N-1, so lateness granularity equals file granularity; staging
+  via ``EventReplay.from_rows(..., rows_per_file=1)`` makes that ROW
+  granularity — each event arrives in its own trigger, so the exact
+  late-drop boundary is exercised one event at a time
+  (tests/test_streaming.py::test_watermark_drops_row_granular asserts an
+  event that coarse file-granular replay admits is dropped there);
 - append-mode windows emit only once the watermark passes their end — the
   harness's ``advance_watermark`` drops sentinel files beyond the real
   data so every real window flushes before the assertion.
@@ -82,6 +87,32 @@ class EventReplay:
         for name in sorted(os.listdir(stage_dir)):
             if name.startswith("part-") and name.endswith(".parquet"):
                 self._admit_file(os.path.join(stage_dir, name))
+
+    @classmethod
+    def from_rows(
+        cls,
+        spark: SparkSession,
+        rows,
+        work_dir: str,
+        rows_per_file: int = 1,
+    ) -> "EventReplay":
+        """Stage an explicit arrival sequence (a pandas DataFrame with the
+        events schema) instead of a table, ``rows_per_file`` events per
+        staged file. ``rows_per_file=1`` is the row-granular mode: the
+        file source admits one EVENT per trigger, so watermark lateness
+        is decided at row boundaries — the granularity a socket source
+        would give, without the nondeterministic batching of one."""
+        self = cls.__new__(cls)
+        self.spark = spark
+        self.work_dir = work_dir
+        self.input_dir = os.path.join(work_dir, "input")
+        os.makedirs(self.input_dir, exist_ok=True)
+        self._file_seq = 0
+        self.n_rows = len(rows)
+        self.max_ts = rows["ts"].max()
+        for i in range(0, len(rows), rows_per_file):
+            self._write_file(rows.iloc[i : i + rows_per_file])
+        return self
 
     def _admit_file(self, src: str) -> None:
         """Move a staged parquet file into the stream input dir under the

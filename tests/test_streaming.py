@@ -329,3 +329,142 @@ def test_stream_stream_join_conformance(spark, tmp_path):
     batch = queries()["q76_stream_stream_join"](spark, SF)
     cols = ["view_id", "click_id", "user_id", "delay_us"]
     assert _rows(sink, cols) == _rows(batch, cols)
+
+
+def _mk_events(rows):
+    """rows: [(event_id, ts_str, user_id, event_type, value)] → pandas
+    frame in the events schema, in ARRIVAL order."""
+    return pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [pd.Timestamp(r[1]) for r in rows],
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [float(r[4]) for r in rows],
+        }
+    )
+
+
+def test_watermark_drops_row_granular(spark, tmp_path):
+    """The exact late-drop boundary at ROW granularity (r6 VERDICT
+    missing #3): event e4 (ts 10:05, window end 10:10) arrives AFTER
+    e2/e3 advanced the watermark to 11:45 ≫ 10:10. File-granular replay
+    of the same arrival sequence as ONE file ADMITS e4 (the watermark in
+    effect for a file reflects only prior files — for the first file,
+    nothing); one-event-per-file replay must DROP it, because each event
+    is its own trigger. Pins both sides of the divergence so the mode
+    actually proves something: same input, coarse admits, fine drops.
+
+    The watermark applied at trigger i reflects files ≤ i−2 (the
+    file-granular test documents the shift-2 empiricism), hence the e3
+    spacer between e2 and e4."""
+    ev = _mk_events(
+        [
+            (1, "2024-01-01 10:00:00", 1, "view", 1.0),
+            (2, "2024-01-01 12:00:00", 1, "view", 1.0),  # advances wm
+            (3, "2024-01-01 12:01:00", 1, "view", 1.0),  # shift-2 spacer
+            (4, "2024-01-01 10:05:00", 1, "view", 1.0),  # the late event
+        ]
+    )
+
+    def windowed(replay):
+        s = replay.stream(max_files_per_trigger=1).withWatermark(
+            "ts", "15 minutes"
+        )
+        agg = (
+            s.groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count("*").alias("cnt"))
+            .select(F.col("w.start").alias("window_start"), "cnt")
+        )
+        return agg
+
+    fine = EventReplay.from_rows(
+        spark, ev, str(tmp_path / "fine"), rows_per_file=1
+    )
+    sink_fine = run_to_completion(windowed(fine), fine, "t73_row_sink")
+    coarse = EventReplay.from_rows(
+        spark, ev, str(tmp_path / "coarse"), rows_per_file=len(ev)
+    )
+    sink_coarse = run_to_completion(windowed(coarse), coarse, "t73_file_sink")
+
+    def cnt_at(sink, hhmm):
+        rows = [
+            int(r["cnt"])
+            for r in sink.collect()
+            if r["window_start"].strftime("%H:%M") == hhmm
+        ]
+        return rows[0] if rows else 0
+
+    # e1 counted everywhere; e4 shares e1's window
+    assert cnt_at(sink_coarse, "10:00") == 2, "file-granular must admit e4"
+    assert cnt_at(sink_fine, "10:00") == 1, "row-granular must drop e4"
+    # sanity: the on-time events land in both
+    for sink in (sink_fine, sink_coarse):
+        assert cnt_at(sink, "12:00") == 2
+
+
+def test_stream_stream_join_drops_late_view_row_granular(spark, tmp_path):
+    """q76's state eviction at row granularity: view v4 for user 2
+    arrives after BOTH sides pushed the global watermark (min of the
+    per-side watermarks — a view alone cannot advance it) past v6's
+    state-eligibility bound (wm − 60 min join bound), so the
+    row-granular interval join drops it before it can match click c7 —
+    while single-file replay (everything in one trigger, watermark
+    still initial) emits the (v6, c7) pair. Both sides pinned."""
+    ev = _mk_events(
+        [
+            (1, "2024-01-01 10:00:00", 1, "view", 1.0),
+            (2, "2024-01-01 10:10:00", 1, "click", 1.0),
+            (3, "2024-01-01 13:00:00", 1, "view", 1.0),  # advances view wm
+            (4, "2024-01-01 13:00:00", 1, "click", 1.0),  # advances click wm
+            (5, "2024-01-01 13:01:00", 1, "view", 1.0),  # shift-2 spacer
+            (6, "2024-01-01 10:05:00", 2, "view", 1.0),  # late view
+            (7, "2024-01-01 10:20:00", 2, "click", 1.0),  # its click
+        ]
+    )
+
+    def joined(replay):
+        s = replay.stream(max_files_per_trigger=1)
+        v = (
+            s.where(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                "user_id",
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "30 minutes")
+        )
+        c = (
+            s.where(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "30 minutes")
+        )
+        return v.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") > F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + F.expr("interval 60 minutes")),
+        ).select("view_id", "click_id")
+
+    fine = EventReplay.from_rows(
+        spark, ev, str(tmp_path / "fine"), rows_per_file=1
+    )
+    sink_fine = run_to_completion(joined(fine), fine, "t76_row_sink", flushes=1)
+    coarse = EventReplay.from_rows(
+        spark, ev, str(tmp_path / "coarse"), rows_per_file=len(ev)
+    )
+    sink_coarse = run_to_completion(
+        joined(coarse), coarse, "t76_file_sink", flushes=1
+    )
+
+    pairs_fine = {(r["view_id"], r["click_id"]) for r in sink_fine.collect()}
+    pairs_coarse = {
+        (r["view_id"], r["click_id"]) for r in sink_coarse.collect()
+    }
+    assert (1, 2) in pairs_fine and (1, 2) in pairs_coarse  # on-time pair
+    assert (6, 7) in pairs_coarse, "single-trigger replay must emit (v6,c7)"
+    assert (6, 7) not in pairs_fine, "row-granular replay must drop late v6"
