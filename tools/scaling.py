@@ -149,6 +149,156 @@ def _noop(df: DataFrame) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# --- raster-path sweep (VERDICT r6 "Next round" #5) ----------------------
+# Cube legs grow the GRID (more fractions), 4× area per leg at fixed
+# dates: 256² → 512² → 1024² px × 4 dates (262k → 4.2M px, 16/64/256
+# fractions of 64×64, 2 time chunks). The claims measured:
+#   qr06_pruned_window  FIXED 64×64 window read + agg on the growing
+#                       cube — partition pruning must keep it ~FLAT
+#                       (sub-linear-in-pruned-window); cube build is
+#                       setup, not timed.
+#   qr07_resample_downsample / qr08_gather_nearest — linear in px
+#                       (one shuffle on target pixels / generated-frame
+#                       equi-join).
+#   q81_chunk_map       applyInPandas per fraction — linear in px with
+#                       per-task work bounded by the fraction size.
+RASTER_SIZES = [1, 4, 16]  # area multiplier over the 256×256×4 base
+RASTER_OPS = (
+    "qr06_pruned_window",
+    "qr07_resample_downsample",
+    "qr08_gather_nearest",
+    "q81_chunk_map",
+)
+RASTER_T = 4
+_FRAC = 64
+
+
+def synth_pixels(spark: SparkSession, scale: int) -> tuple[DataFrame, int, int]:
+    """Deterministic long-form pixel frame (frac_num, time_chunk, x, y,
+    t, ndvi) at ``scale``× the 256×256 base area — int16-range values,
+    ~2% nodata, generated JVM-side."""
+    side = 256 * int(scale**0.5)
+    w = h = side
+    n = w * h * RASTER_T
+    v = F.when(
+        F.pmod(F.hash("id", F.lit(3)), F.lit(50)) == 0, F.lit(-3000)
+    ).otherwise(F.pmod(F.hash("id"), F.lit(13000)) - 3000)
+    px = (
+        spark.range(n)
+        .select(
+            (F.col("id") % w).cast("int").alias("x"),
+            ((F.col("id") / w).cast("long") % h).cast("int").alias("y"),
+            (F.col("id") / (w * h)).cast("int").alias("t"),
+            v.cast("int").alias("ndvi"),
+        )
+        .withColumn(
+            "frac_num",
+            ((F.col("y") / _FRAC).cast("int") * (w // _FRAC)
+             + (F.col("x") / _FRAC).cast("int")),
+        )
+        .withColumn("time_chunk", (F.col("t") / 2).cast("int"))
+    )
+    return px, w, h
+
+
+def raster_ops(spark: SparkSession, scale: int) -> dict[str, tuple]:
+    import shutil
+    import tempfile
+
+    from rastercube_spark.operators.resample import (
+        gather_nearest,
+        resample_downsample,
+    )
+    from rastercube_spark.sources.raster import CubeHeader, RasterCube
+
+    px, w, h = synth_pixels(spark, scale)
+    src_gt = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+    dst_down = (0.0, 4.0, 0.0, 0.0, 0.0, -4.0)
+    dst_up = (0.0, 0.5, 0.0, 0.0, 0.0, -0.5)
+
+    def build_cube() -> RasterCube:
+        root = os.path.join(
+            tempfile.gettempdir(), f"scaling_cube_{scale}_{os.getpid()}"
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        header = CubeHeader(
+            width=w,
+            height=h,
+            frac_width=_FRAC,
+            frac_height=_FRAC,
+            dtype="int16",
+            nodataval=-3000,
+            frac_ndates=2,
+            timestamps_ms=[0] * RASTER_T,
+            value_col="ndvi",
+        )
+        cube = RasterCube(root, header)
+        cube.write_long(spark, px)
+        return cube
+
+    _cube_cache: list[RasterCube] = []
+
+    def window_agg() -> DataFrame:
+        if not _cube_cache:
+            _cube_cache.append(build_cube())  # setup, amortized untimed
+        cube = _cube_cache[0]
+        sliced = cube.load_slice_xy(spark, (64, 64), (128, 128), 0, RASTER_T)
+        return sliced.groupBy("frac_num", "time_chunk").agg(
+            F.count("*").alias("n_px"),
+            F.sum(
+                F.when(F.col("ndvi") != -3000, F.col("ndvi")).cast("bigint")
+            ).alias("sum_ndvi"),
+        )
+
+    def chunk_map() -> DataFrame:
+        import pandas as pd
+
+        def normalize(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            vv = pdf["ndvi"].to_numpy().astype("float64")
+            out = pdf[["frac_num", "x", "y", "t"]].copy()
+            out["ndvi_norm"] = ((vv - vv.mean()) / max(vv.std(), 1e-9)).round(6)
+            return out
+
+        return (
+            px.where(F.col("ndvi") != -3000)
+            .select("frac_num", "x", "y", "t", "ndvi")
+            .groupBy("frac_num")
+            .applyInPandas(
+                normalize, "frac_num int, x int, y int, t int, ndvi_norm double"
+            )
+        )
+
+    return {
+        "qr06_pruned_window": (window_agg, False),
+        "qr07_resample_downsample": (
+            lambda: resample_downsample(
+                px.where((F.col("t") == 0) & (F.col("ndvi") != -3000)).select(
+                    "x", "y", F.col("ndvi").alias("v")
+                ),
+                src_gt,
+                dst_down,
+                value_col="v",
+            ),
+            False,
+        ),
+        "qr08_gather_nearest": (
+            lambda: gather_nearest(
+                spark,
+                px.where(F.col("t") == 0).select(
+                    "x", "y", F.col("ndvi").alias("v")
+                ),
+                src_gt,
+                dst_up,
+                dst_width=2 * w,
+                dst_height=2 * h,
+                value_col="v",
+            ),
+            False,
+        ),
+        "q81_chunk_map": (chunk_map, False),
+    }
+
+
 def _median_time(build, loop_inclusive: bool) -> float:
     """1 warm run, then median of N_SAMPLES. ``build`` returns the
     DataFrame; loop-inclusive ops re-run ``build`` inside the timed
@@ -311,9 +461,11 @@ def run_leg(name: str, n: int) -> int:
 
     spark = get_spark(f"rastercube-scaling-{name}-{n}")
     spark.sparkContext.setLogLevel("ERROR")
-    warm_build, _ = ops(spark, SIZES[0])[name]
+    table = raster_ops if name in RASTER_OPS else ops
+    small = RASTER_SIZES[0] if name in RASTER_OPS else SIZES[0]
+    warm_build, _ = table(spark, small)[name]
     _noop(warm_build())  # JIT/codegen/worker-pool warmup, tiny data
-    build, loop_inc = ops(spark, n)[name]
+    build, loop_inc = table(spark, n)[name]
     t = _median_time(build, loop_inc)
     print(f"LEG_RESULT {name} {n} {t}")
     spark.stop()
@@ -335,12 +487,17 @@ def main() -> int:
         done = sum(len(c["seconds"]) for c in curves.values())
         print(f"resuming: {done} legs cached in {PARTIAL}", file=sys.stderr)
 
-    for n in SIZES:
+    legs = [
+        (name, n)
+        for n in SIZES
         for name in ("qb0_lsh_cosine_pairs", "q92_minhash_lsh_pairs",
                      "qa3_min_label_clusters", "q97_lsh_knn",
                      "qb1_decontaminate", "qa6_sequence_packing",
                      "qb4_passage_dedup", "qb6_quantized_knn",
-                     "qb7_group_sample"):
+                     "qb7_group_sample")
+    ] + [(name, s) for s in RASTER_SIZES for name in RASTER_OPS]
+    for name, n in legs:
+        if True:
             if str(n) in curves.get(name, {}).get("seconds", {}):
                 continue
             proc = subprocess.run(
@@ -360,13 +517,18 @@ def main() -> int:
                 json.dump(curves, f)
             print(f"n={n:>6}  {name:<24} {t:>8.3f}s", file=sys.stderr)
 
-    lo, hi = str(SIZES[0]), str(SIZES[-1])
     for name, c in curves.items():
+        sizes = RASTER_SIZES if name in RASTER_OPS else SIZES
+        lo, hi = str(sizes[0]), str(sizes[-1])
         g = round(c["seconds"][hi] / c["seconds"][lo], 2)
         c["growth_80k_over_5k"] = g
-        c["data_growth"] = SIZES[-1] // SIZES[0]
+        c["data_growth"] = sizes[-1] // sizes[0]
         c["quadratic_growth"] = QUADRATIC_GROWTH
         c["sub_quadratic"] = g < QUADRATIC_GROWTH / 4  # generous margin
+        if name == "qr06_pruned_window":
+            # the pruning claim is stronger than sub-quadratic: a FIXED
+            # window over a 16× cube must stay ~flat
+            c["pruned_window_flat"] = g < 3.0
     result = {
         "sizes": SIZES,
         "samples": N_SAMPLES,
@@ -382,6 +544,9 @@ def main() -> int:
         },
         "dim": DIM,
         "n_planes": {str(k): v for k, v in N_PLANES.items()},
+        "raster_sizes": RASTER_SIZES,
+        "raster_base": f"256x256x{RASTER_T} px, {_FRAC}x{_FRAC} fractions, "
+                       "2-date time chunks; legs multiply AREA",
         "loadavg_start": loadavg_start,
         "ops": curves,
     }
