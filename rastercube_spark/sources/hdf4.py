@@ -30,6 +30,7 @@ cube layout) is identical either way and is what's under test.
 from __future__ import annotations
 
 import io
+import os
 import re
 import struct
 import zlib
@@ -45,8 +46,24 @@ DFTAG_SD = 702
 DFTAG_NDG = 720
 DFTAG_COMPRESSED = 40
 SPECIAL_BIT = 0x4000
-SPECIAL_COMP = 2
+# special-element types, aligned with hfile.h (SPECIAL_COMP was 2 here
+# through r6, colliding with the spec's SPECIAL_EXT — self-consistent
+# for round-trips but wrong the moment a real reader or a real archive
+# meets these files; fixtures are generated at test time, so the
+# renumbering breaks nothing stored)
+SPECIAL_LINKED = 1
+SPECIAL_EXT = 2
+SPECIAL_COMP = 3
+SPECIAL_CHUNKED = 5
 COMP_DEFLATE = 4
+COMP_SZIP = 5
+
+_SWAP_IN_HINT = (
+    "the pure-python SDS codec reads inline, deflate-compressed, and "
+    "resolvable external-element storage only; install pyhdf "
+    "(read_hdf4_sds_any swaps it in automatically) or read via GDAL "
+    "for this file"
+)
 
 # DFNT number types (HDF spec table 8A)
 _DFNT = {
@@ -65,13 +82,25 @@ _DFNT_FOR = {"int16": 22, "uint16": 23, "int8": 20, "uint8": 21,
 
 
 def write_hdf4_sds(
-    path: str, datasets: dict[str, np.ndarray], compress: bool = False
+    path: str,
+    datasets: dict[str, np.ndarray],
+    compress: bool = False,
+    external: bool = False,
+    comp_type: int = COMP_DEFLATE,
 ) -> None:
     """Write named 2-D arrays as HDF4 SDS (one NDG per dataset; deflate
-    special elements when ``compress``). The test-fixture counterpart of
-    :func:`read_hdf4_sds`, like write_geotiff/read_geotiff — the
-    container has no pyhdf/GDAL to produce real files
-    (≡ reference create_fake_hdf.py, which clones real HDFs via pyhdf)."""
+    special elements when ``compress``; external-element storage when
+    ``external`` — array bytes land in ``<path>.x<ref>.dat`` sidecars,
+    referenced by name from an EXT special header, the layout real LP
+    DAAC archives use for large SDS). ``comp_type`` other than deflate
+    writes a header claiming that codec over an undecodable payload —
+    the negative fixture for the reader's refuse-loudly path (the
+    payload content is deliberately NOT valid szip; only the refusal is
+    under test). The test-fixture counterpart of :func:`read_hdf4_sds`,
+    like write_geotiff/read_geotiff — the container has no pyhdf/GDAL
+    to produce real files (≡ reference create_fake_hdf.py, which clones
+    real HDFs via pyhdf)."""
+    assert not (compress and external), "pick one special-element kind"
     dds: list[tuple[int, int, bytes]] = []  # (tag, ref, payload)
     ref = 0
     for name, arr in datasets.items():
@@ -91,14 +120,24 @@ def write_hdf4_sds(
             # special header: type, uncompressed length, version,
             # model_type, comp_type, deflate level, compressed-data ref
             sp = struct.pack(
-                ">hihhhhH", SPECIAL_COMP, len(raw), 0, 0, COMP_DEFLATE, 6, ref
+                ">hihhhhH", SPECIAL_COMP, len(raw), 0, 0, comp_type, 6, ref
             )
+            dds.append((DFTAG_SD | SPECIAL_BIT, ref, sp))
+        elif external:
+            ext_name = f"{os.path.basename(path)}.x{ref}.dat"
+            with open(os.path.join(os.path.dirname(path) or ".", ext_name),
+                      "wb") as xf:
+                xf.write(raw)
+            # EXT special header (hextelt.c): type, length, offset within
+            # the external file, filename length, filename bytes
+            sp = struct.pack(
+                ">hiii", SPECIAL_EXT, len(raw), 0, len(ext_name)
+            ) + ext_name.encode()
             dds.append((DFTAG_SD | SPECIAL_BIT, ref, sp))
         else:
             dds.append((DFTAG_SD, ref, raw))
-        members = struct.pack(
-            ">HHHH", DFTAG_SDD, ref, DFTAG_SD | (SPECIAL_BIT if compress else 0), ref
-        )
+        special = SPECIAL_BIT if (compress or external) else 0
+        members = struct.pack(">HHHH", DFTAG_SDD, ref, DFTAG_SD | special, ref)
         dds.append((DFTAG_NDG, ref, members))
         label = name.encode()
         dds.append((DFTAG_DIL, ref, struct.pack(">HH", DFTAG_NDG, ref) + label))
@@ -121,9 +160,14 @@ def write_hdf4_sds(
         f.write(out.getvalue())
 
 
-def read_hdf4_sds(buf: bytes) -> dict[str, np.ndarray]:
+def read_hdf4_sds(buf: bytes, ext_dir: str | None = None) -> dict[str, np.ndarray]:
     """Decode every named SDS in an HDF4 container (the subset documented
-    in the module docstring). Returns {dataset_name: 2-D array}."""
+    in the module docstring). Returns {dataset_name: 2-D array}.
+
+    ``ext_dir``: directory against which external-element filenames
+    resolve. A bytes-only call (the binaryFile ingest path) that meets an
+    external element refuses loudly — the sidecar file is not in the
+    bytes, and guessing is how mis-decodes happen."""
     if buf[:4] != MAGIC:
         raise ValueError("not an HDF4 file: bad magic")
     # walk the DD block chain
@@ -168,15 +212,46 @@ def read_hdf4_sds(buf: bytes) -> dict[str, np.ndarray]:
             raw = payload(DFTAG_SD, mem[DFTAG_SD])
         elif (DFTAG_SD | SPECIAL_BIT) in mem:
             sp = payload(DFTAG_SD | SPECIAL_BIT, mem[DFTAG_SD | SPECIAL_BIT])
-            sp_type, un_len, _ver, _model, comp_type, _info, comp_ref = (
-                struct.unpack(">hihhhhH", sp)
-            )
-            if sp_type != SPECIAL_COMP or comp_type != COMP_DEFLATE:
-                raise ValueError(
-                    f"unsupported special element (type {sp_type}, comp {comp_type})"
+            sp_type = struct.unpack_from(">h", sp, 0)[0]
+            if sp_type == SPECIAL_COMP:
+                _sp, un_len, _ver, _model, comp_type, _info, comp_ref = (
+                    struct.unpack(">hihhhhH", sp)
                 )
-            raw = zlib.decompress(payload(DFTAG_COMPRESSED, comp_ref))
-            assert len(raw) == un_len
+                if comp_type != COMP_DEFLATE:
+                    raise ValueError(
+                        f"unsupported SDS compression (comp_type "
+                        f"{comp_type}); {_SWAP_IN_HINT}"
+                    )
+                raw = zlib.decompress(payload(DFTAG_COMPRESSED, comp_ref))
+                assert len(raw) == un_len
+            elif sp_type == SPECIAL_EXT:
+                _sp, length, ext_off, name_len = struct.unpack_from(">hiii", sp)
+                ext_name = sp[14 : 14 + name_len].decode()
+                if ext_dir is None:
+                    raise ValueError(
+                        f"external-element SDS (data in {ext_name!r}) "
+                        f"cannot be decoded from bytes alone; pass "
+                        f"ext_dir, or: {_SWAP_IN_HINT}"
+                    )
+                ext_path = os.path.join(ext_dir, ext_name)
+                if not os.path.exists(ext_path):
+                    raise ValueError(
+                        f"external-element sidecar {ext_name!r} missing "
+                        f"from {ext_dir!r}; {_SWAP_IN_HINT}"
+                    )
+                with open(ext_path, "rb") as xf:
+                    xf.seek(ext_off)
+                    raw = xf.read(length)
+                if len(raw) != length:
+                    raise ValueError(
+                        f"external element {ext_name!r} truncated "
+                        f"({len(raw)} of {length} bytes)"
+                    )
+            else:
+                raise ValueError(
+                    f"unsupported special element (type {sp_type}); "
+                    f"{_SWAP_IN_HINT}"
+                )
         else:
             raise ValueError("NDG without SD member")
         arr = np.frombuffer(raw, dtype=np.dtype(dtype).newbyteorder(">"))
@@ -222,14 +297,19 @@ def _pyhdf_read(buf: bytes) -> dict[str, np.ndarray]:  # pragma: no cover
             sd.end()
 
 
-def read_hdf4_sds_any(buf: bytes) -> dict[str, np.ndarray]:
+def read_hdf4_sds_any(
+    buf: bytes, ext_dir: str | None = None
+) -> dict[str, np.ndarray]:
     """Production decode entry point: pyhdf when available, pure-python
     SDS codec otherwise. Availability-selected, never per-file fallback
     (a decode error must surface, not reroute to a codec with different
-    capabilities)."""
+    capabilities). ``ext_dir`` resolves external-element sidecars for
+    the pure codec; the pyhdf path needs the sidecars next to the temp
+    file it stages through, so real external archives should be read
+    path-based via pyhdf directly."""
     if HAVE_PYHDF:
         return _pyhdf_read(buf)
-    return read_hdf4_sds(buf)
+    return read_hdf4_sds(buf, ext_dir=ext_dir)
 
 
 # --- MODIS tile codec ---------------------------------------------------
