@@ -83,3 +83,56 @@ def test_no_import_time_file_access():
         )
         assert out.returncode == 0, out.stderr[-2000:]
         assert "ALLOK" in out.stdout
+
+
+def test_spark_submit_pyfiles_smoke(tmp_path):
+    """The D5 walkthrough end-to-end (r6 VERDICT "Next round" #8): build
+    the --py-files zip, then run a REAL ``spark-submit`` whose driver
+    script imports the package ONLY through the shipped zip (cwd and
+    PYTHONPATH are clean) and executes a shuffle query on the sf0.001
+    tables. This is the reference's egg-shipping flow
+    (hadoop/spark.py:54-102) in its Spark-native form; a wheel is the
+    image-baking alternative (docs/SPARK_SUBMIT.md — this container
+    lacks the `wheel` package and an index to fetch it, recorded there).
+    """
+    import shutil
+
+    import pyspark
+
+    submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    if not os.path.exists(submit):  # pragma: no cover
+        submit = shutil.which("spark-submit")
+    assert submit, "no spark-submit available"
+
+    zpath = str(tmp_path / "rastercube_spark.zip")
+    _build_pyfiles_zip(zpath)
+    driver = tmp_path / "driver.py"
+    driver.write_text(
+        "import sys\n"
+        "import rastercube_spark  # resolved from --py-files\n"
+        "assert 'rastercube_spark.zip' in rastercube_spark.__file__, \\\n"
+        "    rastercube_spark.__file__\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = SparkSession.builder.getOrCreate()\n"
+        "from rastercube_spark.registry import queries\n"
+        "rows = queries()['q20_tpch_q1_agg'](spark, sys.argv[1]).collect()\n"
+        "assert len(rows) > 0\n"
+        "print('SUBMITOK', len(rows))\n"
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYTHONPATH"] = ""
+    out = subprocess.run(
+        [
+            submit,
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zpath,
+            str(driver),
+            "/root/testdata/sf0.001",
+        ],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=300,
+    )
+    assert out.returncode == 0, (out.stdout + out.stderr)[-3000:]
+    assert "SUBMITOK" in out.stdout, out.stdout[-2000:]
