@@ -40,118 +40,86 @@ _ORACLES: dict[str, str] = {}
 # baseline with tests/make_attest.py IN THE SAME COMMIT that rotates
 # these lists; make_attest refuses to run while the rule is violated.
 #
-# Round 6 changed set. Two kinds of change this round:
-# (a) code changes: qa2 (k-means centroid matrix now rides a Spark
-#     broadcast variable instead of the per-iteration UDF closure),
-#     q83 (NULL/empty-text handling aligned between UDTF and oracle —
-#     ADVICE r05 low);
-# (b) instrument changes: attest.py now resolves function-body imports
-#     from bytecode (ADVICE r05 high — qb0/qb1/qb2/qa2 etc. had their
-#     operators silently outside the hashed closure). Every query whose
-#     hash moved because its closure GREW under the fixed instrument is
-#     rotated here so the driver re-attests it under the sound hash;
-# (c) NEW queries (first attestation): qb3 mixture sampling, qb4
-#     passage-level dedup, qb5 quality-rule gate, qb6 int8-quantized
-#     kNN, qb7 fixed-size group sample, qb8 fractional upsampling,
-#     qb9 dataset-card report, qc0 cluster-balanced sampling, q75
-#     stream-static enrichment join, q76 stream-stream interval join —
-#     10 slots.
-# (d) NULL-semantics fixes from the edge-corpus harness
-#     (tests/test_edge_corpus.py): q90 (NULL text → 'und' in BOTH
-#     engines — each engine previously fell through to a different
-#     arbitrary code), qa0 (NULL payload → NULL metadata instead of a
-#     worker crash), qa8/qa9 (NULL payload rows dropped by the
-#     frame/feature stages in both engines). Driver-fixture outputs are
-#     unchanged (golden hashes identical); the driver re-attests the
-#     new closures.
-#
-# The (c)+(d) slots displace TWELVE standing rows from the stale
-# rotation, all golden-pinned at sf0.001 and first in line for r07:
-# q30 (green in r05, the youngest), q01/q02/q03 (trivial scans),
-# q61/q62/q64/q66/q67/q68/q69 (pure deterministic scalar-function
-# families), and q73 (r05-green; its (b)-rotation was precautionary —
-# behavior unchanged under the instrument fix).
+# Round 7 changed set — one cause, five closures: the CC/LSH quality-
+# and-cost work. min_label_clusters was rewritten (seeded labels, lazy
+# per-round checkpoint with the convergence count riding the
+# materializing job, unroll=2 sub-rounds) → qa3/qa4/qb2/qc0;
+# lsh_cosine_pairs gained two parallelism-restoring repartitions → qb0
+# (plus the four CC users); and qb2/qc0 moved to the production LSH
+# budget (n_planes = planes_for_corpus(corpus), Hamming-2 probing) with
+# oracles pinning planes_for_corpus(500) = 9 — goldens regenerated for
+# exactly those two in the same commits.
 ATTEST_CHANGED: tuple[str, ...] = (
-    "qb7_group_sample",
-    "qb8_mixture_upsample",
-    "qb9_dataset_report",
-    "qc0_balanced_sample",
-    "q75_stream_static_join",
-    "q76_stream_stream_join",
-    "q90_text_metrics",
-    "qa0_multimodal_decode",
-    "qa8_frame_sample",
-    "qa9_media_knn",
-    "qb3_mixture_sample",
-    "qb4_passage_dedup",
-    "qb5_quality_rules",
-    "qb6_quantized_knn",
-    "qa2_ivf_knn",
-    "q83_chunk_udtf",
-    "qb0_cosine_pairs_lsh",
-    "qb1_decontaminate",
-    "qb2_semantic_dedup",
     "qa3_dup_clusters",
     "qa4_dedup_keep",
-    "qa6_sequence_packing",
-    "q19_range_join",
-    "q65_affine_transform",
-    "q98_cosine_pairs_topk",
-    "qr06_cube_window_agg",
-    "qr07_resample_downsample",
-    "qr08_reproject_nearest",
+    "qb0_cosine_pairs_lsh",
+    "qb2_semantic_dedup",
+    "qc0_balanced_sample",
 )
 
-# Stalest standing attestations — the r05 exempt list (r03/r04 driver
-# rows: the join/agg families, q10/q13/q21 displaced in r05, the heavy
-# hitters q20/q96/q97/qr02) rotates through the remaining window slots
-# this round (VERDICT r05 "Next round" #2); the eleven displaced rows
-# are enumerated above ATTEST_CHANGED.
+# The 45 remaining window slots drain the ENTIRE attestation backlog in
+# oldest-first order (r6 VERDICT "Next round" #1): the r3 scans
+# (q01-q03), the r4 scalar-function family (q61-q69), and every
+# r5-attested query except qr09_chunk_checksum — the one query the
+# 50-slot window cannot fit, left frozen at 2 rounds old (within the
+# "last green driver row <= 2 rounds" criterion). After this round every
+# query's last attestation is r6 or r7.
 ATTEST_STALE: tuple[str, ...] = (
-    "q10_inner_equi",
-    "q11_broadcast_join",
-    "q12_sort_merge_join",
-    "q13_left_outer_null",
-    "q14_left_semi",
-    "q15_left_anti",
-    "q16_theta_join",
-    "q18_copartitioned_zip",
-    "q20_tpch_q1_agg",
-    "q21_count_distinct",
-    "q23_cube",
-    "q24_grouping_sets",
-    "q25_having",
-    "q26_zonal_stats",
-    "q27_argmax_gather",
-    "q28_zonal_percentile",
-    "q29_salted_agg",
-    "q63_qa_bitops",
-    "q80_scalar_pandas_udf",
-    "q96_knn_bruteforce",
-    "q97_lsh_knn",
-    "qr02_polygon_mask",
+    "q01_scan_count",
+    "q02_project_filter",
+    "q03_in_null_predicates",
+    "q61_date_funcs",
+    "q62_math_funcs",
+    "q64_nodata_case",
+    "q66_array_json",
+    "q67_categorical_legend",
+    "q68_type_reinterpret",
+    "q69_landsat_qa",
+    "q17_asof_join",
+    "q22_rollup",
+    "q2a_approx_count_distinct",
+    "q2b_approx_quantiles",
+    "q30_ranking",
+    "q31_lag_lead_gapfill",
+    "q32_moving_average",
+    "q33_running_total",
+    "q40_global_topk",
+    "q41_per_group_topk",
+    "q50_union_all",
+    "q51_union_distinct",
+    "q52_intersect",
+    "q53_except",
+    "q60_string_funcs",
+    "q70_tumbling_window",
+    "q71_sliding_window",
+    "q72_session_window",
+    "q73_watermark_late_data",
+    "q74_stateful_dedup",
+    "q81_grouped_map_udf",
+    "q82_grouped_agg_udf",
+    "q91_exact_dedup",
+    "q92_minhash_lsh_pairs",
+    "q93_lsh_jaccard",
+    "q94_ngram_jaccard_topk",
+    "q95_simhash",
+    "q99_winnow_fingerprint",
+    "qa1_tfidf_topterms",
+    "qa5_repetition_filters",
+    "qa7_pii_redaction",
+    "qr01_windowed_read_fill",
+    "qr03_availability_semi_join",
+    "qr04_incremental_anti_join",
+    "qr05_date_coverage",
 )
 
 ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE
 
 # Closure-hash changes NOT rotated into the window, each with its
 # justification — the auditable escape hatch for shared-helper edits
-# that would otherwise force rotating the entire surface.
-_H32_SPELLING = (
-    "oracle-text-only: the shared _h32 SQL fragment changed spelling "
-    "from concat('0x', ...) to '0x' || ... (DuckDB concat SKIPS NULL "
-    "arguments, so the old spelling turned a NULL md5 slice into the "
-    "un-castable literal '0x'; || propagates NULL — edge-corpus "
-    "hardening, tests/test_edge_corpus.py). For non-NULL input the two "
-    "spellings are identical SQL, the engine-side code is untouched, "
-    "and the sf0.001 golden hash is unchanged."
-)
-ATTEST_EXEMPT: dict[str, str] = {
-    "q92_minhash_lsh_pairs": _H32_SPELLING,
-    "q93_lsh_jaccard": _H32_SPELLING,
-    "q95_simhash": _H32_SPELLING,
-    "q99_winnow_fingerprint": _H32_SPELLING,
-}
+# that would otherwise force rotating the entire surface. Empty this
+# round: the r6 oracle-spelling exemptions (q92/q93/q95/q99 _h32) were
+# baselined in r6 and their closures are unchanged since.
+ATTEST_EXEMPT: dict[str, str] = {}
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
