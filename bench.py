@@ -93,6 +93,11 @@ HEADLINE = [
     # CC → group-sample composition; loop-inclusive like qb2)
     "qb9_dataset_report",
     "qc0_balanced_sample",
+    # round 7 additions: incremental fingerprint-store dedup (anti-join)
+    # and temperature-flattened mixture sampling (rates computed from
+    # corpus counts, engine-side)
+    "qd1_incremental_dedup",
+    "qd2_temperature_mixture",
 ]
 
 # Driver-iterative queries: the query function itself executes work

@@ -313,3 +313,39 @@ def passages_df(
         lambda s: F.array_join(F.slice(F.col("__tk"), s + 1, size), " "),
     )
     return toks_mat.select("doc_id", F.explode(pas).alias("passage"))
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    store: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental corpus dedup: the keep-list for a NEW batch against an
+    existing corpus represented ONLY by its fingerprint store — the
+    production shape of continuous ingestion, where the standing corpus
+    is never re-read (its 16-byte fingerprints are the persisted state,
+    exactly what :func:`exact_dedup` emits).
+
+    Two rules, one pass: a batch doc survives iff (a) its fingerprint is
+    absent from the store — LEFT ANTI join on the fixed-width key, the
+    only thing that ever shuffles — and (b) it is the batch's own first
+    copy (min id per fingerprint within the batch). Returns
+    (fingerprint, keeper_doc_id, n_batch_copies) — union it back into
+    the store and the next batch dedups against this one too.
+
+    Scale shape: no text crosses the wire (hashes only); at 100 TB the
+    store lives bucketed by fingerprint so the anti-join co-locates with
+    zero store shuffle, and the batch side is the small relation by
+    construction (a day's ingest vs the corpus)."""
+    fp = batch.select(
+        content_fingerprint(F.col(text_col)).alias("fingerprint"),
+        F.col(id_col).alias("doc_id"),
+    )
+    fresh = fp.join(
+        store.select("fingerprint").distinct(), "fingerprint", "left_anti"
+    )
+    return fresh.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count("*").alias("n_batch_copies"),
+    )

@@ -145,3 +145,37 @@ def mixture_upsample(
         .withColumn("copy", F.explode(copies))
         .drop("n_base", "thr")
     )
+
+
+def flatten_rates(
+    counts: DataFrame, on: str = "source", n_col: str = "n"
+) -> DataFrame:
+    """Temperature-flattened mixture rates at α = 0.5: keep-rate per
+    group = sqrt(n_min / n), so sampled counts go as sqrt(n) — the
+    standard pretraining-mixture move that keeps small sources from
+    drowning (multilingual/domain sampling à la temperature-based
+    mixing), pinned to α = ½ because it is then EXPRESSIBLE AS sqrt —
+    IEEE-exact and bit-identical across engines, where a general pow()
+    is libm-dependent and would break the cross-engine hash gate.
+
+    The smallest group keeps everything (threshold 'g', the
+    KEEP_ALL_THR trick: lexicographically above every hex digit);
+    larger groups keep sqrt-proportionally less. The whole computation
+    is engine-side column math over the (group, count) relation — a
+    relation with one row per source, broadcast by
+    :func:`mixture_sample`; nothing funnels through the driver."""
+    n_min = counts.agg(F.min(n_col).alias("__n_min"))
+    thr = F.when(F.col(n_col) == F.col("__n_min"), F.lit(KEEP_ALL_THR)).otherwise(
+        F.lpad(
+            F.lower(
+                F.hex(
+                    F.floor(
+                        F.sqrt(F.col("__n_min") / F.col(n_col)) * F.lit(16**8)
+                    ).cast("bigint")
+                )
+            ),
+            8,
+            "0",
+        )
+    )
+    return counts.crossJoin(F.broadcast(n_min)).select(on, thr.alias("thr"))

@@ -1975,3 +1975,127 @@ def qc0(spark, sf_dir):
         .select("vec_id", "cluster_id", "sample_rank")
         .orderBy("cluster_id", "sample_rank")
     )
+
+
+@query(
+    "qd1_incremental_dedup",
+    oracle="""
+        WITH batch_rows AS (
+            SELECT doc_id, text FROM documents WHERE doc_id >= 250
+            UNION ALL
+            SELECT doc_id + 1000, text FROM documents WHERE doc_id < 50
+            UNION ALL
+            SELECT doc_id + 2000, text FROM documents
+            WHERE doc_id >= 250 AND doc_id < 260
+        ),
+        store AS (
+            SELECT DISTINCT
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                       AS fingerprint
+            FROM documents WHERE doc_id < 250
+        ),
+        batch AS (
+            SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                       AS fingerprint,
+                   doc_id
+            FROM batch_rows
+        )
+        SELECT b.fingerprint,
+               min(b.doc_id) AS keeper_doc_id,
+               count(*) AS n_batch_copies
+        FROM batch b
+        WHERE b.fingerprint NOT IN (SELECT fingerprint FROM store)
+        GROUP BY b.fingerprint
+        ORDER BY b.fingerprint
+    """,
+)
+def qd1(spark, sf_dir):
+    """Incremental corpus dedup (operators/dedup.py incremental_dedup):
+    docs with id < 250 stand in as the standing corpus — reduced to its
+    fingerprint STORE, the persisted state of continuous ingestion. The
+    new batch is ids ≥ 250 plus two planted ingest realities the
+    fixture's near-dup-only corpus lacks: 50 RE-INGESTS (exact copies of
+    store docs under new ids — the anti-join must drop every one) and
+    10 intra-batch copies (the batch's own min id must keep them). A
+    batch doc survives iff its fingerprint is absent from the store
+    (LEFT ANTI on the 16-byte key) and it is the batch's first copy.
+    This is the shape production dedup actually runs — the corpus is
+    never re-scanned, only its hashes are; q91 is the from-scratch
+    formulation this one makes incremental (reference analog: the
+    incremental chunk anti-join qr04, lifted to the document surface).
+
+    Scale shape: no text shuffles (fingerprints only); the store side
+    lives bucketed on fingerprint at scale so the anti-join co-locates;
+    the batch is the small side by construction."""
+    from rastercube_spark.operators.dedup import exact_dedup, incremental_dedup
+
+    d = _docs(spark, sf_dir)
+    corpus = d.where(F.col("doc_id") < 250)
+    batch = (
+        d.where(F.col("doc_id") >= 250)
+        .select("doc_id", "text")
+        .unionByName(
+            d.where(F.col("doc_id") < 50).select(
+                (F.col("doc_id") + 1000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            d.where((F.col("doc_id") >= 250) & (F.col("doc_id") < 260)).select(
+                (F.col("doc_id") + 2000).alias("doc_id"), "text"
+            )
+        )
+    )
+    store = exact_dedup(corpus, "doc_id", "text").select("fingerprint")
+    return incremental_dedup(batch, store).orderBy("fingerprint")
+
+
+@query(
+    "qd2_temperature_mixture",
+    oracle="""
+        WITH counts AS (
+            SELECT source, count(*) AS n FROM documents GROUP BY source
+        ),
+        mn AS (SELECT min(n) AS n_min FROM counts),
+        rates AS (
+            SELECT source,
+                   CASE WHEN n = n_min THEN 'g'
+                        ELSE lpad(lower(hex(CAST(floor(
+                                 sqrt(CAST(n_min AS DOUBLE) / n)
+                                 * 4294967296) AS BIGINT))), 8, '0')
+                   END AS thr
+            FROM counts, mn
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN rates r USING (source)
+        WHERE substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < r.thr
+        ORDER BY d.doc_id
+    """,
+)
+def qd2(spark, sf_dir):
+    """Temperature-flattened mixture sampling (operators/sampling.py
+    flatten_rates + mixture_sample): per-source keep-rate sqrt(n_min/n),
+    so sampled counts go as sqrt(n) — α = 0.5 temperature mixing, the
+    standard move against head-source dominance in a pretraining
+    mixture. Where qb3 applies a HAND-written rate spec, this computes
+    the spec FROM the corpus (count → sqrt ratio → hex threshold), all
+    engine-side column math; α is pinned to ½ because sqrt is IEEE-exact
+    cross-engine while general pow() is libm-dependent and would break
+    the hash gate.
+
+    Scale shape: counts is a map-side-combinable agg producing one row
+    per source; the n_min scalar and the rate relation broadcast; the
+    corpus plan is scan → broadcast-join → filter — zero corpus
+    shuffles, same as qb3 (plan-asserted in tests/test_plans.py)."""
+    from rastercube_spark.operators.sampling import (
+        flatten_rates,
+        mixture_sample,
+    )
+
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("source").agg(F.count("*").alias("n"))
+    rates = flatten_rates(counts, on="source", n_col="n")
+    return (
+        mixture_sample(d, rates, on="source", key="doc_id", salt="temp:")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

@@ -48,22 +48,28 @@ _ORACLES: dict[str, str] = {}
 # (plus the four CC users); and qb2/qc0 moved to the production LSH
 # budget (n_planes = planes_for_corpus(corpus), Hamming-2 probing) with
 # oracles pinning planes_for_corpus(500) = 9 — goldens regenerated for
-# exactly those two in the same commits.
+# exactly those two in the same commits. Plus two NEW queries (first
+# attestation): qd1 incremental corpus dedup (fingerprint-store
+# anti-join) and qd2 temperature-flattened mixture sampling.
 ATTEST_CHANGED: tuple[str, ...] = (
     "qa3_dup_clusters",
     "qa4_dedup_keep",
     "qb0_cosine_pairs_lsh",
     "qb2_semantic_dedup",
     "qc0_balanced_sample",
+    "qd1_incremental_dedup",
+    "qd2_temperature_mixture",
 )
 
 # The 45 remaining window slots drain the ENTIRE attestation backlog in
 # oldest-first order (r6 VERDICT "Next round" #1): the r3 scans
 # (q01-q03), the r4 scalar-function family (q61-q69), and every
-# r5-attested query except qr09_chunk_checksum — the one query the
-# 50-slot window cannot fit, left frozen at 2 rounds old (within the
-# "last green driver row <= 2 rounds" criterion). After this round every
-# query's last attestation is r6 or r7.
+# r5-attested query except qr09_chunk_checksum and — displaced by the
+# two new qd* slots — qr04/qr05, the three queries a 50-slot window
+# cannot fit (each frozen-green under the closure-hash baseline at
+# 2 rounds old, within the "last green driver row <= 2 rounds"
+# criterion; first in line for r08). After this round every other
+# attestation is r6 or r7.
 ATTEST_STALE: tuple[str, ...] = (
     "q01_scan_count",
     "q02_project_filter",
@@ -108,8 +114,6 @@ ATTEST_STALE: tuple[str, ...] = (
     "qa7_pii_redaction",
     "qr01_windowed_read_fill",
     "qr03_availability_semi_join",
-    "qr04_incremental_anti_join",
-    "qr05_date_coverage",
 )
 
 ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE

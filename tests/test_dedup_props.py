@@ -92,3 +92,41 @@ def test_decontaminate_plants_and_disjoint(spark):
     assert 101 not in got, "disjoint-vocabulary doc falsely flagged"
     # 8 eval tokens -> 4 distinct 5-grams, all present in the planted doc
     assert got.get(100) == 4, got
+
+
+def test_incremental_dedup_composes_to_global(spark):
+    """qd1's operator invariant: store keepers ∪ incremental keepers
+    (with corpus ids below batch ids) ≡ from-scratch exact_dedup of the
+    whole corpus — incremental ingestion loses nothing and double-keeps
+    nothing. Re-ingesting the corpus itself yields an EMPTY keep-list."""
+    from rastercube_spark.operators.dedup import (
+        exact_dedup,
+        incremental_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i % 7}") for i in range(20)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        # ids 100+: three fresh texts, plus re-ingests of corpus texts
+        [(100 + i, f"doc {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    store = exact_dedup(corpus, "doc_id", "text")
+    inc = incremental_dedup(batch, store.select("fingerprint"))
+    # fresh = texts 7..9 (corpus only had i % 7 -> texts 0..6)
+    assert inc.count() == 3
+    assert {r["keeper_doc_id"] for r in inc.collect()} == {107, 108, 109}
+
+    merged = store.select("fingerprint", "keeper_doc_id").unionByName(
+        inc.select("fingerprint", "keeper_doc_id")
+    )
+    scratch = exact_dedup(
+        corpus.unionByName(batch), "doc_id", "text"
+    ).select("fingerprint", "keeper_doc_id")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, scratch.collect())
+    )
+
+    again = incremental_dedup(corpus, store.select("fingerprint"))
+    assert again.count() == 0

@@ -228,3 +228,25 @@ def test_stream_stream_join_is_keyed(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_temperature_mixture_broadcasts_rates(spark, sf_dir):
+    """qd2: the computed rate relation (one row per source, derived
+    engine-side from counts) must broadcast exactly like qb3's
+    hand-written spec — the corpus reaches the keep/drop filter without
+    a sort-merge shuffle."""
+    plan = _plan(spark, sf_dir, "qd2_temperature_mixture")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_dedup_anti_join_on_hash(spark, sf_dir):
+    """qd1: the store lookup must be a LEFT ANTI equi-join on the
+    fingerprint — never a product — and the keeper aggregate must have
+    map-side partials. No text column may survive past the fingerprint
+    projection (only 16-byte hashes shuffle)."""
+    plan = _plan(spark, sf_dir, "qd1_incremental_dedup")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan

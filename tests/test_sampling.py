@@ -100,3 +100,53 @@ def test_mixture_upsample_multiplicity_bounds(spark, sf_dir):
     assert all(r["n"] in (2, 3) and r["mx"] == r["n"] - 1 for r in per)
     n3 = sum(1 for r in per if r["n"] == 3)
     assert 0 < n3 < len(per)
+
+
+def test_flatten_rates_sqrt_mixture(spark):
+    """qd2's rate computation: the smallest source keeps everything
+    (threshold 'g'), larger sources keep sqrt(n_min/n), so realized
+    counts flatten toward sqrt(n) — checked within binomial noise on a
+    deterministic synthetic corpus."""
+    from rastercube_spark.operators.sampling import (
+        flatten_rates,
+        mixture_sample,
+    )
+
+    sizes = {"small": 200, "mid": 800, "big": 3200}
+    rows = [
+        (f"{s}-{i}", s) for s, n in sizes.items() for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    counts = df.groupBy("source").agg(F.count("*").alias("n"))
+    rates = {r["source"]: r["thr"] for r in flatten_rates(counts).collect()}
+    assert rates["small"] == "g"  # keep-all
+    assert rates["mid"] < rates["small"] and rates["big"] < rates["mid"]
+    kept = (
+        mixture_sample(df, flatten_rates(counts), key="doc_id", salt="t:")
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    got = {r["source"]: r["count"] for r in kept}
+    assert got["small"] == 200
+    # expected sqrt(n_min*n): mid 400, big 800; binomial sd ~ 20/28
+    assert abs(got["mid"] - 400) < 80, got
+    assert abs(got["big"] - 800) < 110, got
+
+
+def test_flatten_rates_deterministic_under_repartition(spark):
+    from rastercube_spark.operators.sampling import (
+        flatten_rates,
+        mixture_sample,
+    )
+
+    rows = [(f"d{i}", f"s{i % 3}") for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    counts = df.groupBy("source").agg(F.count("*").alias("n"))
+
+    def run(frame):
+        out = mixture_sample(frame, flatten_rates(counts), key="doc_id",
+                             salt="t:")
+        return sorted(r["doc_id"] for r in out.collect())
+
+    assert run(df) == run(df.repartition(17, "doc_id"))
