@@ -98,6 +98,8 @@ HEADLINE = [
     # corpus counts, engine-side)
     "qd1_incremental_dedup",
     "qd2_temperature_mixture",
+    # kNN label-consistency probe (embedding-quality report)
+    "qd3_knn_label_consistency",
 ]
 
 # Driver-iterative queries: the query function itself executes work

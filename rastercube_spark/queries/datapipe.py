@@ -2099,3 +2099,98 @@ def qd2(spark, sf_dir):
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "qd3_knn_label_consistency",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,
+                   label AS q_label
+            FROM embeddings WHERE vec_id < 100
+        ),
+        c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv, label
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT q_id, q_label, vec_id, label AS n_label,
+                   ROUND({_COS}, 6) AS cosine
+            FROM c, q WHERE q_id <> vec_id
+        ),
+        ranked AS (
+            SELECT q_id, q_label, n_label,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY cosine DESC, vec_id
+                   ) AS rank
+            FROM scored
+        ),
+        per_q AS (
+            SELECT q_id, q_label,
+                   CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_same,
+                   CAST(count(*) AS BIGINT) AS n_nn
+            FROM ranked WHERE rank <= 10
+            GROUP BY q_id, q_label
+        )
+        SELECT q_label AS label,
+               CAST(count(*) AS BIGINT) AS n_queries,
+               CAST(SUM(n_same) AS BIGINT) AS n_same,
+               CAST(SUM(n_nn) AS BIGINT) AS n_nn,
+               ROUND(CAST(SUM(n_same) AS DOUBLE) / SUM(n_nn), 6)
+                   AS consistency
+        FROM per_q
+        GROUP BY q_label
+        ORDER BY q_label
+    """,
+)
+def qd3(spark, sf_dir):
+    """Embedding-quality probe: kNN label consistency — for a 100-query
+    probe set, what fraction of each query's exact top-10 cosine
+    neighbors share its label, reported per label. The standard
+    neighborhood-homogeneity check a training-data pipeline runs before
+    trusting an embedding column for semantic dedup or clustering
+    (label noise / collapsed embeddings show up as low consistency for
+    a label before anything downstream breaks).
+
+    Determinism: ranks on the 6-dp-rounded cosine with vec_id
+    tie-break (q96's cross-engine-stable pattern), and the per-label
+    score is ONE division of exact bigint sums rounded at the end —
+    no float accumulation order anywhere.
+
+    Scale shape: brute_force_knn broadcasts the fixed probe set; the
+    corpus streams through a per-query top-k window and is never
+    shuffled; the label joins are on the probe/neighbor ids (tiny);
+    the report is a map-side-combinable agg over 1000 rows."""
+    from rastercube_spark.operators.similarity import brute_force_knn
+
+    e = load(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    nn = brute_force_knn(qs, e, k=10)
+    ql = e.select(F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"))
+    cl = e.select("vec_id", F.col("label").alias("n_label"))
+    per_q = (
+        nn.join(ql, "q_id")
+        .join(cl, "vec_id")
+        .groupBy("q_id", "q_label")
+        .agg(
+            F.sum(
+                F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0)
+            ).cast("bigint").alias("n_same"),
+            F.count("*").cast("bigint").alias("n_nn"),
+        )
+    )
+    return (
+        per_q.groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.sum("n_same").cast("bigint").alias("n_same"),
+            F.sum("n_nn").cast("bigint").alias("n_nn"),
+            F.round(
+                F.sum("n_same").cast("double") / F.sum("n_nn"), 6
+            ).alias("consistency"),
+        )
+        .orderBy("label")
+    )

@@ -250,3 +250,13 @@ def test_incremental_dedup_anti_join_on_hash(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashAggregate" in plan
+
+
+def test_knn_label_consistency_broadcasts_probes(spark, sf_dir):
+    """qd3: the probe set must broadcast into the scoring join (the
+    corpus is never shuffled for it — same shape as q96); the label
+    report must aggregate with map-side partials."""
+    plan = _plan(spark, sf_dir, "qd3_knn_label_consistency")
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
