@@ -1,0 +1,63 @@
+"""Round-over-round bench comparison with the noise discipline applied
+(VERDICT r5/r6: every cross-round panic so far was load contamination,
+not code):
+
+    python tools/bench_compare.py BENCH_r06.json BENCH_r07.json
+
+Reads either the driver's recorded shape ({"parsed": {...}}) or
+bench.py's raw JSON line. Classifies each common query as noise / real
+by BOTH a relative band and an absolute floor (a 0.05 s jitter on a
+0.2 s query is 25% but means nothing), flags load-contaminated runs
+from their recorded env notes, and prints the common-subset totals the
+verdicts have converged on quoting.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+REL_BAND = 0.30  # documented local-noise band on this shared 32-core box
+ABS_FLOOR_S = 0.20
+
+
+def load(path: str) -> dict:
+    with open(path) as f:
+        d = json.load(f)
+    return d.get("parsed", d)
+
+
+def main() -> int:
+    if len(sys.argv) != 3:
+        print(__doc__)
+        return 2
+    a, b = load(sys.argv[1]), load(sys.argv[2])
+    qa, qb = a["queries"], b["queries"]
+    common = sorted(set(qa) & set(qb))
+    for side, d in (("A", a), ("B", b)):
+        env = d.get("env", {})
+        la = env.get("loadavg_start")
+        warn = env.get("load_warning")
+        print(f"{side}: loadavg_start={la}" + (f"  WARNING: {warn}" if warn else ""))
+    ta, tb = sum(qa[k] for k in common), sum(qb[k] for k in common)
+    print(f"common-{len(common)} total: {ta:.2f}s -> {tb:.2f}s "
+          f"({(tb - ta) / ta:+.1%})")
+    real = []
+    for k in common:
+        d = qb[k] - qa[k]
+        if abs(d) > ABS_FLOOR_S and abs(d) > REL_BAND * qa[k]:
+            real.append((d, k))
+    if not real:
+        print(f"no per-query delta outside the noise band "
+              f"(>{REL_BAND:.0%} and >{ABS_FLOOR_S}s)")
+    for d, k in sorted(real):
+        print(f"  {'REGRESSION' if d > 0 else 'improvement'}  {k}: "
+              f"{qa[k]:.2f} -> {qb[k]:.2f} ({d:+.2f}s)")
+    only_b = sorted(set(qb) - set(qa))
+    if only_b:
+        print("new in B:", ", ".join(f"{k}={qb[k]:.2f}s" for k in only_b))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
