@@ -100,6 +100,8 @@ HEADLINE = [
     "qd2_temperature_mixture",
     # kNN label-consistency probe (embedding-quality report)
     "qd3_knn_label_consistency",
+    # near-dup decontamination (minhash-banded, eval bands broadcast)
+    "qd4_neardup_decontaminate",
 ]
 
 # Driver-iterative queries: the query function itself executes work

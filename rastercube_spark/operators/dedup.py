@@ -121,10 +121,10 @@ def minhash_signatures(sig_input: DataFrame) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
-    """Band the wide signature, bucket-join: pairs agreeing on any full
-    band. Band keys are plain string concats of the wide columns (no
-    collect_list/sort needed); the self-join key is (band, signature)."""
+def band_keys(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bsig) banding of a wide minhash signature — the
+    shared first half of every LSH bucket join. Band keys are plain
+    string concats of the wide columns (no collect_list/sort needed)."""
     bands = F.array(
         *[
             F.struct(
@@ -140,10 +140,15 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    bdf = (
-        sig.select("doc_id", F.explode(bands).alias("bs"))
-        .select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
+    return sig.select("doc_id", F.explode(bands).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig")
     )
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band the wide signature, bucket-join: pairs agreeing on any full
+    band; the self-join key is (band, signature)."""
+    bdf = band_keys(sig)
     a, b = bdf.alias("a"), bdf.alias("b")
     return (
         a.join(
@@ -348,4 +353,59 @@ def incremental_dedup(
     return fresh.groupBy("fingerprint").agg(
         F.min("doc_id").alias("keeper_doc_id"),
         F.count("*").alias("n_batch_copies"),
+    )
+
+
+def neardup_decontaminate(
+    train: DataFrame,
+    ev: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """NEAR-dup train/eval decontamination — :func:`decontaminate`'s
+    production-grade sibling: exact shared-n-gram flagging misses
+    paraphrased leaks, so this one flags training docs whose shingle-set
+    Jaccard against ANY benchmark doc reaches ``threshold``, found via
+    minhash banding rather than an all-pairs comparison. Ids must be
+    disjoint across the two relations.
+
+    Scale shape mirrors decontaminate's: the benchmark side is tiny by
+    definition, so its band keys BROADCAST — the corpus computes its own
+    signatures in one map-side pass and meets only the broadcast eval
+    bands (never itself; no train×train candidates ever exist, unlike
+    banding the union). Exact-Jaccard verification then touches only
+    candidate documents' shingles (pair_jaccard's candidate-driven
+    join). Returns (doc_id, n_eval_matches, max_jaccard) per flagged
+    training doc."""
+    sig_t = minhash_signatures(
+        shingles_df(train, id_col, text_col, k=k, distinct=False)
+    )
+    sig_e = minhash_signatures(
+        shingles_df(ev, id_col, text_col, k=k, distinct=False)
+    )
+    cand = (
+        band_keys(sig_t)
+        .join(
+            F.broadcast(
+                band_keys(sig_e).select(
+                    F.col("doc_id").alias("eval_id"), "band", "bsig"
+                )
+            ),
+            ["band", "bsig"],
+        )
+        .select(F.col("doc_id").alias("train_id"), "eval_id")
+        .distinct()
+    )
+    sh = shingles_df(ev, id_col, text_col, k=k).unionByName(
+        shingles_df(train, id_col, text_col, k=k)
+    )
+    pairs = cand.select(
+        F.col("eval_id").alias("doc_a"), F.col("train_id").alias("doc_b")
+    )
+    flagged = pair_jaccard(sh, pairs).where(F.col("jaccard") >= threshold)
+    return flagged.groupBy(F.col("doc_b").alias("doc_id")).agg(
+        F.count("*").cast("bigint").alias("n_eval_matches"),
+        F.max("jaccard").alias("max_jaccard"),
     )

@@ -2194,3 +2194,64 @@ def qd3(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+@query(
+    "qd4_neardup_decontaminate",
+    oracle=f"""
+        WITH {_shingles_cte(3)}, {_LSH_CTES},
+        cross_cand AS (
+            SELECT doc_a AS eval_id, doc_b AS train_id
+            FROM cand WHERE doc_a < 20 AND doc_b >= 20
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.train_id, c.eval_id, count(*) AS n_inter
+            FROM cross_cand c
+            JOIN sh a ON a.doc_id = c.eval_id
+            JOIN sh b ON b.doc_id = c.train_id AND b.shingle = a.shingle
+            GROUP BY c.train_id, c.eval_id
+        ),
+        jac AS (
+            SELECT i.train_id,
+                   ROUND(i.n_inter /
+                       CAST(sa.n + sb.n - i.n_inter AS DOUBLE), 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.eval_id
+            JOIN sizes sb ON sb.doc_id = i.train_id
+        )
+        SELECT train_id AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_eval_matches,
+               max(jaccard) AS max_jaccard
+        FROM jac WHERE jaccard >= 0.5
+        GROUP BY train_id
+        ORDER BY doc_id
+    """,
+)
+def qd4(spark, sf_dir):
+    """NEAR-dup decontamination (operators/dedup.py
+    neardup_decontaminate): qb1's exact-n-gram pass catches verbatim
+    leaks; this flags training docs whose 3-shingle Jaccard against any
+    benchmark doc (ids < 20, qb1's split) reaches 0.5 — the
+    paraphrase-robust production form. The fixture's planted near-dup
+    pairs connect RANDOM ids, so exactly the pairs crossing the id<20
+    boundary are catchable here (one at sf0.01: doc 245 ≈ eval doc 8 at
+    Jaccard 0.988 — a leak qb1's exact 5-gram pass also sees, but this
+    operator would still flag under token-level paraphrase);
+    multi-leak catching and the eval-broadcast shape are pinned on
+    synthetic corpora in tests/test_dedup_props.py. Candidates come from minhash
+    banding with the BENCHMARK bands broadcast, so the corpus never
+    self-joins and no train×train candidate is ever generated; exact
+    Jaccard then verifies only the candidates.
+
+    Oracle note: the SQL bands the union and filters cand to the
+    (eval, train) cross pairs — equivalent because minhash signatures
+    are per-doc (independent of every other doc) and the split ids are
+    disjoint; banding separately engine-side merely avoids materializing
+    the train×train pairs the oracle throws away."""
+    from rastercube_spark.operators.dedup import neardup_decontaminate
+
+    d = _docs(spark, sf_dir)
+    ev = d.where(F.col("doc_id") < 20)
+    tr = d.where(F.col("doc_id") >= 20)
+    return neardup_decontaminate(tr, ev, k=3, threshold=0.5).orderBy("doc_id")

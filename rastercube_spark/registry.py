@@ -50,8 +50,10 @@ _ORACLES: dict[str, str] = {}
 # oracles pinning planes_for_corpus(500) = 9 — goldens regenerated for
 # exactly those two in the same commits. Plus two NEW queries (first
 # attestation): qd1 incremental corpus dedup (fingerprint-store
-# anti-join), qd2 temperature-flattened mixture sampling, and qd3 kNN
-# label-consistency (embedding-quality probe over the label column).
+# anti-join), qd2 temperature-flattened mixture sampling, qd3 kNN
+# label-consistency (embedding-quality probe over the label column),
+# and qd4 near-dup decontamination (minhash-banded Jaccard — qb1's
+# paraphrase-robust sibling, benchmark bands broadcast).
 ATTEST_CHANGED: tuple[str, ...] = (
     "qa3_dup_clusters",
     "qa4_dedup_keep",
@@ -61,13 +63,14 @@ ATTEST_CHANGED: tuple[str, ...] = (
     "qd1_incremental_dedup",
     "qd2_temperature_mixture",
     "qd3_knn_label_consistency",
+    "qd4_neardup_decontaminate",
 )
 
 # The 45 remaining window slots drain the ENTIRE attestation backlog in
 # oldest-first order (r6 VERDICT "Next round" #1): the r3 scans
 # (q01-q03), the r4 scalar-function family (q61-q69), and every
 # r5-attested query except qr09_chunk_checksum and — displaced by the
-# three new qd* slots — qr03/qr04/qr05, the four queries a 50-slot
+# four new qd* slots — qr01/qr03/qr04/qr05, the five queries a 50-slot
 # window cannot fit (each frozen-green under the closure-hash baseline at
 # 2 rounds old, within the "last green driver row <= 2 rounds"
 # criterion; first in line for r08). After this round every other
@@ -114,7 +117,6 @@ ATTEST_STALE: tuple[str, ...] = (
     "qa1_tfidf_topterms",
     "qa5_repetition_filters",
     "qa7_pii_redaction",
-    "qr01_windowed_read_fill",
 )
 
 ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE

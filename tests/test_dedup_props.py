@@ -130,3 +130,31 @@ def test_incremental_dedup_composes_to_global(spark):
 
     again = incremental_dedup(corpus, store.select("fingerprint"))
     assert again.count() == 0
+
+
+def test_neardup_decontaminate_catches_paraphrase(spark):
+    """qd4's operator: a training doc that shares most (not all) of its
+    shingles with a benchmark doc must be flagged — the leak exact
+    n-gram decontamination (k large) misses — while unrelated docs stay
+    clean, and re-ordering/partitioning cannot change the verdict."""
+    from rastercube_spark.operators.dedup import neardup_decontaminate
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    ev = spark.createDataFrame(
+        [(0, base), (1, "completely different benchmark text about astronomy stars galaxies")],
+        "doc_id long, text string",
+    )
+    tr = spark.createDataFrame(
+        [
+            (100, base.replace("today", "tonight")),   # paraphrase leak of 0
+            (101, base),                                # verbatim leak of 0
+            (102, "unrelated training document about cooking pasta with garlic"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           neardup_decontaminate(tr, ev, k=3, threshold=0.5).collect()}
+    assert set(out) == {100, 101}
+    assert out[101]["max_jaccard"] == 1.0
+    assert 0.5 <= out[100]["max_jaccard"] < 1.0
+    assert out[100]["n_eval_matches"] == 1

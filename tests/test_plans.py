@@ -260,3 +260,13 @@ def test_knn_label_consistency_broadcasts_probes(spark, sf_dir):
     assert "Broadcast" in plan
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_neardup_decontaminate_broadcasts_eval_bands(spark, sf_dir):
+    """qd4: the benchmark band keys must broadcast into the candidate
+    join (the corpus never self-joins — no train×train candidates can
+    exist by construction) and nothing may plan a product."""
+    plan = _plan(spark, sf_dir, "qd4_neardup_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
