@@ -102,6 +102,8 @@ HEADLINE = [
     "qd3_knn_label_consistency",
     # near-dup decontamination (minhash-banded, eval bands broadcast)
     "qd4_neardup_decontaminate",
+    # corpus-snapshot token-drift report (one-pass conditional sums)
+    "qd5_token_drift",
 ]
 
 # Driver-iterative queries: the query function itself executes work

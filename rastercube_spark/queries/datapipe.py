@@ -2255,3 +2255,82 @@ def qd4(spark, sf_dir):
     ev = d.where(F.col("doc_id") < 20)
     tr = d.where(F.col("doc_id") >= 20)
     return neardup_decontaminate(tr, ev, k=3, threshold=0.5).orderBy("doc_id")
+
+
+@query(
+    "qd5_token_drift",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+            FROM documents
+        ),
+        agg AS (
+            SELECT token,
+                   CAST(SUM(CASE WHEN doc_id < 250 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN doc_id >= 250 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_b
+            FROM toks GROUP BY token
+        ),
+        tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM agg)
+        SELECT token, n_a, n_b,
+               ROUND(ABS(CAST(n_a AS DOUBLE) / ta
+                         - CAST(n_b AS DOUBLE) / tb), 6) AS drift
+        FROM agg, tot
+        ORDER BY drift DESC, token
+        LIMIT 50
+    """,
+)
+def qd5(spark, sf_dir):
+    """Corpus-snapshot drift report: the 50 tokens whose unigram rate
+    moved most between two snapshots (ids < 250 as the reference
+    snapshot, ids ≥ 250 as the incoming one) — the dataset-shift monitor
+    a continuously-ingesting pipeline runs before a new snapshot joins
+    the training mixture (a topical scrape, a spam wave, or a broken
+    extractor all surface here first, as rate swings in their telltale
+    tokens).
+
+    Determinism: counts are exact bigints aggregated map-side in ONE
+    pass (two conditional sums — the corpus is read once, not once per
+    snapshot); the drift score is two IEEE divisions by exact totals,
+    |a−b| rounded to 6 dp, ordered with a token tie-break; the totals
+    ride a broadcast scalar, so nothing about partitioning can move the
+    result.
+
+    Scale shape: explode → map-side-combinable groupBy on token (the
+    only corpus-sized shuffle), a 1-row total cross-joined as a
+    broadcast scalar, and a global top-k (TakeOrdered, never a full
+    sort)."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
+    )
+    agg = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("doc_id") < 250, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("doc_id") >= 250, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    tot = agg.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            "n_a",
+            "n_b",
+            F.round(
+                F.abs(
+                    F.col("n_a").cast("double") / F.col("ta")
+                    - F.col("n_b").cast("double") / F.col("tb")
+                ),
+                6,
+            ).alias("drift"),
+        )
+        .orderBy(F.col("drift").desc(), "token")
+        .limit(50)
+    )

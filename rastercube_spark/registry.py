@@ -52,8 +52,9 @@ _ORACLES: dict[str, str] = {}
 # attestation): qd1 incremental corpus dedup (fingerprint-store
 # anti-join), qd2 temperature-flattened mixture sampling, qd3 kNN
 # label-consistency (embedding-quality probe over the label column),
-# and qd4 near-dup decontamination (minhash-banded Jaccard — qb1's
-# paraphrase-robust sibling, benchmark bands broadcast).
+# qd4 near-dup decontamination (minhash-banded Jaccard — qb1's
+# paraphrase-robust sibling, benchmark bands broadcast), and qd5
+# corpus-snapshot token-drift report (dataset-shift monitoring).
 ATTEST_CHANGED: tuple[str, ...] = (
     "qa3_dup_clusters",
     "qa4_dedup_keep",
@@ -64,14 +65,15 @@ ATTEST_CHANGED: tuple[str, ...] = (
     "qd2_temperature_mixture",
     "qd3_knn_label_consistency",
     "qd4_neardup_decontaminate",
+    "qd5_token_drift",
 )
 
 # The 45 remaining window slots drain the ENTIRE attestation backlog in
 # oldest-first order (r6 VERDICT "Next round" #1): the r3 scans
 # (q01-q03), the r4 scalar-function family (q61-q69), and every
 # r5-attested query except qr09_chunk_checksum and — displaced by the
-# four new qd* slots — qr01/qr03/qr04/qr05, the five queries a 50-slot
-# window cannot fit (each frozen-green under the closure-hash baseline at
+# five new qd* slots — qa7/qr01/qr03/qr04/qr05, the six queries a
+# 50-slot window cannot fit (each frozen-green under the closure-hash baseline at
 # 2 rounds old, within the "last green driver row <= 2 rounds"
 # criterion; first in line for r08). After this round every other
 # attestation is r6 or r7.
@@ -116,7 +118,6 @@ ATTEST_STALE: tuple[str, ...] = (
     "q99_winnow_fingerprint",
     "qa1_tfidf_topterms",
     "qa5_repetition_filters",
-    "qa7_pii_redaction",
 )
 
 ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE
