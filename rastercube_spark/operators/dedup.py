@@ -397,9 +397,23 @@ def neardup_decontaminate(
         )
         .select(F.col("doc_id").alias("train_id"), "eval_id")
         .distinct()
+        # feeds BOTH the train semi-join below and the pair list;
+        # materialize once instead of re-running the banding pass
+        .localCheckpoint(eager=False)
+    )
+    # The verify stage must touch only CANDIDATE train docs' shingles
+    # (ADVICE r7): semi-join train down to flagged ids BEFORE building
+    # the distinct shingle relation — otherwise the widest (doc_id,
+    # shingle) relation of the FULL corpus shuffles again (distinct +
+    # pair_jaccard's sizes groupBy) just to verify a handful of
+    # candidates. The eval side stays full (tiny by definition).
+    train_cand = train.join(
+        cand.select(F.col("train_id").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
     )
     sh = shingles_df(ev, id_col, text_col, k=k).unionByName(
-        shingles_df(train, id_col, text_col, k=k)
+        shingles_df(train_cand, id_col, text_col, k=k)
     )
     pairs = cand.select(
         F.col("eval_id").alias("doc_a"), F.col("train_id").alias("doc_b")

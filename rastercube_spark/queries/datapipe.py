@@ -46,7 +46,7 @@ from rastercube_spark.operators.text import (
     token_count,
 )
 from rastercube_spark.registry import query
-from rastercube_spark.sources.tables import load, rebalance_scan
+from rastercube_spark.sources.tables import load, rebalance_scan, table_rows
 
 EMB_DIM = 64  # driver's embeddings table (TESTDATA.md)
 
@@ -697,12 +697,16 @@ def qb2(spark, sf_dir):
     )
 
     e = load(spark, sf_dir, "embeddings")
+    # corpus cardinality for plane sizing comes from parquet footer
+    # metadata (driver-side stat), NOT e.count() — the count was a
+    # separate full-scan job per invocation, outside the returned plan
+    # (ADVICE r7); at deployment scale this is catalog statistics
     pairs = lsh_cosine_pairs(
         e,
         dim=EMB_DIM,
         threshold=0.35,
         k=None,
-        n_planes=planes_for_corpus(e.count()),
+        n_planes=planes_for_corpus(table_rows(sf_dir, "embeddings")),
         probe_hamming=2,
     ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
     return (
@@ -1955,12 +1959,16 @@ def qc0(spark, sf_dir):
     )
 
     e = load(spark, sf_dir, "embeddings")
+    # corpus cardinality for plane sizing comes from parquet footer
+    # metadata (driver-side stat), NOT e.count() — the count was a
+    # separate full-scan job per invocation, outside the returned plan
+    # (ADVICE r7); at deployment scale this is catalog statistics
     pairs = lsh_cosine_pairs(
         e,
         dim=EMB_DIM,
         threshold=0.35,
         k=None,
-        n_planes=planes_for_corpus(e.count()),
+        n_planes=planes_for_corpus(table_rows(sf_dir, "embeddings")),
         probe_hamming=2,
     ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
     clusters = min_label_clusters(pairs).select(

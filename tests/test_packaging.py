@@ -129,7 +129,7 @@ def test_spark_submit_pyfiles_smoke(tmp_path):
             "--conf", "spark.ui.enabled=false",
             "--py-files", zpath,
             str(driver),
-            "/root/testdata/sf0.001",
+            os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001"),
         ],
         capture_output=True, text=True, env=env, cwd=str(tmp_path),
         timeout=300,
