@@ -151,4 +151,55 @@ def test_min_label_raises_instead_of_wrong_labels(spark):
         "doc_a string, doc_b string",
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        min_label_clusters(pairs, max_iter=1)
+        # contract_passes=0 pins the budget-raise semantics of the global
+        # loop itself: with contraction on, a graph this small may
+        # legitimately collapse in the pre-pass and converge within one
+        # round, which is the correct behavior, not the one under test
+        min_label_clusters(pairs, max_iter=1, contract_passes=0)
+
+
+def test_contract_stars_label_invariance(spark):
+    """The union-find pre-pass must be label-INVARIANT: same
+    (doc_id, cluster_id) relation with contraction off, one pass, and
+    two passes — on a mix of chains, a clique, a singleton pair, and
+    string ids (r8; the driver hash gate depends on this)."""
+    edges = (
+        # chain of 8
+        [(f"c{i}", f"c{i + 1}") for i in range(8)]
+        # clique of 5 (all pairs)
+        + [(f"k{i}", f"k{j}") for i in range(5) for j in range(i + 1, 5)]
+        # isolated pair + a self-loop singleton
+        + [("p0", "p1"), ("s9", "s9")]
+    )
+    pairs = spark.createDataFrame(edges, "doc_a string, doc_b string")
+    want = sorted(
+        map(tuple, min_label_clusters(pairs, contract_passes=0).collect())
+    )
+    for passes in (1, 2, 3):
+        got = sorted(
+            map(tuple, min_label_clusters(pairs, contract_passes=passes).collect())
+        )
+        assert got == want, f"contract_passes={passes}"
+    # sanity on the expected content itself
+    as_map = dict(want)
+    assert as_map["c5"] == "c0" and as_map["k3"] == "k0"
+    assert as_map["p1"] == "p0" and as_map["s9"] == "s9"
+
+
+def test_contract_stars_collapses_clique_edges(spark):
+    """A partition-local clique's |V|²/2 candidate edges must leave the
+    pre-pass as ≤ |V| star edges — the 100 TB volume argument (dense LSH
+    buckets emit cliques)."""
+    from rastercube_spark.operators.graph import _contract_stars
+
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(n) for j in range(i + 1, n)],
+        "src bigint, dst bigint",
+    )
+    stars = _contract_stars(pairs.coalesce(1)).collect()
+    assert len(stars) <= n
+    # every vertex survives, root is the component minimum
+    verts = {r["dst"] for r in stars} | {r["src"] for r in stars}
+    assert verts == set(range(n))
+    assert {r["src"] for r in stars} == {0}
