@@ -28,6 +28,11 @@ sf-dir fixtures cap out near 5k rows, which cannot show a curve):
 - qb7  group sampling        k smallest hash draws per group, 20 fixed
                              groups — two-level top-k keeps per-task
                              work flat as group size grows with n
+- qd3  kNN label consistency 100 fixed probes broadcast vs n-row corpus,
+                             per-label agg from exact bigint sums
+- qd4  near-dup decontam     fixed 500-doc benchmark's bands broadcast
+                             vs n-doc train corpus; candidate-only
+                             exact-Jaccard verify (r8)
 
 Sub-quadratic gate: data grows 16× (5k→80k); a quadratic operator grows
 ~256×. The recorded `growth_80k_over_5k` must stay well under
@@ -324,6 +329,7 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
         decontaminate,
         lsh_candidate_pairs,
         minhash_signatures,
+        neardup_decontaminate,
         shingles_df,
     )
     from rastercube_spark.operators.graph import min_label_clusters
@@ -402,7 +408,58 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
             ),
             False,
         ),
+        # r8 (VERDICT r7 "Next round" #8): the two most expensive qd*
+        # queries get recorded curves like their siblings.
+        # qd3: 100 fixed probes BROADCAST vs the growing corpus — the
+        # same "corpus grows, probes don't" claim as q97/qb6, plus the
+        # label-consistency agg (bigint sums over probe×k rows).
+        "qd3_label_consistency": (
+            lambda: _label_consistency(queries, emb),
+            False,
+        ),
+        # qd4: benchmark bands broadcast vs the growing train corpus —
+        # no train×train candidates, and since r8 the exact-Jaccard
+        # verify touches only candidate train docs' shingles. Eval ids
+        # are offset out of the train id range (disjointness contract).
+        "qd4_neardup_decontam": (
+            lambda: neardup_decontaminate(
+                docs,
+                synth_docs(spark, 500).select(
+                    (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+                ),
+            ),
+            False,
+        ),
     }
+
+
+def _label_consistency(queries: DataFrame, emb: DataFrame) -> DataFrame:
+    """qd3's operator core (queries/datapipe.py qd3) on synthetic labels:
+    exact broadcast-probe kNN → per-label consistency from exact bigint
+    sums."""
+    from rastercube_spark.operators.similarity import brute_force_knn
+
+    lab = emb.withColumn("label", (F.col("vec_id") % 7).cast("string"))
+    nn = brute_force_knn(queries, lab, k=10)
+    ql = lab.select(F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"))
+    cl = lab.select("vec_id", F.col("label").alias("n_label"))
+    per_q = (
+        nn.join(ql, "q_id")
+        .join(cl, "vec_id")
+        .groupBy("q_id", "q_label")
+        .agg(
+            F.sum(
+                F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0)
+            ).cast("bigint").alias("n_same"),
+            F.count("*").cast("bigint").alias("n_nn"),
+        )
+    )
+    return per_q.groupBy(F.col("q_label").alias("label")).agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.round(F.sum("n_same").cast("double") / F.sum("n_nn"), 6).alias(
+            "consistency"
+        ),
+    )
 
 
 def _passage_dedup(docs: DataFrame) -> DataFrame:
@@ -427,7 +484,7 @@ def _passage_dedup(docs: DataFrame) -> DataFrame:
 PARTIAL = OUT + ".partial"
 
 
-LOAD_IDLE_MAX = 2.0
+LOAD_IDLE_MAX = 1.0  # same gate as bench.py — r7's sweep started at 2.0
 IDLE_WAIT_S = 900
 
 
@@ -436,7 +493,11 @@ def _wait_for_idle() -> None:
     LOAD_IDLE_MAX. The first r6 sweep started seconds after a 32-core
     pytest run; the still-decaying load inflated the 5k legs ~10× and
     produced non-monotone curves. Recording loadavg is diagnosis;
-    waiting is prevention."""
+    waiting is prevention. The threshold matches bench.py's (r7 used
+    2.0 here, and the sweep started at exactly loadavg 2.0 — VERDICT r7
+    "what's wrong" #4); each leg additionally records its own start
+    loadavg so a mid-sweep contention spike is attributable per curve
+    point, not just per run."""
     t0 = time.time()
     while time.time() - t0 < IDLE_WAIT_S:
         la = os.getloadavg()[0]
@@ -459,6 +520,7 @@ def run_leg(name: str, n: int) -> int:
     before its own warm run and timed samples."""
     from rastercube_spark.session import get_spark
 
+    la = round(os.getloadavg()[0], 2)
     spark = get_spark(f"rastercube-scaling-{name}-{n}")
     spark.sparkContext.setLogLevel("ERROR")
     table = raster_ops if name in RASTER_OPS else ops
@@ -467,7 +529,7 @@ def run_leg(name: str, n: int) -> int:
     _noop(warm_build())  # JIT/codegen/worker-pool warmup, tiny data
     build, loop_inc = table(spark, n)[name]
     t = _median_time(build, loop_inc)
-    print(f"LEG_RESULT {name} {n} {t}")
+    print(f"LEG_RESULT {name} {n} {t} {la}")
     spark.stop()
     return 0
 
@@ -494,7 +556,8 @@ def main() -> int:
                      "qa3_min_label_clusters", "q97_lsh_knn",
                      "qb1_decontaminate", "qa6_sequence_packing",
                      "qb4_passage_dedup", "qb6_quantized_knn",
-                     "qb7_group_sample")
+                     "qb7_group_sample", "qd3_label_consistency",
+                     "qd4_neardup_decontam")
     ] + [(name, s) for s in RASTER_SIZES for name in RASTER_OPS]
     for name, n in legs:
         if True:
@@ -504,18 +567,23 @@ def main() -> int:
                 [sys.executable, os.path.abspath(__file__), "--leg", name, str(n)],
                 capture_output=True, text=True, timeout=1800,
             )
-            t = None
+            t = la = None
             for line in proc.stdout.splitlines():
                 if line.startswith("LEG_RESULT "):
-                    t = float(line.split()[3])
+                    parts = line.split()
+                    t = float(parts[3])
+                    la = float(parts[4]) if len(parts) > 4 else None
             if t is None:
                 print(f"LEG FAILED {name} n={n}:\n{proc.stderr[-2000:]}",
                       file=sys.stderr)
                 return 1
-            curves.setdefault(name, {"seconds": {}})["seconds"][str(n)] = t
+            c = curves.setdefault(name, {"seconds": {}})
+            c["seconds"][str(n)] = t
+            if la is not None:
+                c.setdefault("loadavg_at_leg", {})[str(n)] = la
             with open(PARTIAL, "w") as f:
                 json.dump(curves, f)
-            print(f"n={n:>6}  {name:<24} {t:>8.3f}s", file=sys.stderr)
+            print(f"n={n:>6}  {name:<24} {t:>8.3f}s (la {la})", file=sys.stderr)
 
     for name, c in curves.items():
         sizes = RASTER_SIZES if name in RASTER_OPS else SIZES
