@@ -378,3 +378,55 @@ def test_rasterio_swap_parity(tmp_path):
     assert g1 == g2 and n1 == n2
     a3, _, _ = decode_geotiff_any(buf)
     np.testing.assert_array_equal(a3, a2)
+
+
+def test_export_tiles_parallel_roundtrip(spark, ingested, tmp_path):
+    """Executor-parallel tiled export (r8; VERDICT r7 "Next round" #6):
+    a window spanning fraction boundaries, NOT aligned to them, exports
+    one tile per intersecting fraction from inside applyInPandas; the
+    stitch manifest + read_tiled_export reassemble exactly the cube
+    window; per-tile geotransforms shift to each tile's own origin."""
+    import json
+    import os
+
+    from rastercube_spark.sources.geotiff import (
+        export_geotiff_tiles,
+        read_tiled_export,
+    )
+
+    cube, full = ingested
+    out = str(tmp_path / "tiled")
+    man = export_geotiff_tiles(spark, cube, out, (10, 5), (70, 35), t=2)
+    # 20px fractions: x 10..70 spans frac cols 0-3, y 5..35 spans rows 0-1
+    assert len(man["tiles"]) == 8
+    assert sorted(os.listdir(out)) == sorted(
+        [t["file"] for t in man["tiles"]] + ["manifest.json"]
+    )
+    got, geot = read_tiled_export(out)
+    np.testing.assert_array_equal(got, full[5:35, 10:70, 2])
+    assert geot[0] == GEOT[0] + 10 * GEOT[1]
+    assert geot[3] == GEOT[3] + 5 * GEOT[5]
+    # each tile's own geotransform is shifted to ITS absolute origin,
+    # and edge tiles clip to the window (width 10 at the x=10 edge)
+    with open(os.path.join(out, "manifest.json")) as f:
+        assert json.load(f) == man
+    first = next(t for t in man["tiles"] if t["x_off"] == 0)
+    arr0, g0, nd0 = read_geotiff(os.path.join(out, first["file"]))
+    assert arr0.shape == (first["height"], first["width"]) == (15, 10)
+    assert g0[0] == GEOT[0] + 10 * GEOT[1] and nd0 == -3000
+
+
+def test_export_tiles_whole_grid_default(spark, ingested, tmp_path):
+    """No window → whole grid, one tile per fraction (the reference's
+    per-tile file layout, tiff.py:92-122)."""
+    from rastercube_spark.sources.geotiff import (
+        export_geotiff_tiles,
+        read_tiled_export,
+    )
+
+    cube, full = ingested
+    out = str(tmp_path / "grid")
+    man = export_geotiff_tiles(spark, cube, out, t=0)
+    assert len(man["tiles"]) == 8  # 4×2 fractions
+    got, _ = read_tiled_export(out)
+    np.testing.assert_array_equal(got, full[:, :, 0])
