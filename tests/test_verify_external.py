@@ -1,0 +1,52 @@
+"""tools/verify_external.py's OFFLINE refusal path (VERDICT r7 "Next
+round" #7): in this sandbox (no pyhdf/rasterio, no network) the script
+must report every probe NOT VERIFIED and exit 2 — never green-wash an
+unrun check. The probe helpers are also unit-tested directly so the
+wiring (module gate, skip-detection, HTTP-response-counts-as-reachable)
+is pinned without needing the real environment."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import subprocess
+import sys
+
+ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
+SCRIPT = os.path.join(ROOT, "tools", "verify_external.py")
+
+_HAS_LIBS = any(
+    importlib.util.find_spec(m) is not None for m in ("pyhdf", "rasterio")
+)
+
+
+def test_offline_refusal_end_to_end():
+    proc = subprocess.run(
+        [sys.executable, SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    if _HAS_LIBS:  # pragma: no cover — not this container
+        assert proc.returncode in (0, 1)
+        return
+    # sandbox: nothing verifiable → explicit refusal, distinct exit code
+    assert proc.returncode == 2, proc.stdout + proc.stderr
+    assert "NOT VERIFIED" in proc.stdout
+    assert "NOTHING VERIFIED" in proc.stderr
+    assert "PASS" not in [
+        line.split()[1]
+        for line in proc.stdout.strip().splitlines()
+        if len(line.split()) > 1
+    ]
+
+
+def test_probe_parity_refuses_missing_module():
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    try:
+        import verify_external as ve
+    finally:
+        sys.path.pop(0)
+    status, detail = ve.probe_parity("definitely_not_a_module_xyz", "tests/nope.py")
+    assert status == "NOT VERIFIED"
+    assert "pip install" in detail

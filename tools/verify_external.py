@@ -1,0 +1,108 @@
+"""One-command external verification (VERDICT r7 "Next round" #7).
+
+The build container has no package index and no network, so exactly two
+risks remain unprovable in-sandbox (README "Production codec parity"):
+
+1. pyhdf parity   — tests/test_hdf4.py::test_pyhdf_swap_parity
+2. rasterio parity — tests/test_geotiff.py::test_rasterio_swap_parity
+3. Earthdata URS reachability — sources/acquire.py's auth flow has
+   never round-tripped live.
+
+Run THIS script in any environment that has network (and, for 1/2,
+``pip install pyhdf rasterio``) and the residuals close in minutes:
+
+    python tools/verify_external.py
+
+Offline behavior is itself tested (tests/test_verify_external.py): the
+script REFUSES loudly per probe rather than green-washing — a skip is
+reported as NOT VERIFIED, never as success. Exit 0 only when every
+probe that could run passed and at least one ran.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import subprocess
+import sys
+
+ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
+EARTHDATA_URL = "https://urs.earthdata.nasa.gov/"
+
+PARITY_TESTS = {
+    "pyhdf": "tests/test_hdf4.py::test_pyhdf_swap_parity",
+    "rasterio": "tests/test_geotiff.py::test_rasterio_swap_parity",
+}
+
+
+def probe_parity(module: str, test: str) -> tuple[str, str]:
+    """Run one codec-parity pytest iff its production library imports."""
+    if importlib.util.find_spec(module) is None:
+        return "NOT VERIFIED", f"{module} not installed (pip install {module})"
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", test, "-q", "--no-header"],
+        capture_output=True,
+        text=True,
+        cwd=ROOT,
+        timeout=600,
+    )
+    if proc.returncode == 0 and " skipped" not in proc.stdout:
+        return "PASS", proc.stdout.strip().splitlines()[-1]
+    if proc.returncode == 0:
+        # pytest exit 0 with a skip means the test's own import guard
+        # fired — do not report an unrun parity check as verified
+        return "NOT VERIFIED", f"{test} skipped despite {module} importing"
+    return "FAIL", (proc.stdout + proc.stderr)[-1500:]
+
+
+def probe_earthdata(timeout_s: float = 20.0) -> tuple[str, str]:
+    """HEAD the URS endpoint — reachability + TLS, no credentials sent.
+    A live auth round-trip additionally needs EARTHDATA_USER /
+    EARTHDATA_PASS (sources/acquire.py); reachability is the part that
+    has never been provable in-sandbox."""
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(EARTHDATA_URL, method="HEAD")
+    try:
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            return "PASS", f"HTTP {resp.status} from {EARTHDATA_URL}"
+    except urllib.error.HTTPError as e:
+        # any HTTP response proves reachability (URS answers 200/3xx/401)
+        return "PASS", f"HTTP {e.code} from {EARTHDATA_URL} (reachable)"
+    except (urllib.error.URLError, OSError, TimeoutError) as e:
+        return "NOT VERIFIED", f"no network route to {EARTHDATA_URL}: {e}"
+
+
+def main() -> int:
+    results: dict[str, tuple[str, str]] = {}
+    for module, test in PARITY_TESTS.items():
+        results[f"{module}_parity"] = probe_parity(module, test)
+    results["earthdata_reachability"] = probe_earthdata()
+
+    width = max(len(k) for k in results)
+    for name, (status, detail) in results.items():
+        print(f"{name:<{width}}  {status:<12}  {detail}")
+
+    statuses = [s for s, _ in results.values()]
+    if "FAIL" in statuses:
+        print("\nRESULT: FAIL — a production-parity claim is WRONG; "
+              "fix before deploying.", file=sys.stderr)
+        return 1
+    if "PASS" not in statuses:
+        print("\nRESULT: NOTHING VERIFIED — this environment has neither "
+              "the libraries nor network; the residual risks remain open "
+              "(this is the in-sandbox outcome, refused loudly).",
+              file=sys.stderr)
+        return 2
+    open_risks = [k for k, (s, _) in results.items() if s == "NOT VERIFIED"]
+    if open_risks:
+        print(f"\nRESULT: PARTIAL — still open: {', '.join(open_risks)}",
+              file=sys.stderr)
+        return 0
+    print("\nRESULT: ALL EXTERNAL RESIDUALS CLOSED.", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
