@@ -40,84 +40,84 @@ _ORACLES: dict[str, str] = {}
 # baseline with tests/make_attest.py IN THE SAME COMMIT that rotates
 # these lists; make_attest refuses to run while the rule is violated.
 #
-# Round 7 changed set — one cause, five closures: the CC/LSH quality-
-# and-cost work. min_label_clusters was rewritten (seeded labels, lazy
-# per-round checkpoint with the convergence count riding the
-# materializing job, unroll=2 sub-rounds) → qa3/qa4/qb2/qc0;
-# lsh_cosine_pairs gained two parallelism-restoring repartitions → qb0
-# (plus the four CC users); and qb2/qc0 moved to the production LSH
-# budget (n_planes = planes_for_corpus(corpus), Hamming-2 probing) with
-# oracles pinning planes_for_corpus(500) = 9 — goldens regenerated for
-# exactly those two in the same commits. Plus two NEW queries (first
-# attestation): qd1 incremental corpus dedup (fingerprint-store
-# anti-join), qd2 temperature-flattened mixture sampling, qd3 kNN
-# label-consistency (embedding-quality probe over the label column),
-# qd4 near-dup decontamination (minhash-banded Jaccard — qb1's
-# paraphrase-robust sibling, benchmark bands broadcast), and qd5
-# corpus-snapshot token-drift report (dataset-shift monitoring).
+# Round 8 changed set — two causes, six closures (the exact diff of
+# rastercube_spark.attest.all_hashes() vs the r7 baseline):
+# (a) the CC contraction work — min_label_clusters gained the
+# partition-local union-find star-contraction pre-pass and the
+# size-gated driver finish (operators/graph.py; label-invariant,
+# values unchanged) → qa3/qa4/qb2/qc0; lsh_cosine_pairs's
+# shuffle-partitions parse got the guarded fallback (ADVICE r7) →
+# qb0 (plus the CC users); qb2/qc0 additionally moved their plane
+# sizing from a per-invocation e.count() job to parquet-footer
+# statistics (sources/tables.py table_rows — same number, no extra
+# scan job). (b) qd4's exact-Jaccard verify now semi-joins train down
+# to candidate ids before the distinct shingle relation (ADVICE r7
+# medium — the verify stage no longer shuffles the full corpus's
+# widest relation). All six emit byte-identical values; no golden
+# regeneration needed.
 ATTEST_CHANGED: tuple[str, ...] = (
     "qa3_dup_clusters",
     "qa4_dedup_keep",
     "qb0_cosine_pairs_lsh",
     "qb2_semantic_dedup",
     "qc0_balanced_sample",
-    "qd1_incremental_dedup",
-    "qd2_temperature_mixture",
-    "qd3_knn_label_consistency",
     "qd4_neardup_decontaminate",
-    "qd5_token_drift",
 )
 
-# The 45 remaining window slots drain the ENTIRE attestation backlog in
-# oldest-first order (r6 VERDICT "Next round" #1): the r3 scans
-# (q01-q03), the r4 scalar-function family (q61-q69), and every
-# r5-attested query except qr09_chunk_checksum and — displaced by the
-# five new qd* slots — qa7/qr01/qr03/qr04/qr05, the six queries a
-# 50-slot window cannot fit (each frozen-green under the closure-hash baseline at
-# 2 rounds old, within the "last green driver row <= 2 rounds"
-# criterion; first in line for r08). After this round every other
-# attestation is r6 or r7.
+# The 44 remaining window slots go oldest-first per tools/
+# rotate_window.py's ground-truth reading of the CORRECTNESS_r*
+# artifacts (VERDICT r7 "Next round" #1): the six r5 stragglers a
+# 50-slot window could not fit last round (qa7, qr01, qr03-qr05, qr09 —
+# queued "first in line for r08" and honored here), then the r6 cohort
+# in planner order. Seven r6 queries (qb7-qb9, qr02, qr06-qr08) don't
+# fit and stay frozen at 1 round old — the backlog is now permanently
+# ≤1 round deep behind the head, since the window (50) is half the
+# surface (101).
 ATTEST_STALE: tuple[str, ...] = (
-    "q01_scan_count",
-    "q02_project_filter",
-    "q03_in_null_predicates",
-    "q61_date_funcs",
-    "q62_math_funcs",
-    "q64_nodata_case",
-    "q66_array_json",
-    "q67_categorical_legend",
-    "q68_type_reinterpret",
-    "q69_landsat_qa",
-    "q17_asof_join",
-    "q22_rollup",
-    "q2a_approx_count_distinct",
-    "q2b_approx_quantiles",
-    "q30_ranking",
-    "q31_lag_lead_gapfill",
-    "q32_moving_average",
-    "q33_running_total",
-    "q40_global_topk",
-    "q41_per_group_topk",
-    "q50_union_all",
-    "q51_union_distinct",
-    "q52_intersect",
-    "q53_except",
-    "q60_string_funcs",
-    "q70_tumbling_window",
-    "q71_sliding_window",
-    "q72_session_window",
-    "q73_watermark_late_data",
-    "q74_stateful_dedup",
-    "q81_grouped_map_udf",
-    "q82_grouped_agg_udf",
-    "q91_exact_dedup",
-    "q92_minhash_lsh_pairs",
-    "q93_lsh_jaccard",
-    "q94_ngram_jaccard_topk",
-    "q95_simhash",
-    "q99_winnow_fingerprint",
-    "qa1_tfidf_topterms",
-    "qa5_repetition_filters",
+    "qa7_pii_redaction",
+    "qr01_windowed_read_fill",
+    "qr03_availability_semi_join",
+    "qr04_incremental_anti_join",
+    "qr05_date_coverage",
+    "qr09_chunk_checksum",
+    "q10_inner_equi",
+    "q11_broadcast_join",
+    "q12_sort_merge_join",
+    "q13_left_outer_null",
+    "q14_left_semi",
+    "q15_left_anti",
+    "q16_theta_join",
+    "q18_copartitioned_zip",
+    "q19_range_join",
+    "q20_tpch_q1_agg",
+    "q21_count_distinct",
+    "q23_cube",
+    "q24_grouping_sets",
+    "q25_having",
+    "q26_zonal_stats",
+    "q27_argmax_gather",
+    "q28_zonal_percentile",
+    "q29_salted_agg",
+    "q63_qa_bitops",
+    "q65_affine_transform",
+    "q75_stream_static_join",
+    "q76_stream_stream_join",
+    "q80_scalar_pandas_udf",
+    "q83_chunk_udtf",
+    "q90_text_metrics",
+    "q96_knn_bruteforce",
+    "q97_lsh_knn",
+    "q98_cosine_pairs_topk",
+    "qa0_multimodal_decode",
+    "qa2_ivf_knn",
+    "qa6_sequence_packing",
+    "qa8_frame_sample",
+    "qa9_media_knn",
+    "qb1_decontaminate",
+    "qb3_mixture_sample",
+    "qb4_passage_dedup",
+    "qb5_quality_rules",
+    "qb6_quantized_knn",
 )
 
 ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE
