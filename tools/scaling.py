@@ -497,7 +497,12 @@ def _wait_for_idle() -> None:
     2.0 here, and the sweep started at exactly loadavg 2.0 — VERDICT r7
     "what's wrong" #4); each leg additionally records its own start
     loadavg so a mid-sweep contention spike is attributable per curve
-    point, not just per run."""
+    point, not just per run. Mid-sweep per-leg values are dominated by
+    the PREVIOUS leg's own 32-thread burst still decaying out of the
+    1-minute average — that self-load is expected and does not
+    contaminate (legs are strictly sequential, each in a fresh JVM);
+    what the per-leg number catches is EXTERNAL load arriving after
+    the gated start."""
     t0 = time.time()
     while time.time() - t0 < IDLE_WAIT_S:
         la = os.getloadavg()[0]
