@@ -210,13 +210,18 @@ def min_label_clusters(
         except (TypeError, ValueError):
             par = e.sparkSession.sparkContext.defaultParallelism
         e = _contract_stars(e.repartitionByRange(par, "src", "dst"))
+        # Gate after ONE pass: pass 1 already bounds the star relation
+        # by O(min(E, Σ per-partition vertices)), which is what the
+        # driver finish needs; the later member-keyed passes exist to
+        # cut DEPTH for the distributed loop and are skipped entirely
+        # when the loop won't run (each would cost a full shuffle).
+        if driver_finish_rows > 0:
+            stars = e.localCheckpoint(eager=True)
+            if stars.count() <= driver_finish_rows:
+                return _driver_finish(stars)
+            e = stars
         for _ in range(contract_passes - 1):
             e = _contract_stars(e.repartition(par, "dst"))
-    if contract_passes > 0 and driver_finish_rows > 0:
-        stars = e.localCheckpoint(eager=True)
-        if stars.count() <= driver_finish_rows:
-            return _driver_finish(stars)
-        e = stars
     edges = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
