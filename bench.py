@@ -104,6 +104,8 @@ HEADLINE = [
     "qd4_neardup_decontaminate",
     # corpus-snapshot token-drift report (one-pass conditional sums)
     "qd5_token_drift",
+    "qd6_ngram_novelty",
+    "qd7_split_assign",
 ]
 
 # Driver-iterative queries: the query function itself executes work

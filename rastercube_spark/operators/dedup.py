@@ -423,3 +423,40 @@ def neardup_decontaminate(
         F.count("*").cast("bigint").alias("n_eval_matches"),
         F.max("jaccard").alias("max_jaccard"),
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    k-shingles that appear in no other document (corpus document-
+    frequency 1). The memorization/boilerplate audit a curation
+    pipeline runs alongside dedup: near-zero novelty flags templated or
+    heavily-duplicated text that pairwise dedup may under-catch (a doc
+    assembled FROM many documents' fragments has no single near-dup
+    partner), while high novelty marks the unique long tail worth
+    up-weighting. Returns (doc_id, n_shingles, n_unique, novelty);
+    docs with fewer than k tokens have no shingles and no row.
+
+    Scale shape: the distinct (doc_id, shingle) relation → ONE
+    map-side-combinable document-frequency groupBy on the shingle key →
+    equi-join back on shingle → per-doc agg. No self-join, no pairs;
+    both shuffles are keyed on the 16-byte-bounded shingle/doc keys —
+    the same topology as exact passage dedup (qb4)."""
+    sh = shingles_df(docs, id_col, text_col, k=k)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    uniq = F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("bigint")
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            uniq.alias("n_unique"),
+            F.round(
+                uniq.cast("double") / F.count("*"), 6
+            ).alias("novelty"),
+        )
+    )

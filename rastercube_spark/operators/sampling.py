@@ -179,3 +179,46 @@ def flatten_rates(
         )
     )
     return counts.crossJoin(F.broadcast(n_min)).select(on, thr.alias("thr"))
+
+
+def split_assign(
+    df: DataFrame,
+    splits: list[tuple[str, float]],
+    key: str = "doc_id",
+    salt: str = "split:",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: adds a ``split``
+    column chosen by the salted-md5 hex draw against CUMULATIVE 8-hex
+    thresholds (fixed-width lowercase hex ⇒ string compare ≡ numeric
+    compare). ``splits`` is ordered ``[(name, fraction), ...]``; the
+    last split absorbs the remainder, so fractions need not sum to
+    exactly 1.0.
+
+    Why hash, not RNG: a document's split is a pure function of its key
+    — reruns, repartitions, AND corpus growth leave it fixed (a doc
+    never migrates from test into train when other docs arrive), which
+    is the leakage-safety property an ongoing ingestion pipeline needs
+    and ``randomSplit`` cannot give. Stratification is implicit: the
+    draw is uniform within any subpopulation (per source, per language),
+    so every stratum splits at the same rates without a per-stratum
+    shuffle. Zero shuffles total — the assignment is a map-side column
+    expression.
+    """
+    if not splits:
+        raise ValueError("splits must name at least one split")
+    draw = hash_draw(F.col(key), salt)
+    bounds = []
+    cum = 0.0
+    for name, frac in splits[:-1]:
+        cum += frac
+        bounds.append((name, rate_to_hex_threshold(cum)))
+    expr = None
+    for name, thr in bounds:
+        cond = draw < F.lit(thr)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    out = (
+        F.lit(splits[-1][0])
+        if expr is None
+        else expr.otherwise(splits[-1][0])
+    )
+    return df.withColumn("split", out)

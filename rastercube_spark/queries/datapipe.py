@@ -2342,3 +2342,88 @@ def qd5(spark, sf_dir):
         .orderBy(F.col("drift").desc(), "token")
         .limit(50)
     )
+
+
+@query(
+    "qd6_ngram_novelty",
+    oracle=f"""
+        WITH {_shingles_cte(3)},
+        c AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN c.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unique,
+               round(CAST(sum(CASE WHEN c.df = 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS novelty
+        FROM sh s JOIN c USING (shingle)
+        GROUP BY s.doc_id
+        ORDER BY s.doc_id
+    """,
+)
+def qd6(spark, sf_dir):
+    """N-gram novelty audit (operators/dedup.py ngram_novelty): per doc,
+    the fraction of its distinct 3-shingles with corpus document-
+    frequency 1 — the memorization/boilerplate report run alongside
+    dedup: a doc assembled from many documents' fragments has no single
+    near-dup partner (pairwise passes under-catch it) but its novelty
+    collapses; the unique long tail worth up-weighting scores high. On
+    this corpus the planted duplicate families bottom the ranking.
+
+    Scale shape: distinct shingle relation → ONE map-side-combinable
+    document-frequency groupBy keyed on shingle → equi-join back →
+    per-doc agg. No self-join, no candidate pairs — qb4's topology at
+    shingle granularity. Determinism: integer counts, one 6-dp-rounded
+    division per row at the end."""
+    from rastercube_spark.operators.dedup import ngram_novelty
+
+    return ngram_novelty(_docs(spark, sf_dir), k=3).orderBy("doc_id")
+
+
+# thresholds computed by the SAME helper the operator uses, so the
+# oracle replays the byte-exact decision (cum floats truncate to the
+# identical 8-hex literals)
+def _split_thresholds() -> tuple[str, str]:
+    from rastercube_spark.operators.sampling import rate_to_hex_threshold
+
+    return rate_to_hex_threshold(0.9), rate_to_hex_threshold(0.9 + 0.05)
+
+
+_THR_TRAIN, _THR_VAL = _split_thresholds()
+
+
+@query(
+    "qd7_split_assign",
+    oracle=f"""
+        SELECT doc_id, source,
+               CASE
+                 WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                      < '{_THR_TRAIN}' THEN 'train'
+                 WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                      < '{_THR_VAL}' THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def qd7(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test split assignment
+    (operators/sampling.py split_assign): the salted-md5 draw against
+    cumulative hex thresholds makes a doc's split a pure function of
+    its id — reruns, repartitions, and CORPUS GROWTH never migrate a
+    doc across the leakage boundary (randomSplit re-deals on every
+    change), and the uniform draw stratifies every subpopulation
+    (source, language) at the same rates without per-stratum work.
+
+    Scale shape: zero shuffles — the assignment is a map-side column
+    expression; the only exchange is the presentation ORDER BY."""
+    from rastercube_spark.operators.sampling import split_assign
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        split_assign(
+            d, [("train", 0.9), ("val", 0.05), ("test", 0.05)], key="doc_id"
+        )
+        .select("doc_id", "source", "split")
+        .orderBy("doc_id")
+    )

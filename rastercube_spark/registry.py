@@ -54,8 +54,14 @@ _ORACLES: dict[str, str] = {}
 # to candidate ids before the distinct shingle relation (ADVICE r7
 # medium — the verify stage no longer shuffles the full corpus's
 # widest relation). All six emit byte-identical values; no golden
-# regeneration needed.
+# regeneration needed. Plus two NEW queries (first attestation): qd6
+# n-gram novelty (per-doc fraction of corpus-unique shingles — the
+# memorization/boilerplate audit) and qd7 deterministic stratified
+# train/val/test split assignment (salted-md5 cumulative thresholds —
+# growth-stable, leakage-safe).
 ATTEST_CHANGED: tuple[str, ...] = (
+    "qd6_ngram_novelty",
+    "qd7_split_assign",
     "qa3_dup_clusters",
     "qa4_dedup_keep",
     "qb0_cosine_pairs_lsh",
@@ -64,15 +70,15 @@ ATTEST_CHANGED: tuple[str, ...] = (
     "qd4_neardup_decontaminate",
 )
 
-# The 44 remaining window slots go oldest-first per tools/
+# The 42 remaining window slots go oldest-first per tools/
 # rotate_window.py's ground-truth reading of the CORRECTNESS_r*
 # artifacts (VERDICT r7 "Next round" #1): the six r5 stragglers a
 # 50-slot window could not fit last round (qa7, qr01, qr03-qr05, qr09 —
 # queued "first in line for r08" and honored here), then the r6 cohort
-# in planner order. Seven r6 queries (qb7-qb9, qr02, qr06-qr08) don't
-# fit and stay frozen at 1 round old — the backlog is now permanently
-# ≤1 round deep behind the head, since the window (50) is half the
-# surface (101).
+# in planner order. Nine r6 queries (qb5-qb9, qr02, qr06-qr08; qb5/qb6
+# displaced by the two new qd* slots) don't fit and stay frozen at
+# ≤2 rounds old, first in line for r09 — the window (50) is just under
+# half the surface (103).
 ATTEST_STALE: tuple[str, ...] = (
     "qa7_pii_redaction",
     "qr01_windowed_read_fill",
@@ -116,8 +122,6 @@ ATTEST_STALE: tuple[str, ...] = (
     "qb1_decontaminate",
     "qb3_mixture_sample",
     "qb4_passage_dedup",
-    "qb5_quality_rules",
-    "qb6_quantized_knn",
 )
 
 ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE

@@ -158,3 +158,36 @@ def test_neardup_decontaminate_catches_paraphrase(spark):
     assert out[101]["max_jaccard"] == 1.0
     assert 0.5 <= out[100]["max_jaccard"] < 1.0
     assert out[100]["n_eval_matches"] == 1
+
+
+def test_ngram_novelty_extremes(spark):
+    """Planted structure: two exact copies share every shingle (novelty
+    0 for both), a fully unique doc scores 1.0, and a doc assembled
+    from the copies' fragments — the case pairwise dedup under-catches
+    — collapses toward 0 without being anyone's near-dup."""
+    from rastercube_spark.operators.dedup import ngram_novelty
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    uniq = "qq ww ee rr tt yy uu ii"
+    frankenstein = "alpha beta gamma zeta eta theta qq unique tail"
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, uniq), (3, frankenstein)],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in ngram_novelty(docs, k=3).collect()}
+    assert got[0]["novelty"] == 0.0 and got[1]["novelty"] == 0.0
+    assert got[2]["novelty"] == 1.0
+    # shared 3-grams: "alpha beta gamma" (from base) and nothing else
+    # from uniq ("eta theta qq" spans the seam and is new) → below 1
+    assert 0.0 < got[3]["novelty"] < 1.0
+    assert got[3]["n_shingles"] == 7
+
+
+def test_ngram_novelty_short_docs_absent(spark):
+    from rastercube_spark.operators.dedup import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [(0, "one two"), (1, "a b c d")], "doc_id int, text string"
+    )
+    got = {r["doc_id"] for r in ngram_novelty(docs, k=3).collect()}
+    assert got == {1}

@@ -150,3 +150,45 @@ def test_flatten_rates_deterministic_under_repartition(spark):
         return sorted(r["doc_id"] for r in out.collect())
 
     assert run(df) == run(df.repartition(17, "doc_id"))
+
+
+def test_split_assign_growth_and_partition_invariant(spark, sf_dir):
+    """A doc's split is a pure function of its id: the assignment must
+    be identical on the full corpus, on any subset (corpus GROWTH never
+    migrates a doc across the leakage boundary — the property
+    randomSplit lacks), and at any partitioning. Rates land near 90/5/5
+    and every split is non-empty on the fixture."""
+    from rastercube_spark.operators.sampling import split_assign
+    from rastercube_spark.sources.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    splits = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    full = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(d, splits).select("doc_id", "split").collect()
+    }
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(d.where(F.col("doc_id") % 3 == 0), splits)
+        .repartition(7)
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert sub == {k: v for k, v in full.items() if k % 3 == 0}
+    n = len(full)
+    counts = {s: sum(1 for v in full.values() if v == s) for s in ("train", "val", "test")}
+    assert counts["train"] > 0.8 * n and counts["val"] > 0 and counts["test"] > 0
+    assert sum(counts.values()) == n
+
+
+def test_split_assign_single_split_and_validation(spark, sf_dir):
+    import pytest
+
+    from rastercube_spark.operators.sampling import split_assign
+    from rastercube_spark.sources.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    only = split_assign(d, [("all", 1.0)]).select("split").distinct().collect()
+    assert [r["split"] for r in only] == ["all"]
+    with pytest.raises(ValueError):
+        split_assign(d, [])
