@@ -270,3 +270,23 @@ def test_neardup_decontaminate_broadcasts_eval_bands(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_novelty_no_pairs_no_product(spark, sf_dir):
+    """qd6: novelty is df-counting on the shingle key — keyed hash
+    joins/aggregates only, never a pair join or product, and the
+    document-frequency aggregate must be map-side partial."""
+    plan = _plan(spark, sf_dir, "qd6_ngram_novelty")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_split_assign_zero_shuffle_map_side(spark, sf_dir):
+    """qd7: the split decision is a pure column expression — the ONLY
+    exchange in the plan is the presentation ORDER BY's range exchange;
+    no join, no aggregate, no hash exchange of the corpus."""
+    plan = _plan(spark, sf_dir, "qd7_split_assign")
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "hashpartitioning" not in plan
