@@ -444,6 +444,26 @@ def cmd_export_tiff(args) -> int:
     return 0
 
 
+def cmd_export_tiles(args) -> int:
+    """Executor-parallel one-tile-per-fraction export + stitch manifest
+    (large windows; export-tiff stays the bounded driver-side path)."""
+    import json as _json
+
+    from rastercube_spark.sources.geotiff import export_geotiff_tiles
+
+    cube = _open_cube(args.root)
+    if args.window:
+        x0, y0, x1, y1 = (int(v) for v in args.window.split(","))
+        xy_from, xy_to = (x0, y0), (x1, y1)
+    else:
+        xy_from = xy_to = None
+    man = export_geotiff_tiles(
+        _spark(), cube, args.out, xy_from, xy_to, t=args.t
+    )
+    print(_json.dumps({"tiles": len(man["tiles"]), "out": args.out}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="rastercube_spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -515,6 +535,15 @@ def build_parser() -> argparse.ArgumentParser:
     et.add_argument("--window", required=True, help="x0,y0,x1,y1 (end-exclusive)")
     et.add_argument("--t", type=int, default=0)
     et.set_defaults(fn=cmd_export_tiff)
+
+    ets = sub.add_parser("export-tiles")
+    ets.add_argument("--root", required=True)
+    ets.add_argument("--out", required=True, help="output directory")
+    ets.add_argument(
+        "--window", help="x0,y0,x1,y1 (end-exclusive); omit for whole grid"
+    )
+    ets.add_argument("--t", type=int, default=0)
+    ets.set_defaults(fn=cmd_export_tiles)
 
     cl = sub.add_parser("clean-corpus")
     cl.add_argument("--sf-dir", default="/root/testdata/sf0.01")

@@ -44,6 +44,14 @@ def test_cli_cube_workflow(spark, tiles, capsys):
     arr, _, _ = read_geotiff(f"{w}/o.tif")
     np.testing.assert_array_equal(arr, extra[:, :, 0])
 
+    assert main(["export-tiles", "--root", f"{w}/cube", "--out", f"{w}/tiles",
+                 "--t", "0"]) == 0
+    assert '"tiles":' in capsys.readouterr().out
+    from rastercube_spark.sources.geotiff import read_tiled_export
+
+    stitched, _ = read_tiled_export(f"{w}/tiles")
+    np.testing.assert_array_equal(stitched, full[:, :, 0])
+
 
 def test_cli_queries_and_errors(spark, capsys, sf_dir):
     assert main(["list-queries"]) == 0
