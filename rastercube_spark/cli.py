@@ -7,7 +7,7 @@ reference user's workflows have drop-in analogs:
 | create_ndvi_worldgrid.py (create + ingest) | ``create-cube`` |
 | complete_ndvi_worldgrid.py (idempotent append) | ``append-cube`` |
 | show_available_fractions.py / ndvi_hdf_stats.py | ``cube-stats`` |
-| (tiff export, tiff.py:92-122) | ``export-tiff`` |
+| (tiff export, tiff.py:92-122) | ``export-tiff`` (bounded, driver-side) / ``export-tiles`` (executor-parallel per-fraction + stitch manifest) |
 | worldgrid_fracs_to_shapefile.py | ``export-fracs`` |
 | — | ``list-queries`` / ``run`` / ``explain`` (the query surface) |
 | — | ``clean-corpus`` (training-data dedup + quality pipeline) |
