@@ -32,7 +32,13 @@ ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
 BUDGET_PATH = os.path.join(ROOT, "PERF_BUDGET.json")
 
 LOAD_IDLE_MAX = 1.25  # slightly looser than bench's 1.0: we gate, not record
-IDLE_WAIT_S = 180
+# Short wait by design: mid-suite the box is still hot from the previous
+# tests' 32-core sessions, so the gate usually SKIPS there (stated in the
+# reason) and actually RUNS when invoked alone on an idle box — the
+# regeneration-rule README documents `pytest tests/test_perf_budget.py`
+# as the deliberate invocation. A long wait would add minutes to every
+# suite run to mostly skip anyway.
+IDLE_WAIT_S = 60
 
 
 @pytest.mark.skipif(
