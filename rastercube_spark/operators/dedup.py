@@ -397,10 +397,16 @@ def neardup_decontaminate(
         )
         .select(F.col("doc_id").alias("train_id"), "eval_id")
         .distinct()
-        # feeds BOTH the train semi-join below and the pair list;
-        # materialize once instead of re-running the banding pass
-        .localCheckpoint(eager=False)
     )
+    # `cand` feeds BOTH the train semi-join below and the pair list —
+    # deliberately with NO checkpoint/persist: Catalyst's exchange reuse
+    # (spark.sql.exchange.reuse, on by default) computes the shared
+    # banding subtree once per action and wires a ReusedExchange into
+    # the second consumer (plan-asserted in test_plans). A
+    # localCheckpoint here executed the whole banding pipeline at
+    # DataFrame-CONSTRUCTION time under AQE (queryExecution.toRdd runs
+    # shuffle stages), which made `explain` launch corpus-scale jobs
+    # and let benches time only the residual verify stage.
     # The verify stage must touch only CANDIDATE train docs' shingles
     # (ADVICE r7): semi-join train down to flagged ids BEFORE building
     # the distinct shingle relation — otherwise the widest (doc_id,

@@ -47,6 +47,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import StructField, StructType
 
+from rastercube_spark.session import shuffle_partitions
+
+
+def _uf_find(parent: dict, x):
+    """Union-find root with path compression (works for int or str ids)."""
+    r = x
+    while parent[r] != r:
+        r = parent[r]
+    while parent[x] != r:
+        parent[x], x = r, parent[x]
+    return r
+
+
+def _uf_union_min(parent: dict, a, b) -> None:
+    """Union by MIN id — the root is always the component minimum, which
+    is exactly the min-label the operator's output is defined by.
+    Inserts unseen vertices. Shared by the Arrow contraction pass and
+    the driver finish so the algorithm exists ONCE."""
+    if a not in parent:
+        parent[a] = a
+    if b not in parent:
+        parent[b] = b
+    ra, rb = _uf_find(parent, a), _uf_find(parent, b)
+    if ra == rb:
+        return
+    if rb < ra:
+        ra, rb = rb, ra
+    parent[rb] = ra
+
 
 def _contract_stars(edges: DataFrame) -> DataFrame:
     """Partition-LOCAL union-find contraction: collapse each partition's
@@ -89,34 +118,16 @@ def _contract_stars(edges: DataFrame) -> DataFrame:
         import pandas as pd
 
         parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
         for pdf in batches:
             for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
-                if a not in parent:
-                    parent[a] = a
-                if b not in parent:
-                    parent[b] = b
-                ra, rb = find(a), find(b)
-                if ra == rb:
-                    continue
-                if rb < ra:  # union by MIN id → root is the local minimum
-                    ra, rb = rb, ra
-                parent[rb] = ra
+                _uf_union_min(parent, a, b)
         comp_size: dict = {}
         for v in parent:
-            r = find(v)
+            r = _uf_find(parent, v)
             comp_size[r] = comp_size.get(r, 0) + 1
         roots, members = [], []
         for v in parent:
-            r = find(v)
+            r = _uf_find(parent, v)
             if r != v:
                 roots.append(r)
                 members.append(v)
@@ -136,34 +147,15 @@ def _driver_finish(stars: DataFrame) -> DataFrame:
     collecting IVF centroids). Returns the same (doc_id, cluster_id)
     relation the distributed loop would."""
     parent: dict = {}
-
-    def find(x):
-        r = x
-        while parent[r] != r:
-            r = parent[r]
-        while parent[x] != r:
-            parent[x], x = r, parent[x]
-        return r
-
     for row in stars.collect():
-        a, b = row["src"], row["dst"]
-        if a not in parent:
-            parent[a] = a
-        if b not in parent:
-            parent[b] = b
-        ra, rb = find(a), find(b)
-        if ra == rb:
-            continue
-        if rb < ra:
-            ra, rb = rb, ra
-        parent[rb] = ra
+        _uf_union_min(parent, row["src"], row["dst"])
     out_schema = StructType(
         [
             StructField("doc_id", stars.schema["src"].dataType),
             StructField("cluster_id", stars.schema["src"].dataType),
         ]
     )
-    rows = [(v, find(v)) for v in parent]
+    rows = [(v, _uf_find(parent, v)) for v in parent]
     return stars.sparkSession.createDataFrame(rows, out_schema)
 
 
@@ -203,12 +195,7 @@ def min_label_clusters(
     100 TB path and loses nothing. 0 disables the driver finish."""
     e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     if contract_passes > 0:
-        try:
-            par = int(
-                e.sparkSession.conf.get("spark.sql.shuffle.partitions", "")
-            )
-        except (TypeError, ValueError):
-            par = e.sparkSession.sparkContext.defaultParallelism
+        par = shuffle_partitions(e.sparkSession)
         e = _contract_stars(e.repartitionByRange(par, "src", "dst"))
         # Gate after ONE pass: pass 1 already bounds the star relation
         # by O(min(E, Σ per-partition vertices)), which is what the

@@ -18,6 +18,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from rastercube_spark.session import shuffle_partitions
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -495,12 +496,7 @@ def lsh_cosine_pairs(
     """
     masks = probe_masks(n_planes, probe_hamming)
     hash_all = lsh_buckets_udf(dim, n_planes, n_tables, seed)
-    try:
-        par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", ""))
-    except (TypeError, ValueError):
-        # unset, or non-numeric on platforms that set it to e.g. "auto"
-        # under their own adaptive layers (ADVICE r7)
-        par = df.sparkSession.sparkContext.defaultParallelism
+    par = shuffle_partitions(df.sparkSession)
     # Spread the bucket relation across the cluster before the self-join:
     # the hash pass inherits the scan's partitioning (a small parquet =
     # one input split), and without this the (tbl, bucket) self-join and

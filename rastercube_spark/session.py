@@ -52,3 +52,16 @@ def get_spark(
     if SparkSession.getActiveSession() is None:
         builder = builder.master(f"local[{cpus}]")
     return builder.getOrCreate()
+
+
+def shuffle_partitions(spark: SparkSession) -> int:
+    """The session's shuffle-partition count, defensively parsed: unset
+    or non-numeric (platforms that set it to e.g. "auto" under their own
+    adaptive layers — ADVICE r7) falls back to defaultParallelism. The
+    ONE place the idiom lives; operators that pre-spread relations to
+    the cluster's width (lsh_cosine_pairs, min_label_clusters) call
+    this instead of re-implementing the parse."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", ""))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism

@@ -290,3 +290,15 @@ def test_split_assign_zero_shuffle_map_side(spark, sf_dir):
     assert "Join" not in plan
     assert "HashAggregate" not in plan
     assert "hashpartitioning" not in plan
+
+
+def test_neardup_decontaminate_reuses_banding_exchange(spark, sf_dir):
+    """qd4's candidate relation feeds BOTH the train semi-join and the
+    pair list with no checkpoint/persist (a localCheckpoint here
+    executed the corpus banding at plan-CONSTRUCTION time under AQE,
+    mis-metering every bench) — Catalyst's exchange reuse must dedupe
+    the shared subtree in the executed plan instead."""
+    df = _QS["qd4_neardup_decontaminate"](spark, sf_dir)
+    df.collect()  # reuse nodes appear in the FINAL adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan

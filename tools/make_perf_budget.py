@@ -62,11 +62,14 @@ def main() -> int:
     }
     result = {
         "sf_dir": sf_dir,
-        "rule": f"budget = max(median * {REL}, median + {ABS_FLOOR_S}s); "
-                "regenerate only deliberately on an idle box (README)",
+        "rule": f"per-query budget = max(median * {REL}, median + "
+                f"{ABS_FLOOR_S}s); total budget = baseline * {REL} (same "
+                "relative band, so a uniformly-slower-but-idle machine "
+                "fails both gates or neither); regenerate only "
+                "deliberately on an idle box (README)",
         "generated_env": parsed.get("env", {}),
         "baseline_total": parsed["value"],
-        "total_budget": round(parsed["value"] * 1.3, 3),
+        "total_budget": round(parsed["value"] * REL, 3),
         "budgets": budgets,
     }
     with open(OUT, "w") as f:
