@@ -430,3 +430,36 @@ def test_export_tiles_whole_grid_default(spark, ingested, tmp_path):
     assert len(man["tiles"]) == 8  # 4×2 fractions
     got, _ = read_tiled_export(out)
     np.testing.assert_array_equal(got, full[:, :, 0])
+
+
+def test_export_tiles_empty_window(spark, ingested, tmp_path):
+    """A window with no stored rows exports zero tiles but a valid
+    manifest; the stitcher returns an all-nodata array of the window's
+    geometry (the sparse-fraction contract at its extreme)."""
+    from rastercube_spark.sources.geotiff import (
+        export_geotiff_tiles,
+        read_tiled_export,
+    )
+    from rastercube_spark.sources.raster import CubeHeader, RasterCube
+
+    root = str(tmp_path / "sparse")
+    cube = RasterCube(
+        root,
+        CubeHeader(
+            width=W, height=H, frac_width=20, frac_height=20,
+            dtype="int16", nodataval=-3000, frac_ndates=3,
+            timestamps_ms=list(range(ND)), geot=GEOT,
+        ),
+    )
+    # write only the first fraction's worth of data
+    src, _ = ingested
+    full = np.full((H, W, ND), -3000, dtype=np.int16)
+    cube.write_arrays(spark, full)
+
+    out = str(tmp_path / "empty")
+    man = export_geotiff_tiles(spark, cube, out, (60, 20), (80, 40), t=1)
+    got, geot = read_tiled_export(out)
+    assert got.shape == (20, 20)
+    # every pixel is nodata: either no tiles at all or nodata-filled tiles
+    assert (got == -3000).all()
+    assert geot[0] == GEOT[0] + 60 * GEOT[1]
