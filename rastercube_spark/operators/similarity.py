@@ -455,6 +455,15 @@ def lsh_buckets_udf(dim: int, n_planes: int = 8, n_tables: int = 1, seed: int = 
     return _buckets
 
 
+#: Size gate for broadcasting the vector-fetch sides of the exact
+#: rescore (rows × dim × 8 bytes): the same adaptive move as Spark's
+#: own broadcast-join threshold, but decided at PLAN time from catalog/
+#: footer statistics so the two fetch joins never plan an exchange at
+#: all when the corpus fits — AQE's runtime conversion still pays the
+#: map-side shuffle write before it can switch strategies.
+_FETCH_BROADCAST_BYTES = 32 << 20
+
+
 def lsh_cosine_pairs(
     df: DataFrame,
     dim: int,
@@ -466,6 +475,7 @@ def lsh_cosine_pairs(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold via LSH candidates — the 100 TB
     formulation of q98's near-dup pair search (VERDICT r04 "Next round"
@@ -493,6 +503,15 @@ def lsh_cosine_pairs(
     ships two ints per row and map-side partial aggregation collapses
     duplicates before the shuffle. Dedup-by-aggregation beats
     dedup-by-predicate whenever the dup factor is what hurts.
+
+    ``corpus_rows`` (optional catalog/parquet-footer statistic) gates a
+    plan-time broadcast of the two vector-fetch sides of the exact
+    rescore: when the whole vector relation is ≤
+    ``_FETCH_BROADCAST_BYTES`` (rows × dim × 8), ``va``/``vb`` broadcast
+    and the candidate relation never shuffles again after its DISTINCT —
+    at 100 TB the corpus exceeds the gate and the joins key-shuffle as
+    before. Values are identical either way; only the exchange count
+    changes.
     """
     masks = probe_masks(n_planes, probe_hamming)
     hash_all = lsh_buckets_udf(dim, n_planes, n_tables, seed)
@@ -534,6 +553,8 @@ def lsh_cosine_pairs(
     )
     va = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
+    if corpus_rows is not None and corpus_rows * dim * 8 <= _FETCH_BROADCAST_BYTES:
+        va, vb = F.broadcast(va), F.broadcast(vb)
     scored = (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
@@ -839,6 +860,7 @@ def semantic_dedup(
             probe_hamming=probe_hamming,
             id_col=id_col,
             vec_col=vec_col,
+            corpus_rows=n,
         )
     clusters = min_label_clusters(
         pairs.select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))

@@ -647,7 +647,13 @@ def qb0(spark, sf_dir):
     from rastercube_spark.operators.similarity import lsh_cosine_pairs
 
     e = load(spark, sf_dir, "embeddings")
-    return lsh_cosine_pairs(e, dim=EMB_DIM, threshold=0.35, k=50)
+    return lsh_cosine_pairs(
+        e,
+        dim=EMB_DIM,
+        threshold=0.35,
+        k=50,
+        corpus_rows=table_rows(sf_dir, "embeddings"),
+    )
 
 
 @query(
@@ -701,13 +707,15 @@ def qb2(spark, sf_dir):
     # metadata (driver-side stat), NOT e.count() — the count was a
     # separate full-scan job per invocation, outside the returned plan
     # (ADVICE r7); at deployment scale this is catalog statistics
+    n = table_rows(sf_dir, "embeddings")
     pairs = lsh_cosine_pairs(
         e,
         dim=EMB_DIM,
         threshold=0.35,
         k=None,
-        n_planes=planes_for_corpus(table_rows(sf_dir, "embeddings")),
+        n_planes=planes_for_corpus(n),
         probe_hamming=2,
+        corpus_rows=n,
     ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
     return (
         min_label_clusters(pairs)
@@ -1963,13 +1971,15 @@ def qc0(spark, sf_dir):
     # metadata (driver-side stat), NOT e.count() — the count was a
     # separate full-scan job per invocation, outside the returned plan
     # (ADVICE r7); at deployment scale this is catalog statistics
+    n = table_rows(sf_dir, "embeddings")
     pairs = lsh_cosine_pairs(
         e,
         dim=EMB_DIM,
         threshold=0.35,
         k=None,
-        n_planes=planes_for_corpus(table_rows(sf_dir, "embeddings")),
+        n_planes=planes_for_corpus(n),
         probe_hamming=2,
+        corpus_rows=n,
     ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
     clusters = min_label_clusters(pairs).select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
