@@ -203,3 +203,29 @@ def test_contract_stars_collapses_clique_edges(spark):
     verts = {r["dst"] for r in stars} | {r["src"] for r in stars}
     assert verts == set(range(n))
     assert {r["src"] for r in stars} == {0}
+
+
+def test_driver_finish_fires_at_fixture_scale(spark, sf_dir, monkeypatch):
+    """VERDICT r8 #1's accounting gap: the size-gated driver finish must
+    actually FIRE inside the registered qb2 at fixture scale — if the
+    contracted star relation somehow exceeded the gate (or the gate
+    logic regressed), qb2 would silently fall back to the materialized
+    pointer-doubling rounds whose per-round barrier cost is exactly
+    what the r8 rework removed. Asserted by interception, not timing."""
+    from rastercube_spark.operators import graph
+    from rastercube_spark.registry import queries
+
+    fired = []
+    real = graph._driver_finish
+
+    def spy(stars):
+        fired.append(stars.count())
+        return real(stars)
+
+    monkeypatch.setattr(graph, "_driver_finish", spy)
+    out = queries()["qb2_semantic_dedup"](spark, sf_dir)
+    assert out.count() > 0
+    assert fired and fired[0] <= 1_000_000, (
+        "driver finish did not fire: qb2 ran the distributed loop at "
+        "fixture scale"
+    )
