@@ -19,10 +19,11 @@ tile files → per-tile decode → write fractions) and GeoTIFF export
   deployment swaps ``codec=`` for a rasterio/GDAL-based one with the
   same signature.
 - **export**: a bounded cube window → a real single-band GeoTIFF written
-  by a minimal pure-python TIFF encoder (little-endian, one strip,
-  ModelPixelScale/ModelTiepoint GeoTIFF keys, GDAL_NODATA tag). TIFF 6.0
-  and the GeoTIFF key layout are public specs; no GDAL needed to write a
-  file GDAL can read.
+  by a minimal pure-python TIFF encoder (little-endian, strip or tile
+  organization, DEFLATE via stdlib zlib with optional horizontal-
+  differencing predictor, ModelPixelScale/ModelTiepoint GeoTIFF keys,
+  GDAL_NODATA tag). TIFF 6.0 and the GeoTIFF key layout are public
+  specs; no GDAL needed to write a file GDAL can read.
 """
 
 from __future__ import annotations
@@ -179,6 +180,15 @@ _SAMPLE_FORMAT = {"uint8": 1, "int8": 2, "int16": 2, "uint16": 1, "float32": 3, 
 _BITS = {"uint8": 8, "int8": 8, "int16": 16, "uint16": 16, "float32": 32, "float64": 64}
 
 
+def _hdiff(chunk: np.ndarray) -> np.ndarray:
+    """TIFF predictor 2 (horizontal differencing) of one strip/tile:
+    each pixel becomes its delta to the left neighbor, per row, with
+    integer wraparound (the spec's modulo arithmetic)."""
+    out = chunk.copy()
+    out[:, 1:] = chunk[:, 1:] - chunk[:, :-1]  # numpy ints wrap, per spec
+    return out
+
+
 def write_geotiff(
     path: str,
     data: np.ndarray,
@@ -186,15 +196,22 @@ def write_geotiff(
     nodataval: float | int | None = None,
     rows_per_strip: int | None = None,
     tile_size: int | None = None,
+    compress: str | None = None,
+    predictor: int = 1,
 ) -> None:
-    """Single-band, little-endian, uncompressed GeoTIFF
-    (≡ reference tiff.py:92-113 write_int16_to_tiff minus compression).
+    """Single-band, little-endian GeoTIFF
+    (≡ reference tiff.py:92-113 write_int16_to_tiff; its GDAL sink sets
+    COMPRESS=DEFLATE, tiff.py:109 — matched here by
+    ``compress="deflate"``, TIFF compression 8 via stdlib zlib).
     One strip by default; ``rows_per_strip`` emits baseline multi-strip
     layout (StripOffsets/StripByteCounts arrays); ``tile_size`` emits
     TILE organization instead (tags 322/323/324/325, square tiles,
     multiple of 16 per TIFF 6.0 §15, edge tiles zero-padded) — the
     layout GDAL defaults to for large rasters, so the decoder's tile
-    path has a first-party round-trip fixture.
+    path has a first-party round-trip fixture. ``predictor=2``
+    (horizontal differencing, integer samples only — what GDAL pairs
+    with DEFLATE on integer rasters) requires ``compress``; each strip/
+    tile is differenced independently per the spec.
 
     Requires a north-up geotransform (geot[2] == geot[4] == 0, like the
     reference asserts in jgrid3.py:173).
@@ -202,8 +219,14 @@ def write_geotiff(
     assert data.ndim == 2
     assert geot[2] == 0 and geot[4] == 0, "north-up geotransform required"
     assert not (rows_per_strip and tile_size), "strips or tiles, not both"
+    if compress not in (None, "deflate"):
+        raise ValueError(f"unsupported compression {compress!r} (deflate only)")
+    if predictor not in (1, 2):
+        raise ValueError("predictor must be 1 (none) or 2 (horizontal diff)")
     dt = str(data.dtype)
     bits, sfmt = _BITS[dt], _SAMPLE_FORMAT[dt]
+    if predictor == 2 and (compress is None or sfmt == 3):
+        raise ValueError("predictor 2 needs compression and integer samples")
     h, w = data.shape
     if tile_size is not None:
         tw = int(tile_size)
@@ -212,22 +235,25 @@ def write_geotiff(
         ntx, nty = (w + tw - 1) // tw, (h + tw - 1) // tw
         padded = np.zeros((nty * tw, ntx * tw), dtype=dt)
         padded[:h, :w] = data.astype(dt)
-        chunks = [
-            padded[ty * tw : (ty + 1) * tw, tx * tw : (tx + 1) * tw].tobytes()
+        arrays = [
+            padded[ty * tw : (ty + 1) * tw, tx * tw : (tx + 1) * tw]
             for ty in range(nty)
             for tx in range(ntx)
         ]
-        pixel_bytes = b"".join(chunks)
-        strip_counts = [len(c) for c in chunks]
         rps = None
     else:
-        pixel_bytes = data.astype(dt).tobytes()
+        full = np.ascontiguousarray(data.astype(dt))
         rps = h if rows_per_strip is None else max(1, min(rows_per_strip, h))
-        strip_bytes = rps * w * (bits // 8)
-        strip_counts = [
-            min(strip_bytes, len(pixel_bytes) - i)
-            for i in range(0, len(pixel_bytes), strip_bytes)
-        ]
+        arrays = [full[i : i + rps] for i in range(0, h, rps)]
+    if predictor == 2:
+        arrays = [_hdiff(a) for a in arrays]
+    chunks = [a.tobytes() for a in arrays]
+    if compress == "deflate":
+        import zlib
+
+        chunks = [zlib.compress(c) for c in chunks]
+    pixel_bytes = b"".join(chunks)
+    strip_counts = [len(c) for c in chunks]
     n_strips = len(strip_counts)
     offs_tag, cnts_tag = (324, 325) if tile_size is not None else (273, 279)
 
@@ -251,7 +277,7 @@ def write_geotiff(
     entry(256, 3, 1, w)  # ImageWidth
     entry(257, 3, 1, h)  # ImageLength
     entry(258, 3, 1, bits)  # BitsPerSample
-    entry(259, 3, 1, 1)  # Compression: none
+    entry(259, 3, 1, 8 if compress == "deflate" else 1)  # Compression
     entry(262, 3, 1, 1)  # Photometric: BlackIsZero
     entry(offs_tag, 4, n_strips, "STRIP_OFFSETS")  # Strip/TileOffsets (patched below)
     entry(277, 3, 1, 1)  # SamplesPerPixel
@@ -264,6 +290,8 @@ def write_geotiff(
         entry(cnts_tag, 4, 1, len(pixel_bytes))  # Strip/TileByteCounts
     else:
         entry(cnts_tag, 4, n_strips, struct.pack(f"<{n_strips}I", *strip_counts))
+    if predictor == 2:
+        entry(317, 3, 1, 2)  # Predictor: horizontal differencing
     entry(339, 3, 1, sfmt)  # SampleFormat
     entry(33550, 12, 3, scale)  # ModelPixelScaleTag
     entry(33922, 12, 6, tiepoint)  # ModelTiepointTag
@@ -350,9 +378,13 @@ def decode_geotiff(
     samples, optionally gzip-wrapped (the reference's GLCF tiles arrive
     as gzipped uint8 GeoTIFFs — create_glcf_worldgrid.py:39-59
     decompresses then GDAL-opens; here the TIFF 6.0 structures are
-    parsed directly, no GDAL in the container). Uncompressed strips
-    only — a clear error otherwise, matching SURVEY §2.1's documented
-    codec boundary. Returns (array, geotransform, nodataval)."""
+    parsed directly, no GDAL in the container). Uncompressed and
+    DEFLATE strips/tiles (compression 8 and legacy 32946, stdlib zlib;
+    the scheme the reference's own sink writes — tiff.py:109), with
+    predictor 2 (horizontal differencing) inverted for integer samples;
+    genuinely exotic schemes (LZW/JPEG/PackBits/…) raise a clear error
+    naming the scheme, matching SURVEY §2.1's documented codec
+    boundary. Returns (array, geotransform, nodataval)."""
     if buf[:2] == b"\x1f\x8b":
         import gzip
 
@@ -387,17 +419,60 @@ def decode_geotiff(
         return list(struct.unpack(bo + str(count) + _TYPE_FMT[typ], payload(tag)))
 
     w, h = values(256)[0], values(257)[0]
-    if values(259, [1])[0] != 1:
+    comp = values(259, [1])[0]
+    if comp in (8, 32946):
+        # DEFLATE (8 = Adobe/new-style, 32946 = legacy code; identical
+        # zlib streams) — the scheme the reference's sink writes
+        # (tiff.py:109 COMPRESS=DEFLATE), handled with stdlib zlib.
+        import zlib
+
+        def unpack(raw: bytes) -> bytes:
+            return zlib.decompress(raw)
+
+    elif comp == 1:
+
+        def unpack(raw: bytes) -> bytes:
+            return raw
+
+    else:
+        scheme = {
+            2: "CCITT-RLE",
+            3: "CCITT-G3",
+            4: "CCITT-G4",
+            5: "LZW",
+            6: "old-JPEG",
+            7: "JPEG",
+            32773: "PackBits",
+            34712: "JPEG2000",
+            50000: "Zstd",
+            50001: "WebP",
+        }.get(comp, f"code {comp}")
         raise ValueError(
-            "compressed TIFF strips are outside the built-in codec; "
-            "decompress upstream or swap in a GDAL-backed codec"
+            f"TIFF compression {scheme} is outside the built-in codec "
+            "(uncompressed and DEFLATE supported); swap in a "
+            "GDAL-backed codec"
         )
     if values(277, [1])[0] != 1:
         raise ValueError("single-band TIFFs only")
     bits = values(258, [1])[0]
     sfmt = values(339, [1])[0]  # SampleFormat defaults to unsigned int
+    predictor = values(317, [1])[0]
+    if predictor not in (1, 2):
+        raise ValueError(
+            f"TIFF predictor {predictor} is outside the built-in codec "
+            "(none/horizontal-differencing supported)"
+        )
+    if predictor == 2 and sfmt == 3:
+        raise ValueError("predictor 2 on float samples is invalid TIFF")
     dtype = _DTYPES[(bits, sfmt)]
     wire = np.dtype(dtype).newbyteorder(bo)
+
+    def unpredict(chunk: np.ndarray) -> np.ndarray:
+        # invert horizontal differencing per row; accumulate in the
+        # sample's own dtype so the spec's modulo wraparound holds
+        if predictor == 2:
+            return np.add.accumulate(chunk, axis=1, dtype=chunk.dtype)
+        return chunk
     if 322 in tags:
         # tile organization (TIFF 6.0 §15, tags 322/323/324/325) — the
         # layout GDAL writes for most modern GeoTIFF archives and the
@@ -414,18 +489,22 @@ def decode_geotiff(
             )
         arr = np.empty((h, w), dtype=dtype)
         for ti, (o, c) in enumerate(zip(offs, counts)):
-            tile = np.frombuffer(buf[o : o + c], dtype=wire)
+            tile = np.frombuffer(unpack(buf[o : o + c]), dtype=wire)
             if tile.size != tw * th:
                 raise ValueError(f"tile {ti}: {tile.size} px != {tw}x{th}")
             ty, tx = divmod(ti, ntx)
             y0, x0 = ty * th, tx * tw
             hh, ww = min(th, h - y0), min(tw, w - x0)
-            arr[y0 : y0 + hh, x0 : x0 + ww] = tile.reshape(th, tw)[:hh, :ww]
+            arr[y0 : y0 + hh, x0 : x0 + ww] = unpredict(tile.reshape(th, tw))[
+                :hh, :ww
+            ]
         arr = np.ascontiguousarray(arr.astype(dtype))  # native byte order
     else:
         offs, counts = values(273), values(279)
-        pixel = b"".join(buf[o : o + c] for o, c in zip(offs, counts))
-        arr = np.frombuffer(pixel, dtype=wire).reshape(h, w)
+        pixel = b"".join(unpack(buf[o : o + c]) for o, c in zip(offs, counts))
+        # strips hold whole rows, so row-wise un-differencing over the
+        # reassembled (h, w) array equals per-strip application
+        arr = unpredict(np.frombuffer(pixel, dtype=wire).reshape(h, w))
         arr = np.ascontiguousarray(arr.astype(dtype))  # native byte order
     geot: tuple[float, ...] = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
     if 33550 in tags and 33922 in tags:
@@ -497,12 +576,14 @@ def export_geotiff(
     xy_from: tuple[int, int],
     xy_to: tuple[int, int],
     t: int,
+    compress: str | None = "deflate",
 ) -> None:
     """Export one date of a bounded cube window as a GeoTIFF
     (≡ reference tiff.py:115-122 write_int16_to_tiff_from_header): the
     window materializes driver-side (it is bounded by construction — this
     is an export, not an analytics path) with nodata fill, and the
-    geotransform is shifted to the window origin."""
+    geotransform is shifted to the window origin. DEFLATE by default,
+    matching the reference sink's COMPRESS=DEFLATE (tiff.py:109)."""
     h = cube.header
     data = cube.load_slice_array(spark, xy_from, xy_to, t, t + 1)[:, :, 0]
     g = h.geot
@@ -515,7 +596,7 @@ def export_geotiff(
         g[5],
     )
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    write_geotiff(path, data, shifted, h.nodataval)
+    write_geotiff(path, data, shifted, h.nodataval, compress=compress)
 
 
 def export_geotiff_tiles(
@@ -525,6 +606,7 @@ def export_geotiff_tiles(
     xy_from: tuple[int, int] | None = None,
     xy_to: tuple[int, int] | None = None,
     t: int = 0,
+    compress: str | None = "deflate",
 ) -> dict:
     """EXECUTOR-parallel GeoTIFF export: one tile file per fraction of
     the window, written from inside an ``applyInPandas`` stage, plus a
@@ -548,8 +630,11 @@ def export_geotiff_tiles(
 
     Returns the manifest (also written to ``out_dir/manifest.json``):
     window geometry in absolute grid coords, the window-origin
-    geotransform, and per-tile entries (file, x_off/y_off relative to
-    the window origin, width, height, n_px stored)."""
+    geotransform, the compression scheme (DEFLATE by default, matching
+    the reference sink — tiff.py:109), and per-tile entries (file,
+    x_off/y_off relative to the window origin, width, height, n_px
+    stored). Tiles land via write-to-temp + atomic rename, so partial
+    files from killed tasks never surface under final names."""
     import json
 
     h = cube.header
@@ -580,7 +665,15 @@ def export_geotiff_tiles(
             g[3] + y0 * g[5], 0.0, g[5],
         )
         fname = f"frac_{frac:06d}_t{t}.tif"
-        write_geotiff(os.path.join(out_dir, fname), arr, shifted, nodata)
+        # write-then-rename so a task killed mid-write (speculative
+        # retry, job abort) can never leave a truncated .tif under the
+        # final name on shared storage (ADVICE r8); POSIX rename is
+        # atomic within a filesystem, and the tmp name is pid-suffixed
+        # so a retried task never races its zombie predecessor
+        final = os.path.join(out_dir, fname)
+        tmp = f"{final}.tmp.{os.getpid()}"
+        write_geotiff(tmp, arr, shifted, nodata, compress=compress)
+        os.replace(tmp, final)
         return pd.DataFrame(
             [{
                 "frac_num": frac,
@@ -609,6 +702,7 @@ def export_geotiff_tiles(
         "geot": [g[0] + wx0 * g[1], g[1], 0.0, g[3] + wy0 * g[5], 0.0, g[5]],
         "nodataval": nodata,
         "dtype": h.dtype,
+        "compression": compress,
         "tiles": sorted((r.asDict() for r in tiles), key=lambda d: d["frac_num"]),
     }
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
