@@ -1,13 +1,18 @@
-"""End-to-end corpus cleaning: the composition a training-data pipeline
+"""End-to-end corpus curation: the composition a training-data pipeline
 actually runs — exact dedup → MinHash-LSH near-dup clusters → keeper
-selection → repetition/quality filtering → cleaned corpus write.
+selection → repetition/quality filtering → (optional) benchmark
+decontamination → (optional) deterministic split assignment → cleaned
+corpus write.
 
 Each stage is one of the engine's verified operators; this module only
 composes them and reports what was dropped at each gate. Topology at
 100 TB: exact dedup is one shuffle on a 16-byte fingerprint; the LSH
-stages shuffle signatures/bands (never text pairs); the final write is
-one pass. Nothing here materializes on the driver except per-stage
-counts.
+stages shuffle signatures/bands (never text pairs); decontamination
+broadcasts the eval shingle set and anti-joins a broadcast flagged-id
+set (the corpus is never re-shuffled — plan-asserted in
+tests/test_pipeline.py); split assignment is a pure column expression
+(zero exchanges — plan-asserted); the final write is one pass. Nothing
+here materializes on the driver except per-stage counts.
 """
 
 from __future__ import annotations
@@ -16,11 +21,13 @@ from pyspark.sql import DataFrame, functions as F
 
 from rastercube_spark.operators.dedup import (
     content_fingerprint,
+    decontaminate,
     lsh_candidate_pairs,
     minhash_signatures,
     shingles_df,
 )
 from rastercube_spark.operators.graph import min_label_clusters
+from rastercube_spark.operators.sampling import split_assign
 from rastercube_spark.operators.text import quality_score
 
 
@@ -29,11 +36,21 @@ def clean_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_quality: float = 0.3,
+    eval_docs: DataFrame | None = None,
+    decontaminate_k: int = 5,
+    splits: list[tuple[str, float]] | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
-    """Returns (cleaned docs DataFrame, per-stage drop report).
+    """Returns (cleaned docs DataFrame, per-stage report).
 
     Keep rules: first copy of each exact fingerprint, keeper (min id) of
-    each near-dup cluster, quality score ≥ ``min_quality``.
+    each near-dup cluster, quality score ≥ ``min_quality``; then, when
+    ``eval_docs`` is given, every document sharing any word
+    ``decontaminate_k``-gram with the benchmark set is dropped (qd4/qb1's
+    operator — run AFTER the quality gate, the order a real pipeline
+    uses: no point shingle-matching text the quality gate already
+    killed); when ``splits`` is given, the survivors get a
+    leakage-safe deterministic ``split`` column (qd7's operator) and the
+    report carries per-split counts.
 
     The returned DataFrame is backed by a persisted intermediate (so the
     caller's write doesn't re-run the LSH clustering);
@@ -78,6 +95,38 @@ def clean_corpus(
         "dropped_exact_dup": n_input - n_exact,
         "dropped_near_dup": n_exact - n_near,
         "dropped_low_quality": n_near - n_clean,
-        "kept": n_clean,
     }
+
+    # 4. benchmark decontamination (optional): flag survivors sharing
+    # any word k-gram with the eval set (broadcast eval shingles —
+    # operators/dedup.decontaminate), then anti-join the flagged ids
+    # BROADCAST: contaminated docs are leaks, bounded by the benchmark's
+    # own size times its dup factor, never corpus-scale — so the corpus
+    # relation is not re-shuffled by this stage (plan-asserted).
+    if eval_docs is not None:
+        flagged = decontaminate(
+            cleaned, eval_docs, id_col=id_col, text_col=text_col,
+            k=decontaminate_k,
+        ).select(F.col("doc_id").alias("_flag_id"))
+        cleaned = cleaned.join(
+            F.broadcast(flagged),
+            cleaned[id_col] == F.col("_flag_id"),
+            "left_anti",
+        )
+        n_decon = cleaned.count()
+        report["dropped_contaminated"] = n_clean - n_decon
+        n_clean = n_decon
+
+    report["kept"] = n_clean
+
+    # 5. split assignment (optional): a pure column expression — zero
+    # exchanges (plan-asserted), growth-stable and leakage-safe
+    # (operators/sampling.split_assign); the per-split counts join the
+    # report (3-row map-side-combinable agg, part of the deliverable).
+    if splits:
+        cleaned = split_assign(cleaned, splits, key=id_col)
+        report["split_counts"] = {
+            r["split"]: r["count"]
+            for r in cleaned.groupBy("split").count().collect()
+        }
     return cleaned, report

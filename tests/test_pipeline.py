@@ -41,3 +41,76 @@ def test_clean_corpus_removes_planted_dups(spark, sf_dir):
     kept_ids = {r["doc_id"] for r in cleaned.select("doc_id").collect()}
     assert base.first()["doc_id"] in kept_ids or report["dropped_low_quality"] > 0
     assert base.first()["doc_id"] + 100000 not in kept_ids
+
+
+def test_clean_corpus_full_curation_flow(spark, sf_dir):
+    """r9: the extended composition — decontamination + split assignment
+    after the quality gate (the order a real pipeline runs). Checks the
+    stage arithmetic extends, planted eval leaks are dropped, every
+    survivor carries a split, and splits are deterministic."""
+    docs = load(spark, sf_dir, "documents")
+    # the benchmark set: 10 real docs (their near-copies in the corpus
+    # are the planted leaks the decontamination stage must catch)
+    eval_docs = docs.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text"
+    )
+    cleaned, report = clean_corpus(
+        docs,
+        eval_docs=eval_docs,
+        splits=[("train", 0.8), ("val", 0.1), ("test", 0.1)],
+    )
+    assert report["dropped_contaminated"] > 0  # the sources ARE in docs
+    assert (
+        report["kept"]
+        == report["input"]
+        - report["dropped_exact_dup"]
+        - report["dropped_near_dup"]
+        - report["dropped_low_quality"]
+        - report["dropped_contaminated"]
+    )
+    assert sum(report["split_counts"].values()) == report["kept"]
+    assert set(report["split_counts"]) <= {"train", "val", "test"}
+    assert report["split_counts"].get("train", 0) > report["split_counts"].get(
+        "test", 0
+    )
+    # split column present on every surviving row and deterministic
+    rows = cleaned.select("doc_id", "split").collect()
+    assert all(r["split"] in ("train", "val", "test") for r in rows)
+    again, _ = clean_corpus(
+        docs,
+        eval_docs=eval_docs,
+        splits=[("train", 0.8), ("val", 0.1), ("test", 0.1)],
+    )
+    assert sorted(map(tuple, rows)) == sorted(
+        map(tuple, again.select("doc_id", "split").collect())
+    )
+
+
+def test_clean_corpus_extension_adds_no_corpus_shuffle(spark, sf_dir):
+    """Plan assertion for the r9 composition claim: relative to the
+    3-stage pipeline, decontamination must join the corpus via
+    BROADCAST (never a corpus-side sort-merge/shuffled-hash anti-join)
+    and split assignment must add ZERO exchanges — i.e. the extended
+    flow introduces no new corpus-wide shuffle beyond its components."""
+    docs = load(spark, sf_dir, "documents").limit(120)
+    eval_docs = docs.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text"
+    )
+    base, _ = clean_corpus(docs)
+    with_decon, _ = clean_corpus(docs, eval_docs=eval_docs)
+    with_all, _ = clean_corpus(
+        docs, eval_docs=eval_docs, splits=[("train", 0.9), ("test", 0.1)]
+    )
+    plan_decon = with_decon._jdf.queryExecution().executedPlan().toString()
+    # the anti-join of flagged ids builds a broadcast side
+    assert "LeftAnti, BuildRight" in plan_decon or (
+        "BroadcastHashJoin" in plan_decon and "LeftAnti" in plan_decon
+    ), plan_decon
+    assert "SortMergeJoin LeftAnti" not in plan_decon
+    # split assignment: identical exchange count to the non-split plan
+    n_ex = lambda df: df._jdf.queryExecution().executedPlan().toString().count(
+        "Exchange"
+    )
+    assert n_ex(with_all) == n_ex(with_decon)
+    for df in (base, with_decon, with_all):
+        df.unpersist()
