@@ -9,13 +9,22 @@ like-for-like with how the budgets were generated
 (tools/make_perf_budget.py; regeneration rule in README).
 
 Timing inside a test suite is noise-prone by construction, so the gate
-is deliberately permissive where permissiveness is safe and skips where
-it is not: budgets carry a ×1.5 + 0.25 s band, and if the box never
-decays to idle within the bounded wait the test SKIPS with the loadavg
-in the reason — a contended box can produce false regressions, and a
-red gate nobody trusts is worse than none. bench.py's own bounded
-idle-wait then runs inside the subprocess as the second line of
-defense.
+is OPT-IN (ADVICE r8: keyed on ambient loadavg it made suite wall time
+nondeterministic by minutes): marked ``perf`` and deselected by
+pyproject's default ``-m 'not perf'`` — run it deliberately with
+
+    pytest -m perf tests/test_perf_budget.py
+
+It stays permissive where permissiveness is safe and skips where it is
+not: budgets carry a ×1.5 + 0.25 s band, and if the box never decays to
+idle within the bounded wait the test SKIPS with the loadavg in the
+reason — a contended box can produce false regressions, and a red gate
+nobody trusts is worse than none. bench.py's own bounded idle-wait then
+runs inside the subprocess as the second line of defense.
+
+The RATCHET tests below run always (pure logic, no timing): a
+regeneration that would raise a committed budget must refuse unless the
+raise carries an explicit per-query acceptance reason (VERDICT r8 #3).
 """
 
 from __future__ import annotations
@@ -32,15 +41,14 @@ ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
 BUDGET_PATH = os.path.join(ROOT, "PERF_BUDGET.json")
 
 LOAD_IDLE_MAX = 1.25  # slightly looser than bench's 1.0: we gate, not record
-# Short wait by design: mid-suite the box is still hot from the previous
-# tests' 32-core sessions, so the gate usually SKIPS there (stated in the
-# reason) and actually RUNS when invoked alone on an idle box — the
-# regeneration-rule README documents `pytest tests/test_perf_budget.py`
-# as the deliberate invocation. A long wait would add minutes to every
-# suite run to mostly skip anyway.
+# Short wait: the gate only runs under an explicit `-m perf` invocation
+# (deselected by default via pyproject addopts), so a long ambient wait
+# buys nothing — the invoker chose the moment; if the box still isn't
+# idle we skip with the loadavg in the reason.
 IDLE_WAIT_S = 60
 
 
+@pytest.mark.perf
 @pytest.mark.skipif(
     not os.path.exists(BUDGET_PATH), reason="no PERF_BUDGET.json committed"
 )
@@ -94,3 +102,94 @@ def test_perf_budget_gate():
         f"headline total {parsed['value']}s exceeds committed total budget "
         f"{budget['total_budget']}s"
     )
+
+
+# --- budget ratchet (pure logic, always runs) ---------------------------
+
+
+def _ratchet():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "make_perf_budget", os.path.join(ROOT, "tools", "make_perf_budget.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.apply_ratchet
+
+
+def test_ratchet_refuses_silent_raise_beyond_noise():
+    old = {"budgets": {"q1": 1.5, "q2": 3.0}, "medians": {"q1": 1.0, "q2": 2.0}}
+    final, regs, violations = _ratchet()(
+        old, {"q1": 3.0, "q2": 2.85}, {"q1": 2.0, "q2": 1.9}, {}
+    )
+    assert regs == {}
+    # q1's median doubled (beyond +30%/0.2s) -> violation; q2 tightened
+    assert violations and "q1" in violations[0]
+    assert final["q2"] == 2.85
+
+
+def test_ratchet_keeps_tighter_budget_on_in_noise_wiggle():
+    """A median wiggle inside the noise band must neither refuse nor
+    loosen: the OLD tighter budget stays (budgets only ratchet down)."""
+    old = {"budgets": {"q1": 1.5}, "medians": {"q1": 1.0}}
+    final, regs, violations = _ratchet()(old, {"q1": 1.725}, {"q1": 1.15}, {})
+    assert violations == [] and regs == {}
+    assert final["q1"] == 1.5
+
+
+def test_ratchet_accepts_with_reason_and_records_provenance():
+    old = {"budgets": {"q1": 1.5}, "medians": {"q1": 1.0}}
+    final, regs, violations = _ratchet()(
+        old, {"q1": 3.0}, {"q1": 2.0}, {"q1": "meter fix"}
+    )
+    assert violations == []
+    assert regs == {"q1": {"reason": "meter fix", "old": 1.5, "new": 3.0}}
+    assert final["q1"] == 3.0
+
+
+def test_ratchet_allows_tightening_and_new_queries():
+    old = {"budgets": {"q1": 1.0}, "medians": {"q1": 0.5}}
+    final, regs, violations = _ratchet()(
+        old, {"q1": 0.8, "q_new": 9.9}, {"q1": 0.37, "q_new": 6.6}, {}
+    )
+    assert regs == {} and violations == []
+    assert final == {"q1": 0.8, "q_new": 9.9}
+    # and from-scratch generation (no committed file) never refuses
+    final, regs, violations = _ratchet()(None, {"q1": 5.0}, {"q1": 3.2}, {})
+    assert regs == {} and violations == []
+
+
+def test_ratchet_flags_stale_acceptance():
+    """An acceptance flag for a budget that did NOT rise beyond noise
+    must refuse — otherwise a pasted-forward flag silently
+    pre-authorizes a future raise."""
+    old = {"budgets": {"q1": 1.5}, "medians": {"q1": 1.0}}
+    final, regs, violations = _ratchet()(
+        old, {"q1": 1.4}, {"q1": 0.93}, {"q1": "left over"}
+    )
+    assert regs == {}
+    assert violations and "stale" in violations[0]
+
+
+def test_ratchet_reconstructs_median_when_old_file_lacks_it():
+    """Backward compatibility: a pre-r9 budget file has no medians
+    field; the committed median is reconstructed from the budget
+    formula so the band still applies."""
+    old = {"budgets": {"q1": 1.5}}  # implies median 1.0
+    final, regs, violations = _ratchet()(old, {"q1": 1.8}, {"q1": 1.2}, {})
+    assert violations == [] and final["q1"] == 1.5  # in-noise: kept
+    final, regs, violations = _ratchet()(old, {"q1": 3.0}, {"q1": 2.0}, {})
+    assert violations  # beyond noise: refuse
+
+
+def test_committed_budget_file_carries_ratchet_provenance():
+    """The committed PERF_BUDGET.json must have the accepted_regressions
+    field (possibly empty) — proof it was generated by the ratcheting
+    tool, not hand-edited around it."""
+    if not os.path.exists(BUDGET_PATH):
+        pytest.skip("no PERF_BUDGET.json committed")
+    with open(BUDGET_PATH) as f:
+        budget = json.load(f)
+    assert "accepted_regressions" in budget
+    assert isinstance(budget["accepted_regressions"], dict)

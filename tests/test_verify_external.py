@@ -60,3 +60,37 @@ def test_probe_parity_refuses_missing_module():
     status, detail = ve.probe_parity("definitely_not_a_module_xyz", "tests/nope.py")
     assert status == "NOT VERIFIED"
     assert "pip install" in detail
+
+
+def _ve():
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    try:
+        import verify_external as ve
+    finally:
+        sys.path.pop(0)
+    return ve
+
+
+def test_probe_parity_junit_detects_skip_structurally():
+    """ADVICE r8: skip detection must come from junit XML attributes,
+    not a ' skipped' substring. A skip-marked parity test with an
+    importable stand-in module must come back NOT VERIFIED."""
+    if _HAS_LIBS:  # pragma: no cover — not this container
+        return
+    status, detail = _ve().probe_parity(
+        "json", "tests/test_geotiff.py::test_rasterio_swap_parity"
+    )
+    assert status == "NOT VERIFIED"
+    assert "skipped despite" in detail
+
+
+def test_probe_parity_junit_detects_pass_structurally():
+    """A genuinely-running test reports PASS from the junit counts even
+    though the pytest summary may mention deselections/warnings (the
+    exact false-negative the substring check produced)."""
+    status, detail = _ve().probe_parity(
+        "json",
+        "tests/test_perf_budget.py::test_ratchet_allows_tightening_and_new_queries",
+    )
+    assert status == "PASS", detail
+    assert "1 passed" in detail

@@ -7,9 +7,23 @@ diff BENCH files).
 
 Regeneration rule (README): regenerate ONLY deliberately — after an
 intentional perf-relevant change, on an idle box (the script refuses a
-loaded start), and commit the new file in the same commit as the change
-that moved the numbers. Never regenerate to silence a red gate you
-can't explain.
+loaded start and waits, bounded, for idle), and commit the new file in
+the same commit as the change that moved the numbers. Never regenerate
+to silence a red gate you can't explain.
+
+RATCHET (VERDICT r8 "what's wrong" #3): a regeneration cannot silently
+RAISE any existing budget — that would let a future round loosen the
+gate after a regression and pass by construction. A new median inside
+the noise band (+30% / +0.2 s, bench_compare.py's band) of the
+committed one keeps the OLD tighter budget, so budgets only move down
+on their own; a median beyond the band requires an explicit, per-query
+
+    python tools/make_perf_budget.py \
+        --accept-regression qb2_semantic_dedup "driver finish traded for X"
+
+and the acceptance (reason, old, new) lands in PERF_BUDGET.json's
+``accepted_regressions`` — the same refuse-while-violated discipline as
+tests/make_attest.py. Tightening and first-time budgets need no flag.
 
 Budget formula: median-of-3 (bench.py's own meter) × 1.5, plus a 0.25 s
 absolute floor — the same rel+abs shape as tools/bench_compare.py's
@@ -20,28 +34,122 @@ regressions it exists for.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import subprocess
 import sys
+import time
 
 ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
 OUT = os.path.join(ROOT, "PERF_BUDGET.json")
 REL = 1.5
 ABS_FLOOR_S = 0.25
+# Same two-field idle gate as bench.py (ADVICE r8: the committed budgets
+# were generated at 5-min loadavg 2.67 — decaying from a burst the
+# 1-min-only gate could not see).
 LOAD_IDLE_MAX = 1.0
+LOAD_IDLE_MAX_5 = 1.5
+IDLE_WAIT_S = 900.0
 
 
-def main() -> int:
-    la = os.getloadavg()[0]
-    if la > LOAD_IDLE_MAX:
-        print(
-            f"refusing: 1-min loadavg {la:.2f} > {LOAD_IDLE_MAX} — budgets "
-            "recorded on a loaded box are either too loose (load inflated "
-            "the medians) or flaky (load deflated them). Wait for idle.",
-            file=sys.stderr,
+# Noise band for the ratchet's raise test — bench_compare.py's band:
+# a median within +30% / +0.2 s of the committed one is measurement
+# noise, not a regression, and must neither loosen the gate nor refuse
+# the regeneration (otherwise no regeneration ever succeeds on a real
+# machine and the tool rots unused).
+NOISE_REL = 1.3
+NOISE_ABS_S = 0.2
+
+
+def apply_ratchet(
+    old: dict | None,
+    new_budgets: dict[str, float],
+    new_medians: dict[str, float],
+    accepted: dict[str, str],
+) -> tuple[dict[str, float], dict[str, dict], list[str]]:
+    """Reconcile freshly-computed budgets with the committed file.
+
+    Per query: a TIGHTER budget is taken; a looser one whose new median
+    sits inside the noise band of the committed median keeps the OLD
+    (tighter) budget — budgets ratchet down over time and noise can
+    never loosen them; a looser one BEYOND the band must carry an
+    explicit acceptance reason or the whole regeneration refuses.
+    First-time budgets pass silently. Committed medians are read from
+    the old file's ``medians`` (fallback: reconstructed from the budget
+    formula). Prior acceptances are NOT carried forward — each
+    regeneration must re-justify any budget it raises (otherwise one
+    acceptance would excuse every future raise).
+
+    Returns (final_budgets, accepted_regressions, violations)."""
+    final = dict(new_budgets)
+    regressions: dict[str, dict] = {}
+    violations: list[str] = []
+    old_budgets = (old or {}).get("budgets", {})
+    old_medians = (old or {}).get("medians", {})
+    for q, nb in new_budgets.items():
+        ob = old_budgets.get(q)
+        if ob is None or nb <= ob:
+            continue
+        om = old_medians.get(q, min(ob / REL, ob - ABS_FLOOR_S))
+        nm = new_medians.get(q, nb / REL)
+        if nm <= max(om * NOISE_REL, om + NOISE_ABS_S):
+            final[q] = ob  # in-noise wiggle: keep the tighter budget
+        elif q in accepted:
+            regressions[q] = {"reason": accepted[q], "old": ob, "new": nb}
+        else:
+            violations.append(
+                f"{q}: median {om}s -> {nm}s (budget {ob}s -> {nb}s), "
+                "beyond the noise band"
+            )
+    unused = sorted(set(accepted) - set(regressions))
+    for q in unused:
+        violations.append(
+            f"--accept-regression {q}: budget did not rise beyond noise "
+            "(stale flag — drop it; acceptances must map to real raises)"
         )
+    return final, regressions, violations
+
+
+def _wait_for_idle() -> bool:
+    t0 = time.time()
+    while True:
+        la = os.getloadavg()
+        if la[0] < LOAD_IDLE_MAX and la[1] < LOAD_IDLE_MAX_5:
+            return True
+        if time.time() - t0 >= IDLE_WAIT_S:
+            print(
+                f"refusing: loadavg {[round(x, 2) for x in la]} still fails "
+                f"the idle gate (1-min < {LOAD_IDLE_MAX} AND 5-min < "
+                f"{LOAD_IDLE_MAX_5}) after {IDLE_WAIT_S:.0f}s — budgets "
+                "recorded on a loaded box are either too loose (load "
+                "inflated the medians) or flaky (load deflated them).",
+                file=sys.stderr,
+            )
+            return False
+        time.sleep(15)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument(
+        "--accept-regression",
+        nargs=2,
+        metavar=("QUERY", "REASON"),
+        action="append",
+        default=[],
+        help="allow QUERY's budget to rise, recording REASON in the JSON",
+    )
+    args = ap.parse_args(argv)
+    accepted = {q: r for q, r in args.accept_regression}
+
+    if not _wait_for_idle():
         return 1
+    old = None
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            old = json.load(f)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     proc = subprocess.run(
@@ -56,26 +164,47 @@ def main() -> int:
         print(proc.stderr[-3000:], file=sys.stderr)
         return 1
     parsed = json.loads(proc.stdout.strip().splitlines()[-1])
+    medians = parsed["queries"]
     budgets = {
-        q: round(max(t * REL, t + ABS_FLOOR_S), 3)
-        for q, t in parsed["queries"].items()
+        q: round(max(t * REL, t + ABS_FLOOR_S), 3) for q, t in medians.items()
     }
+
+    budgets, regressions, violations = apply_ratchet(
+        old, budgets, medians, accepted
+    )
+    if violations:
+        print(
+            "refusing: regeneration would RAISE committed budgets without "
+            "an explicit acceptance (VERDICT r8 #3 — a regenerated-looser "
+            "gate passes by construction):\n  "
+            + "\n  ".join(violations)
+            + "\nre-run with --accept-regression <query> <reason> for each "
+            "deliberate raise; the reason lands in PERF_BUDGET.json.",
+            file=sys.stderr,
+        )
+        return 1
+
     result = {
         "sf_dir": sf_dir,
         "rule": f"per-query budget = max(median * {REL}, median + "
                 f"{ABS_FLOOR_S}s); total budget = baseline * {REL} (same "
                 "relative band, so a uniformly-slower-but-idle machine "
                 "fails both gates or neither); regenerate only "
-                "deliberately on an idle box (README)",
+                "deliberately on an idle box (README); raising any "
+                "existing budget requires --accept-regression and is "
+                "recorded in accepted_regressions",
         "generated_env": parsed.get("env", {}),
         "baseline_total": parsed["value"],
         "total_budget": round(parsed["value"] * REL, 3),
+        "accepted_regressions": regressions,
+        "medians": medians,
         "budgets": budgets,
     }
     with open(OUT, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
     print(f"wrote {OUT}: {len(budgets)} budgets, "
-          f"baseline total {parsed['value']}s")
+          f"baseline total {parsed['value']}s"
+          + (f", {len(regressions)} accepted regressions" if regressions else ""))
     return 0
 
 

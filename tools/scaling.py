@@ -330,6 +330,7 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
         lsh_candidate_pairs,
         minhash_signatures,
         neardup_decontaminate,
+        ngram_novelty,
         shingles_df,
     )
     from rastercube_spark.operators.graph import min_label_clusters
@@ -430,6 +431,13 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
             ),
             False,
         ),
+        # r9 (VERDICT r8 "Next round" #7): qd6's shape is two
+        # shingle-keyed shuffles (document-frequency groupBy + join
+        # back) and a per-doc agg — qb4's topology, expected ~linear.
+        "qd6_ngram_novelty": (
+            lambda: ngram_novelty(docs, "doc_id", "text", k=3),
+            False,
+        ),
     }
 
 
@@ -481,6 +489,34 @@ def _passage_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+# --- driver-finish crossover (VERDICT r8 "Next round" #6) ----------------
+# The CC driver finish's row gate was chosen by analogy with the
+# broadcast threshold; this sweep measures the actual crossover: the
+# SAME contracted star relation finished (a) by the driver union-find
+# (gate forced open) vs (b) by the distributed pointer-doubling loop
+# (gate forced closed), at star counts bracketing the default. Chains
+# of 32 → stars ≈ 31/32 of the edge count. Both are loop-inclusive
+# (construction runs the eager checkpoint + the finish).
+CC_FINISH_SIZES = [100_000, 400_000, 1_600_000]
+CC_FINISH_OPS = ("cc_driver_finish", "cc_distributed")
+
+
+def cc_finish_ops(spark: SparkSession, n: int) -> dict[str, tuple]:
+    from rastercube_spark.operators.graph import min_label_clusters
+
+    edges = synth_edges(spark, n)
+    return {
+        "cc_driver_finish": (
+            lambda: min_label_clusters(edges, driver_finish_rows=100_000_000),
+            True,
+        ),
+        "cc_distributed": (
+            lambda: min_label_clusters(edges, driver_finish_rows=0),
+            True,
+        ),
+    }
+
+
 PARTIAL = OUT + ".partial"
 
 
@@ -528,8 +564,12 @@ def run_leg(name: str, n: int) -> int:
     la = round(os.getloadavg()[0], 2)
     spark = get_spark(f"rastercube-scaling-{name}-{n}")
     spark.sparkContext.setLogLevel("ERROR")
-    table = raster_ops if name in RASTER_OPS else ops
-    small = RASTER_SIZES[0] if name in RASTER_OPS else SIZES[0]
+    if name in RASTER_OPS:
+        table, small = raster_ops, RASTER_SIZES[0]
+    elif name in CC_FINISH_OPS:
+        table, small = cc_finish_ops, CC_FINISH_SIZES[0]
+    else:
+        table, small = ops, SIZES[0]
     warm_build, _ = table(spark, small)[name]
     _noop(warm_build())  # JIT/codegen/worker-pool warmup, tiny data
     build, loop_inc = table(spark, n)[name]
@@ -562,8 +602,10 @@ def main() -> int:
                      "qb1_decontaminate", "qa6_sequence_packing",
                      "qb4_passage_dedup", "qb6_quantized_knn",
                      "qb7_group_sample", "qd3_label_consistency",
-                     "qd4_neardup_decontam")
-    ] + [(name, s) for s in RASTER_SIZES for name in RASTER_OPS]
+                     "qd4_neardup_decontam", "qd6_ngram_novelty")
+    ] + [(name, s) for s in RASTER_SIZES for name in RASTER_OPS] + [
+        (name, n) for n in CC_FINISH_SIZES for name in CC_FINISH_OPS
+    ]
     for name, n in legs:
         if True:
             if str(n) in curves.get(name, {}).get("seconds", {}):
@@ -591,7 +633,12 @@ def main() -> int:
             print(f"n={n:>6}  {name:<24} {t:>8.3f}s (la {la})", file=sys.stderr)
 
     for name, c in curves.items():
-        sizes = RASTER_SIZES if name in RASTER_OPS else SIZES
+        if name in RASTER_OPS:
+            sizes = RASTER_SIZES
+        elif name in CC_FINISH_OPS:
+            sizes = CC_FINISH_SIZES
+        else:
+            sizes = SIZES
         lo, hi = str(sizes[0]), str(sizes[-1])
         g = round(c["seconds"][hi] / c["seconds"][lo], 2)
         c["growth_80k_over_5k"] = g
@@ -620,6 +667,12 @@ def main() -> int:
         "raster_sizes": RASTER_SIZES,
         "raster_base": f"256x256x{RASTER_T} px, {_FRAC}x{_FRAC} fractions, "
                        "2-date time chunks; legs multiply AREA",
+        "cc_finish_sizes": CC_FINISH_SIZES,
+        "cc_finish_note": "same star relation finished by the driver "
+                          "union-find (gate forced open) vs the "
+                          "distributed pointer-doubling loop (gate 0); "
+                          "the crossover justifies min_label_clusters' "
+                          "driver_finish_rows default",
         "loadavg_start": loadavg_start,
         "ops": curves,
     }

@@ -36,23 +36,52 @@ PARITY_TESTS = {
 
 
 def probe_parity(module: str, test: str) -> tuple[str, str]:
-    """Run one codec-parity pytest iff its production library imports."""
+    """Run one codec-parity pytest iff its production library imports.
+
+    Pass/skip detection reads pytest's structured junit XML (ADVICE r8:
+    the old ``' skipped' in stdout`` substring misclassified any summary
+    line mentioning skips — warnings, deselections — as NOT VERIFIED),
+    so the verdict comes from testsuite attributes, not prose."""
     if importlib.util.find_spec(module) is None:
         return "NOT VERIFIED", f"{module} not installed (pip install {module})"
-    proc = subprocess.run(
-        [sys.executable, "-m", "pytest", test, "-q", "--no-header"],
-        capture_output=True,
-        text=True,
-        cwd=ROOT,
-        timeout=600,
-    )
-    if proc.returncode == 0 and " skipped" not in proc.stdout:
-        return "PASS", proc.stdout.strip().splitlines()[-1]
-    if proc.returncode == 0:
-        # pytest exit 0 with a skip means the test's own import guard
-        # fired — do not report an unrun parity check as verified
+    import tempfile
+    import xml.etree.ElementTree as ET
+
+    with tempfile.NamedTemporaryFile(suffix=".xml", delete=False) as tf:
+        junit = tf.name
+    try:
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "pytest", test, "-q", "--no-header",
+                f"--junitxml={junit}",
+            ],
+            capture_output=True,
+            text=True,
+            cwd=ROOT,
+            timeout=600,
+        )
+        try:
+            suite = ET.parse(junit).getroot().find("testsuite")
+            stats = {
+                k: int(suite.attrib.get(k, 0))
+                for k in ("tests", "skipped", "failures", "errors")
+            }
+        except (ET.ParseError, AttributeError, FileNotFoundError):
+            return "FAIL", (
+                f"pytest produced no parseable junit XML (exit "
+                f"{proc.returncode}): " + (proc.stdout + proc.stderr)[-1200:]
+            )
+    finally:
+        if os.path.exists(junit):
+            os.unlink(junit)
+    if stats["failures"] or stats["errors"] or proc.returncode != 0:
+        return "FAIL", (proc.stdout + proc.stderr)[-1500:]
+    ran = stats["tests"] - stats["skipped"]
+    if ran < 1:
+        # the test's own import guard fired — do not report an unrun
+        # parity check as verified
         return "NOT VERIFIED", f"{test} skipped despite {module} importing"
-    return "FAIL", (proc.stdout + proc.stderr)[-1500:]
+    return "PASS", f"{ran} passed ({stats})"
 
 
 def probe_earthdata(timeout_s: float = 20.0) -> tuple[str, str]:
