@@ -40,88 +40,83 @@ _ORACLES: dict[str, str] = {}
 # baseline with tests/make_attest.py IN THE SAME COMMIT that rotates
 # these lists; make_attest refuses to run while the rule is violated.
 #
-# Round 8 changed set — two causes, six closures (the exact diff of
-# rastercube_spark.attest.all_hashes() vs the r7 baseline):
-# (a) the CC contraction work — min_label_clusters gained the
-# partition-local union-find star-contraction pre-pass and the
-# size-gated driver finish (operators/graph.py; label-invariant,
-# values unchanged) → qa3/qa4/qb2/qc0; lsh_cosine_pairs's
-# shuffle-partitions parse got the guarded fallback (ADVICE r7) →
-# qb0 (plus the CC users); qb2/qc0 additionally moved their plane
-# sizing from a per-invocation e.count() job to parquet-footer
-# statistics (sources/tables.py table_rows — same number, no extra
-# scan job). (b) qd4's exact-Jaccard verify now semi-joins train down
-# to candidate ids before the distinct shingle relation (ADVICE r7
-# medium — the verify stage no longer shuffles the full corpus's
-# widest relation). All six emit byte-identical values; no golden
-# regeneration needed. Plus two NEW queries (first attestation): qd6
-# n-gram novelty (per-doc fraction of corpus-unique shingles — the
-# memorization/boilerplate audit) and qd7 deterministic stratified
-# train/val/test split assignment (salted-md5 cumulative thresholds —
-# growth-stable, leakage-safe).
+# Round 9 changed set — one cause, five closures (the exact diff of
+# rastercube_spark.attest.all_hashes() vs the r8 baseline): the
+# qb2/qc0 wall-time work (VERDICT r8 "Next round" #3) — pass-1 CC
+# contraction runs on the input's existing partitioning when the
+# driver finish is armed (no repartitionByRange sampling job/exchange),
+# the driver finish rides Arrow both ways (toPandas + pandas
+# createDataFrame), and lsh_cosine_pairs gained a plan-time broadcast
+# of the rescore's vector-fetch sides gated on caller-supplied footer
+# stats (corpus_rows) → qa3/qa4 (CC users), qb0 (fetch broadcast),
+# qb2/qc0 (all three). All five emit byte-identical values (labels are
+# contraction-invariant, broadcast changes only the exchange count);
+# no golden regeneration needed. The round's GeoTIFF DEFLATE work
+# changed no registered closure (the codec feeds ingest/export and
+# T-tests, not query plans — verified via the all_hashes diff).
 ATTEST_CHANGED: tuple[str, ...] = (
-    "qd6_ngram_novelty",
-    "qd7_split_assign",
     "qa3_dup_clusters",
     "qa4_dedup_keep",
     "qb0_cosine_pairs_lsh",
     "qb2_semantic_dedup",
     "qc0_balanced_sample",
-    "qd4_neardup_decontaminate",
 )
 
-# The 42 remaining window slots go oldest-first per tools/
+# The 45 remaining window slots go oldest-first per tools/
 # rotate_window.py's ground-truth reading of the CORRECTNESS_r*
-# artifacts (VERDICT r7 "Next round" #1): the six r5 stragglers a
-# 50-slot window could not fit last round (qa7, qr01, qr03-qr05, qr09 —
-# queued "first in line for r08" and honored here), then the r6 cohort
-# in planner order. Nine r6 queries (qb5-qb9, qr02, qr06-qr08; qb5/qb6
-# displaced by the two new qd* slots) don't fit and stay frozen at
-# ≤2 rounds old, first in line for r09 — the window (50) is just under
-# half the surface (103).
+# artifacts (VERDICT r8 "Next round" #2): FIRST the nine r6-stale
+# queries at the window's stated 2-round maximum (qb5-qb9, qr02,
+# qr06-qr08 — queued "first for r9" last round and honored here), then
+# the r7 cohort in planner (alphabetical) order through q94. Eight r7
+# queries (q95, q99, qa1, qa5, qd1, qd2, qd3, qd5) don't fit and stay
+# frozen at ≤2 rounds old, first in line for r10 — the window (50) is
+# just under half the surface (103).
 ATTEST_STALE: tuple[str, ...] = (
-    "qa7_pii_redaction",
-    "qr01_windowed_read_fill",
-    "qr03_availability_semi_join",
-    "qr04_incremental_anti_join",
-    "qr05_date_coverage",
-    "qr09_chunk_checksum",
-    "q10_inner_equi",
-    "q11_broadcast_join",
-    "q12_sort_merge_join",
-    "q13_left_outer_null",
-    "q14_left_semi",
-    "q15_left_anti",
-    "q16_theta_join",
-    "q18_copartitioned_zip",
-    "q19_range_join",
-    "q20_tpch_q1_agg",
-    "q21_count_distinct",
-    "q23_cube",
-    "q24_grouping_sets",
-    "q25_having",
-    "q26_zonal_stats",
-    "q27_argmax_gather",
-    "q28_zonal_percentile",
-    "q29_salted_agg",
-    "q63_qa_bitops",
-    "q65_affine_transform",
-    "q75_stream_static_join",
-    "q76_stream_stream_join",
-    "q80_scalar_pandas_udf",
-    "q83_chunk_udtf",
-    "q90_text_metrics",
-    "q96_knn_bruteforce",
-    "q97_lsh_knn",
-    "q98_cosine_pairs_topk",
-    "qa0_multimodal_decode",
-    "qa2_ivf_knn",
-    "qa6_sequence_packing",
-    "qa8_frame_sample",
-    "qa9_media_knn",
-    "qb1_decontaminate",
-    "qb3_mixture_sample",
-    "qb4_passage_dedup",
+    "qb5_quality_rules",
+    "qb6_quantized_knn",
+    "qb7_group_sample",
+    "qb8_mixture_upsample",
+    "qb9_dataset_report",
+    "qr02_polygon_mask",
+    "qr06_cube_window_agg",
+    "qr07_resample_downsample",
+    "qr08_reproject_nearest",
+    "q01_scan_count",
+    "q02_project_filter",
+    "q03_in_null_predicates",
+    "q17_asof_join",
+    "q22_rollup",
+    "q2a_approx_count_distinct",
+    "q2b_approx_quantiles",
+    "q30_ranking",
+    "q31_lag_lead_gapfill",
+    "q32_moving_average",
+    "q33_running_total",
+    "q40_global_topk",
+    "q41_per_group_topk",
+    "q50_union_all",
+    "q51_union_distinct",
+    "q52_intersect",
+    "q53_except",
+    "q60_string_funcs",
+    "q61_date_funcs",
+    "q62_math_funcs",
+    "q64_nodata_case",
+    "q66_array_json",
+    "q67_categorical_legend",
+    "q68_type_reinterpret",
+    "q69_landsat_qa",
+    "q70_tumbling_window",
+    "q71_sliding_window",
+    "q72_session_window",
+    "q73_watermark_late_data",
+    "q74_stateful_dedup",
+    "q81_grouped_map_udf",
+    "q82_grouped_agg_udf",
+    "q91_exact_dedup",
+    "q92_minhash_lsh_pairs",
+    "q93_lsh_jaccard",
+    "q94_ngram_jaccard_topk",
 )
 
 ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE
