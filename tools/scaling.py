@@ -521,6 +521,7 @@ PARTIAL = OUT + ".partial"
 
 
 LOAD_IDLE_MAX = 1.0  # same gate as bench.py — r7's sweep started at 2.0
+LOAD_IDLE_MAX_5 = 1.5  # r9: two-field gate, same rationale as bench.py
 IDLE_WAIT_S = 900
 
 
@@ -541,10 +542,14 @@ def _wait_for_idle() -> None:
     the gated start."""
     t0 = time.time()
     while time.time() - t0 < IDLE_WAIT_S:
-        la = os.getloadavg()[0]
-        if la < LOAD_IDLE_MAX:
+        la = os.getloadavg()
+        if la[0] < LOAD_IDLE_MAX and la[1] < LOAD_IDLE_MAX_5:
             return
-        print(f"loadavg {la:.1f} > {LOAD_IDLE_MAX}; waiting...", file=sys.stderr)
+        print(
+            f"loadavg {la[0]:.1f}/{la[1]:.1f} above gate "
+            f"({LOAD_IDLE_MAX}/{LOAD_IDLE_MAX_5}); waiting...",
+            file=sys.stderr,
+        )
         time.sleep(30)
     print(f"proceeding despite loadavg {os.getloadavg()[0]:.1f}", file=sys.stderr)
 
