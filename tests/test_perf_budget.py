@@ -118,22 +118,28 @@ def _ratchet():
     return mod.apply_ratchet
 
 
-def test_ratchet_refuses_silent_raise_beyond_noise():
+def test_ratchet_refuses_contract_break_without_acceptance():
+    """A fresh median EXCEEDING the committed budget means the CI gate
+    itself would fail on honest numbers — refuse unless accepted."""
     old = {"budgets": {"q1": 1.5, "q2": 3.0}, "medians": {"q1": 1.0, "q2": 2.0}}
     final, regs, violations = _ratchet()(
         old, {"q1": 3.0, "q2": 2.85}, {"q1": 2.0, "q2": 1.9}, {}
     )
     assert regs == {}
-    # q1's median doubled (beyond +30%/0.2s) -> violation; q2 tightened
+    # q1's median 2.0 > committed budget 1.5 -> violation;
+    # q2's median 1.9 <= budget 3.0 -> contract intact (budget kept:
+    # tightening to 2.85 would not clear 1.9 * 1.3 = 2.47? it would —
+    # but 2.85 >= 2.47 so q2 tightens)
     assert violations and "q1" in violations[0]
     assert final["q2"] == 2.85
 
 
-def test_ratchet_keeps_tighter_budget_on_in_noise_wiggle():
-    """A median wiggle inside the noise band must neither refuse nor
-    loosen: the OLD tighter budget stays (budgets only ratchet down)."""
+def test_ratchet_keeps_contract_on_in_budget_wiggle():
+    """A fresh median above the committed MEDIAN but under the
+    committed BUDGET is absorbed by the gate's own headroom: the
+    committed budget stays, nothing refuses, nothing loosens."""
     old = {"budgets": {"q1": 1.5}, "medians": {"q1": 1.0}}
-    final, regs, violations = _ratchet()(old, {"q1": 1.725}, {"q1": 1.15}, {})
+    final, regs, violations = _ratchet()(old, {"q1": 2.1}, {"q1": 1.4}, {})
     assert violations == [] and regs == {}
     assert final["q1"] == 1.5
 
@@ -154,16 +160,28 @@ def test_ratchet_allows_tightening_and_new_queries():
         old, {"q1": 0.8, "q_new": 9.9}, {"q1": 0.37, "q_new": 6.6}, {}
     )
     assert regs == {} and violations == []
+    # 0.8 clears max(0.5, 0.37) * 1.3 = 0.65 -> decisive tightening
     assert final == {"q1": 0.8, "q_new": 9.9}
     # and from-scratch generation (no committed file) never refuses
     final, regs, violations = _ratchet()(None, {"q1": 5.0}, {"q1": 3.2}, {})
     assert regs == {} and violations == []
 
 
+def test_ratchet_damps_lucky_low_rebasing():
+    """A tighter budget that would NOT clear the committed median by
+    the damping margin keeps the old budget — one lucky-low session
+    cannot re-base the gate below what honest sessions measure."""
+    old = {"budgets": {"q1": 1.2}, "medians": {"q1": 0.78}}
+    # new median 0.5 -> new budget 0.75; 0.75 < 0.78 * 1.3 = 1.014
+    final, regs, violations = _ratchet()(old, {"q1": 0.75}, {"q1": 0.5}, {})
+    assert violations == [] and regs == {}
+    assert final["q1"] == 1.2
+
+
 def test_ratchet_flags_stale_acceptance():
-    """An acceptance flag for a budget that did NOT rise beyond noise
-    must refuse — otherwise a pasted-forward flag silently
-    pre-authorizes a future raise."""
+    """An acceptance flag for a query whose committed budget still
+    covers the fresh median must refuse — otherwise a pasted-forward
+    flag silently pre-authorizes a future raise."""
     old = {"budgets": {"q1": 1.5}, "medians": {"q1": 1.0}}
     final, regs, violations = _ratchet()(
         old, {"q1": 1.4}, {"q1": 0.93}, {"q1": "left over"}
@@ -175,12 +193,12 @@ def test_ratchet_flags_stale_acceptance():
 def test_ratchet_reconstructs_median_when_old_file_lacks_it():
     """Backward compatibility: a pre-r9 budget file has no medians
     field; the committed median is reconstructed from the budget
-    formula so the band still applies."""
+    formula so damping still applies."""
     old = {"budgets": {"q1": 1.5}}  # implies median 1.0
     final, regs, violations = _ratchet()(old, {"q1": 1.8}, {"q1": 1.2}, {})
-    assert violations == [] and final["q1"] == 1.5  # in-noise: kept
+    assert violations == [] and final["q1"] == 1.5  # under budget: kept
     final, regs, violations = _ratchet()(old, {"q1": 3.0}, {"q1": 2.0}, {})
-    assert violations  # beyond noise: refuse
+    assert violations  # median 2.0 > budget 1.5: refuse
 
 
 def test_committed_budget_file_carries_ratchet_provenance():

@@ -13,17 +13,19 @@ to silence a red gate you can't explain.
 
 RATCHET (VERDICT r8 "what's wrong" #3): a regeneration cannot silently
 RAISE any existing budget — that would let a future round loosen the
-gate after a regression and pass by construction. A new median inside
-the noise band (+30% / +0.2 s, bench_compare.py's band) of the
-committed one keeps the OLD tighter budget, so budgets only move down
-on their own; a median beyond the band requires an explicit, per-query
+gate after a regression and pass by construction. The criterion is
+contract breakage: only a fresh median that EXCEEDS its committed
+budget (the CI gate itself would fail on honest numbers) forces a
+raise, and that raise requires an explicit, per-query
 
     python tools/make_perf_budget.py \
         --accept-regression qb2_semantic_dedup "driver finish traded for X"
 
-and the acceptance (reason, old, new) lands in PERF_BUDGET.json's
+whose reason (plus old/new) lands in PERF_BUDGET.json's
 ``accepted_regressions`` — the same refuse-while-violated discipline as
-tests/make_attest.py. Tightening and first-time budgets need no flag.
+tests/make_attest.py. Medians at or under the committed budget keep it
+(or tighten it, damped so a lucky-low session cannot re-base the gate
+below what honest sessions measure); first-time budgets need no flag.
 
 Budget formula: median-of-3 (bench.py's own meter) × 1.5, plus a 0.25 s
 absolute floor — the same rel+abs shape as tools/bench_compare.py's
@@ -53,13 +55,14 @@ LOAD_IDLE_MAX_5 = 1.5
 IDLE_WAIT_S = 900.0
 
 
-# Noise band for the ratchet's raise test — bench_compare.py's band:
-# a median within +30% / +0.2 s of the committed one is measurement
-# noise, not a regression, and must neither loosen the gate nor refuse
-# the regeneration (otherwise no regeneration ever succeeds on a real
-# machine and the tool rots unused).
+# Tighten-damping factor: a regeneration may lower a budget only if the
+# lower value still clears EVERY observed median (old and new) by this
+# relative margin — otherwise one lucky-low session re-bases the gate
+# and the next honest session trips it. Sub-second sf0.01 queries
+# measured ±40% across four idle-gated sessions on 2026-08-14; the
+# budget formula's ×1.5 absorbs that only if the recorded median is not
+# itself a low outlier.
 NOISE_REL = 1.3
-NOISE_ABS_S = 0.2
 
 
 def apply_ratchet(
@@ -70,16 +73,21 @@ def apply_ratchet(
 ) -> tuple[dict[str, float], dict[str, dict], list[str]]:
     """Reconcile freshly-computed budgets with the committed file.
 
-    Per query: a TIGHTER budget is taken; a looser one whose new median
-    sits inside the noise band of the committed median keeps the OLD
-    (tighter) budget — budgets ratchet down over time and noise can
-    never loosen them; a looser one BEYOND the band must carry an
-    explicit acceptance reason or the whole regeneration refuses.
-    First-time budgets pass silently. Committed medians are read from
-    the old file's ``medians`` (fallback: reconstructed from the budget
-    formula). Prior acceptances are NOT carried forward — each
-    regeneration must re-justify any budget it raises (otherwise one
-    acceptance would excuse every future raise).
+    The committed budget IS the contract, so the criterion is contract
+    breakage, not median wiggle: a query whose fresh median EXCEEDS its
+    committed budget (the CI gate itself would now fail on honest
+    numbers) must carry an explicit acceptance reason or the whole
+    regeneration refuses — and then takes the new, looser budget.
+    A fresh median at or under the committed budget keeps the gate
+    intact: the budget stays, or tightens to the new value only when
+    the tighter number still clears BOTH observed medians by
+    ``NOISE_REL`` (damping — a lucky-low session cannot re-base the
+    gate below what honest sessions measure). First-time budgets pass
+    silently. Committed medians are read from the old file's
+    ``medians`` (fallback: reconstructed from the budget formula).
+    Prior acceptances are NOT carried forward — each regeneration must
+    re-justify any budget it raises (otherwise one acceptance would
+    excuse every future raise).
 
     Returns (final_budgets, accepted_regressions, violations)."""
     final = dict(new_budgets)
@@ -89,24 +97,29 @@ def apply_ratchet(
     old_medians = (old or {}).get("medians", {})
     for q, nb in new_budgets.items():
         ob = old_budgets.get(q)
-        if ob is None or nb <= ob:
+        if ob is None:
             continue
         om = old_medians.get(q, min(ob / REL, ob - ABS_FLOOR_S))
         nm = new_medians.get(q, nb / REL)
-        if nm <= max(om * NOISE_REL, om + NOISE_ABS_S):
-            final[q] = ob  # in-noise wiggle: keep the tighter budget
-        elif q in accepted:
-            regressions[q] = {"reason": accepted[q], "old": ob, "new": nb}
+        if nm > ob:
+            # the committed contract is broken by an honest run
+            if q in accepted:
+                regressions[q] = {"reason": accepted[q], "old": ob, "new": nb}
+            else:
+                violations.append(
+                    f"{q}: fresh median {nm}s exceeds the committed budget "
+                    f"{ob}s — the gate itself fails on honest numbers"
+                )
+        elif nb < ob and nb >= round(max(om, nm) * NOISE_REL, 3):
+            pass  # decisive tightening: final already carries nb
         else:
-            violations.append(
-                f"{q}: median {om}s -> {nm}s (budget {ob}s -> {nb}s), "
-                "beyond the noise band"
-            )
+            final[q] = ob  # keep the committed contract
     unused = sorted(set(accepted) - set(regressions))
     for q in unused:
         violations.append(
-            f"--accept-regression {q}: budget did not rise beyond noise "
-            "(stale flag — drop it; acceptances must map to real raises)"
+            f"--accept-regression {q}: committed budget still covers the "
+            "fresh median (stale flag — drop it; acceptances must map to "
+            "real contract breaks)"
         )
     return final, regressions, violations
 
@@ -190,9 +203,11 @@ def main(argv: list[str] | None = None) -> int:
                 f"{ABS_FLOOR_S}s); total budget = baseline * {REL} (same "
                 "relative band, so a uniformly-slower-but-idle machine "
                 "fails both gates or neither); regenerate only "
-                "deliberately on an idle box (README); raising any "
-                "existing budget requires --accept-regression and is "
-                "recorded in accepted_regressions",
+                "deliberately on an idle box (README); a committed "
+                "budget only RISES when a fresh idle median exceeds it "
+                "AND the raise carries --accept-regression (recorded in "
+                "accepted_regressions); tightening is damped to "
+                f"max(observed medians) * {NOISE_REL}",
         "generated_env": parsed.get("env", {}),
         "baseline_total": parsed["value"],
         "total_budget": round(parsed["value"] * REL, 3),
