@@ -175,11 +175,21 @@ def _wait_for_idle(max_wait_s: float = 900.0) -> float:
     bounded so a driver schedule can never hang; if it expires the
     load_warning in the env note flags the run."""
     t0 = time.time()
+    streak = 0
     while time.time() - t0 < max_wait_s:
         try:
             la = os.getloadavg()
             if la[0] < LOAD_IDLE_MAX and la[1] < LOAD_IDLE_MAX_5:
-                break
+                # debounce: require the gate to hold on two consecutive
+                # reads 15 s apart — a burst arriving in the instant
+                # after a single passing read otherwise starts a run
+                # whose own env note must immediately disclaim it
+                # (observed r9: gate passed, loadavg 2.59 ten ms later)
+                streak += 1
+                if streak >= 2:
+                    break
+            else:
+                streak = 0
         except OSError:
             break
         time.sleep(15)
