@@ -302,3 +302,35 @@ def test_neardup_decontaminate_reuses_banding_exchange(spark, sf_dir):
     df.collect()  # reuse nodes appear in the FINAL adaptive plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
+
+
+def test_lsh_rescore_fetch_broadcast_gate(spark, sf_dir):
+    """r9: the exact-rescore vector-fetch joins must broadcast at PLAN
+    time when corpus_rows says the vectors fit the gate, and fail
+    CLOSED to keyed joins when it says they don't (the 100 TB side).
+    The optimizer's own size-estimate broadcast is disabled for the
+    check so the plan shape isolates the HINT — at fixture scale
+    Catalyst would broadcast tiny parquet regardless, which is exactly
+    what a 100 TB corpus cannot rely on."""
+    from rastercube_spark.operators.similarity import lsh_cosine_pairs
+    from rastercube_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "embeddings")
+
+    def plan(corpus_rows):
+        df = lsh_cosine_pairs(
+            e, dim=64, threshold=0.35, k=None, corpus_rows=corpus_rows
+        )
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = plan(corpus_rows=500)
+        # both fetch joins build broadcast sides purely from the hint
+        assert small.count("BroadcastHashJoin") >= 2, small
+        big = plan(corpus_rows=10_000_000)  # ~5 GB of vectors: over gate
+        assert "BroadcastHashJoin" not in big, big
+        assert big.count("SortMergeJoin") + big.count("ShuffledHashJoin") >= 2, big
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
