@@ -1437,9 +1437,16 @@ def qa9(spark, sf_dir):
 
     d = _docs(spark, sf_dir)
     feats = extract_features(attach_payload(d), dim=16)
-    qs = feats.where(F.col("doc_id") < 5).select(
-        F.col("doc_id").alias("q_id"), F.col("feature").alias("q_vec")
-    )
+    # featurize the query side from the FILTERED docs, not by filtering
+    # the corpus features: a doc_id predicate cannot push through the
+    # mapInPandas featurizer barrier, so `feats.where(doc_id < 5)` would
+    # re-run payload synthesis + featurization over the WHOLE corpus for
+    # the 5-row query branch (r9 plan audit: qa9 paid 2× corpus
+    # featurization; the featurizer is deterministic per row, so both
+    # formulations emit identical vectors)
+    qs = extract_features(
+        attach_payload(d.where(F.col("doc_id") < 5)), dim=16
+    ).select(F.col("doc_id").alias("q_id"), F.col("feature").alias("q_vec"))
     return brute_force_knn(
         qs, feats, k=5, c_id="doc_id", c_vec="feature"
     ).orderBy("q_id", "rank")

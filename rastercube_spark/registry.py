@@ -40,7 +40,7 @@ _ORACLES: dict[str, str] = {}
 # baseline with tests/make_attest.py IN THE SAME COMMIT that rotates
 # these lists; make_attest refuses to run while the rule is violated.
 #
-# Round 9 changed set — one cause, five closures (the exact diff of
+# Round 9 changed set — six closures (the exact diff of
 # rastercube_spark.attest.all_hashes() vs the r8 baseline): the
 # qb2/qc0 wall-time work (VERDICT r8 "Next round" #3) — pass-1 CC
 # contraction runs on the input's existing partitioning when the
@@ -49,12 +49,17 @@ _ORACLES: dict[str, str] = {}
 # createDataFrame), and lsh_cosine_pairs gained a plan-time broadcast
 # of the rescore's vector-fetch sides gated on caller-supplied footer
 # stats (corpus_rows) → qa3/qa4 (CC users), qb0 (fetch broadcast),
-# qb2/qc0 (all three). All five emit byte-identical values (labels are
-# contraction-invariant, broadcast changes only the exchange count);
-# no golden regeneration needed. The round's GeoTIFF DEFLATE work
-# changed no registered closure (the codec feeds ingest/export and
+# qb2/qc0 (all three). Plus qa9: its query-side featurization now runs
+# on the pre-filtered 5 docs instead of filtering the corpus features
+# (a doc_id predicate cannot push through the mapInPandas featurizer
+# barrier — the old form paid 2x corpus featurization; vectors
+# identical). All six emit byte-identical values (labels are
+# contraction-invariant, broadcast/featurize changes touch only the
+# plan); no golden regeneration needed. The round's GeoTIFF DEFLATE
+# work changed no registered closure (the codec feeds ingest/export and
 # T-tests, not query plans — verified via the all_hashes diff).
 ATTEST_CHANGED: tuple[str, ...] = (
+    "qa9_media_knn",
     "qa3_dup_clusters",
     "qa4_dedup_keep",
     "qb0_cosine_pairs_lsh",
@@ -67,10 +72,11 @@ ATTEST_CHANGED: tuple[str, ...] = (
 # artifacts (VERDICT r8 "Next round" #2): FIRST the nine r6-stale
 # queries at the window's stated 2-round maximum (qb5-qb9, qr02,
 # qr06-qr08 — queued "first for r9" last round and honored here), then
-# the r7 cohort in planner (alphabetical) order through q94. Eight r7
-# queries (q95, q99, qa1, qa5, qd1, qd2, qd3, qd5) don't fit and stay
-# frozen at ≤2 rounds old, first in line for r10 — the window (50) is
-# just under half the surface (103).
+# the r7 cohort in planner (alphabetical) order through q93 (q94's slot
+# went to the late qa9 plan fix). Nine r7 queries (q94, q95, q99, qa1,
+# qa5, qd1, qd2, qd3, qd5) don't fit and stay frozen at ≤2 rounds old,
+# first in line for r10 — the window (50) is just under half the
+# surface (103).
 ATTEST_STALE: tuple[str, ...] = (
     "qb5_quality_rules",
     "qb6_quantized_knn",
@@ -116,7 +122,6 @@ ATTEST_STALE: tuple[str, ...] = (
     "q91_exact_dedup",
     "q92_minhash_lsh_pairs",
     "q93_lsh_jaccard",
-    "q94_ngram_jaccard_topk",
 )
 
 ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE
