@@ -229,3 +229,22 @@ def test_driver_finish_fires_at_fixture_scale(spark, sf_dir, monkeypatch):
         "driver finish did not fire: qb2 ran the distributed loop at "
         "fixture scale"
     )
+
+
+def test_min_label_empty_and_singleton_edge_sets(spark):
+    """The Arrow driver finish (r9) must hold its schema contract on
+    the degenerate inputs a zero-near-dup corpus produces: empty edge
+    relations (both id types) return empty with the right schema; a
+    single pair collapses to one cluster."""
+    empty_s = spark.createDataFrame([], "doc_a string, doc_b string")
+    out = min_label_clusters(empty_s)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "cluster_id"]
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+    empty_b = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    assert min_label_clusters(empty_b).count() == 0
+    one = spark.createDataFrame([(1, 2)], "doc_a bigint, doc_b bigint")
+    assert sorted(map(tuple, min_label_clusters(one).collect())) == [
+        (1, 1),
+        (2, 1),
+    ]

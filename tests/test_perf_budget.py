@@ -211,3 +211,26 @@ def test_committed_budget_file_carries_ratchet_provenance():
         budget = json.load(f)
     assert "accepted_regressions" in budget
     assert isinstance(budget["accepted_regressions"], dict)
+
+
+def test_bench_idle_gate_debounce(monkeypatch):
+    """bench._wait_for_idle must require TWO consecutive passing reads
+    (r9: an external 32-core burst arriving right after a single
+    passing read started a run whose own env note disclaimed it)."""
+    import bench
+
+    reads = iter(
+        [
+            (0.5, 1.0, 2.0),   # pass #1
+            (6.0, 2.5, 2.0),   # burst arrives -> streak resets
+            (0.9, 1.4, 2.0),   # pass #1 again
+            (0.8, 1.3, 2.0),   # pass #2 -> break
+            (9.9, 9.9, 9.9),   # must never be read
+        ]
+    )
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: next(reads))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    bench._wait_for_idle(max_wait_s=60.0)
+    # exactly the four reads consumed: the gate broke on the second
+    # consecutive pass, not the first
+    assert next(reads) == (9.9, 9.9, 9.9)
