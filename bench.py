@@ -113,6 +113,23 @@ HEADLINE = [
     "qd5_token_drift",
     "qd6_ngram_novelty",
     "qd7_split_assign",
+    # round 9 additions: the rest of the raster pillar (the reference's
+    # core surface) so its per-round trajectory is recorded like the
+    # relational/datapipe families — polygon mask, availability/
+    # incremental/date-coverage catalog joins, nearest-gather
+    # reprojection, chunk checksum, and the zonal-stats family
+    # (headline_total therefore grows vs rounds ≤ 8; per-query timings
+    # stay comparable, and tools/bench_compare.py diffs on the common
+    # subset)
+    "qr02_polygon_mask",
+    "qr03_availability_semi_join",
+    "qr04_incremental_anti_join",
+    "qr05_date_coverage",
+    "qr08_reproject_nearest",
+    "qr09_chunk_checksum",
+    "q26_zonal_stats",
+    "q27_argmax_gather",
+    "q28_zonal_percentile",
 ]
 
 # Driver-iterative queries: the query function itself executes work
