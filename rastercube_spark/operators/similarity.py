@@ -99,7 +99,16 @@ def brute_force_knn(
     c_id: str = "vec_id",
     c_vec: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k neighbors per query by cosine (self-matches excluded)."""
+    """Exact top-k neighbors per query by cosine (self-matches excluded).
+
+    The corpus is rebalanced to cluster width when its scan is
+    under-partitioned (single-file fixtures — a production many-file
+    corpus makes it a no-op): the probe join is broadcast, so nothing
+    downstream re-partitions, and the Arrow cosine stage would otherwise
+    run at the scan's task count regardless of cores."""
+    from rastercube_spark.sources.tables import rebalance_scan
+
+    corpus = rebalance_scan(corpus)
     scored = corpus.join(F.broadcast(queries)).where(
         F.col(q_id) != F.col(c_id)
     ).select(
@@ -522,8 +531,15 @@ def lsh_cosine_pairs(
     # everything after it runs single-task. The shuffle ships three ints
     # per row — measured 2.7s → 2.2s on the sf0.1 fixture, and at real
     # scale it is exactly the join's own exchange, done once.
+    from rastercube_spark.sources.tables import rebalance_scan
+
     hb = (
-        df.select(F.col(id_col), hash_all(F.col(vec_col)).alias("_bs"))
+        # The Arrow hash pass runs BEFORE the (tbl, b) exchange, so on an
+        # under-partitioned scan (single-file fixture) it would hash the
+        # whole corpus at the scan's task count; rebalance first (no-op
+        # on many-file production scans — see rebalance_scan).
+        rebalance_scan(df)
+        .select(F.col(id_col), hash_all(F.col(vec_col)).alias("_bs"))
         .select(id_col, F.posexplode("_bs").alias("tbl", "b"))
         .repartition(par, "tbl", "b")
     )

@@ -53,12 +53,20 @@ _ORACLES: dict[str, str] = {}
 # on the pre-filtered 5 docs instead of filtering the corpus features
 # (a doc_id predicate cannot push through the mapInPandas featurizer
 # barrier — the old form paid 2x corpus featurization; vectors
-# identical). All six emit byte-identical values (labels are
-# contraction-invariant, broadcast/featurize changes touch only the
-# plan); no golden regeneration needed. The round's GeoTIFF DEFLATE
+# identical). Plus the r9 under-partitioned-scan sweep: q20's decimal
+# aggregation, brute_force_knn's cosine stage (q96/qd3/qa9) and
+# lsh_cosine_pairs' hash pass (qb0/qb2/qc0) rebalance single-file
+# fixture scans to cluster width before their compute-heavy
+# pre-shuffle stages (rebalance_scan — a no-op on many-file
+# production scans; decimal sums and per-row hashing are
+# order-invariant). All nine emit byte-identical values; no golden
+# regeneration needed. The round's GeoTIFF DEFLATE
 # work changed no registered closure (the codec feeds ingest/export and
 # T-tests, not query plans — verified via the all_hashes diff).
 ATTEST_CHANGED: tuple[str, ...] = (
+    "q20_tpch_q1_agg",
+    "q96_knn_bruteforce",
+    "qd3_knn_label_consistency",
     "qa9_media_knn",
     "qa3_dup_clusters",
     "qa4_dedup_keep",
@@ -72,9 +80,10 @@ ATTEST_CHANGED: tuple[str, ...] = (
 # artifacts (VERDICT r8 "Next round" #2): FIRST the nine r6-stale
 # queries at the window's stated 2-round maximum (qb5-qb9, qr02,
 # qr06-qr08 — queued "first for r9" last round and honored here), then
-# the r7 cohort in planner (alphabetical) order through q93 (q94's slot
-# went to the late qa9 plan fix). Nine r7 queries (q94, q95, q99, qa1,
-# qa5, qd1, qd2, qd3, qd5) don't fit and stay frozen at ≤2 rounds old,
+# the r7 cohort in planner (alphabetical) order through q82 (the last
+# three slots went to the late q20/q96/qd3 rebalance fixes, and qd3
+# rotated in as CHANGED anyway). Eleven r7 queries (q91-q95, q99, qa1,
+# qa5, qd1, qd2, qd5) don't fit and stay frozen at ≤2 rounds old,
 # first in line for r10 — the window (50) is just under half the
 # surface (103).
 ATTEST_STALE: tuple[str, ...] = (
@@ -119,9 +128,6 @@ ATTEST_STALE: tuple[str, ...] = (
     "q74_stateful_dedup",
     "q81_grouped_map_udf",
     "q82_grouped_agg_udf",
-    "q91_exact_dedup",
-    "q92_minhash_lsh_pairs",
-    "q93_lsh_jaccard",
 )
 
 ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE
