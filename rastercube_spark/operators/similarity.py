@@ -531,15 +531,15 @@ def lsh_cosine_pairs(
     # everything after it runs single-task. The shuffle ships three ints
     # per row — measured 2.7s → 2.2s on the sf0.1 fixture, and at real
     # scale it is exactly the join's own exchange, done once.
-    from rastercube_spark.sources.tables import rebalance_scan
-
+    # NO rebalance before the hash pass, by measurement (r9 A/B at
+    # sf0.1, interleaved same-session medians: 2.13/1.90 s without vs
+    # 2.57/2.29 s with): at fixture scale the per-row hash is
+    # overhead-dominated and the extra exchange + stage costs more than
+    # the parallelism buys; at a scale where hashing is real compute the
+    # corpus is many-file and rebalance_scan would no-op regardless. The
+    # (tbl, b) repartition below is the pipeline's own spread point.
     hb = (
-        # The Arrow hash pass runs BEFORE the (tbl, b) exchange, so on an
-        # under-partitioned scan (single-file fixture) it would hash the
-        # whole corpus at the scan's task count; rebalance first (no-op
-        # on many-file production scans — see rebalance_scan).
-        rebalance_scan(df)
-        .select(F.col(id_col), hash_all(F.col(vec_col)).alias("_bs"))
+        df.select(F.col(id_col), hash_all(F.col(vec_col)).alias("_bs"))
         .select(id_col, F.posexplode("_bs").alias("tbl", "b"))
         .repartition(par, "tbl", "b")
     )
