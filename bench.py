@@ -121,6 +121,8 @@ HEADLINE = [
     # (headline_total therefore grows vs rounds ≤ 8; per-query timings
     # stay comparable, and tools/bench_compare.py diffs on the common
     # subset)
+    # snapshot-overlap audit (MinHash corpus sketches + exact anchor)
+    "qd8_snapshot_overlap",
     "qr02_polygon_mask",
     "qr03_availability_semi_join",
     "qr04_incremental_anti_join",

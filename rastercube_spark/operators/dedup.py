@@ -466,3 +466,98 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def corpus_overlap(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Snapshot-overlap report between two document sets (the audit a
+    curation pipeline runs when a new crawl/dataset VERSION arrives:
+    "how much of B is already in A?" — before paying for cross-snapshot
+    dedup). One row:
+
+    - ``est_jaccard`` — MinHash corpus-sketch agreement: each snapshot's
+      distinct-shingle set is sketched as 16 permutation minima (the
+      q92 hash family: md5-derived 32-bit shingle hash, fixed LCG
+      perms mod the Mersenne prime), and the estimate is the fraction
+      of permutations whose minima agree — the standard unbiased
+      MinHash Jaccard estimator, computed from two SINGLE-PASS
+      map-side-combinable global aggregates (16 ``min`` expressions
+      each; no explode, no join on data);
+    - ``exact_jaccard`` — the anchor: |A∩B| / |A∪B| over distinct
+      shingle sets via one full-outer equi-join on the shingle key;
+    - ``within_03`` — |est − exact| ≤ 0.3: the in-engine verdict both
+      engines can hash-match (q2a/q2b's estimate+verdict pattern; a
+      16-perm sketch has σ ≈ 0.125, so 0.3 ≈ 2.4σ).
+
+    100 TB shape: the sketch path reads each corpus once and reduces to
+    16 numbers — this is the cheap always-on audit; the exact anchor is
+    a keyed shuffle on the 16-byte-bounded shingle key and is the part
+    a deployment samples or drops when B is petabyte-scale. At match
+    time the two 1-row sketch relations cross-join as broadcast
+    scalars."""
+    def sketch(docs: DataFrame, side: str) -> DataFrame:
+        h = (
+            shingles_df(docs, id_col, text_col, k=k, distinct=False)
+            .select(_shingle_hash().alias("h"))
+        )
+        return h.agg(
+            *[
+                F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P)).alias(
+                    f"{side}{i}"
+                )
+                for i, (a, b) in enumerate(MINHASH_PERMS)
+            ]
+        )
+
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_PERMS)
+    )
+    est = (
+        sketch(docs_a, "a")
+        .crossJoin(sketch(docs_b, "b"))  # two 1-row scalar relations
+        .select(
+            F.lit(N_PERMS).alias("n_perms"),
+            F.round(agree.cast("double") / N_PERMS, 6).alias("est_jaccard"),
+        )
+    )
+    # distinct on the SHINGLE itself — shingles_df's distinct is per
+    # (doc_id, shingle), which still carries cross-document duplicates
+    # and would inflate the full-outer join's multiplicities
+    da = (
+        shingles_df(docs_a, id_col, text_col, k=k, distinct=False)
+        .select("shingle")
+        .distinct()
+    )
+    db = (
+        shingles_df(docs_b, id_col, text_col, k=k, distinct=False)
+        .select("shingle")
+        .distinct()
+    )
+    u = da.withColumn("_ia", F.lit(1)).join(
+        db.withColumn("_ib", F.lit(1)), "shingle", "full"
+    )
+    exact = u.agg(
+        F.count(F.lit(1)).alias("_nu"),
+        F.sum(
+            F.when(F.col("_ia").isNotNull() & F.col("_ib").isNotNull(), 1)
+            .otherwise(0)
+        ).alias("_ni"),
+    ).select(
+        F.round(F.col("_ni").cast("double") / F.col("_nu"), 6).alias(
+            "exact_jaccard"
+        )
+    )
+    return est.crossJoin(exact).select(
+        "n_perms",
+        "est_jaccard",
+        "exact_jaccard",
+        (
+            F.abs(F.col("est_jaccard") - F.col("exact_jaccard")) <= 0.3
+        ).alias("within_03"),
+    )

@@ -2444,3 +2444,73 @@ def qd7(spark, sf_dir):
         .select("doc_id", "source", "split")
         .orderBy("doc_id")
     )
+
+
+def _qd8_shingle_cte(alias: str, pred: str) -> str:
+    # k=3 word shingles of a FILTERED snapshot — the same split/concat
+    # semantics as _shingles_cte, parameterized by the snapshot predicate
+    return f"""
+        t{alias} AS (
+            SELECT regexp_split_to_array(lower(text), '\\s+') AS tk
+            FROM documents WHERE {pred}
+        ),
+        s{alias} AS (
+            SELECT DISTINCT tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]
+                   AS shingle
+            FROM t{alias}, UNNEST(range(1, len(tk) - 1)) u(i)
+        )"""
+
+
+@query(
+    "qd8_snapshot_overlap",
+    oracle=f"""
+        WITH {_qd8_shingle_cte('a', 'doc_id % 3 <> 0')},
+        {_qd8_shingle_cte('b', 'doc_id % 2 = 0')},
+        ha AS (SELECT {_h32('shingle')} AS h FROM sa),
+        hb AS (SELECT {_h32('shingle')} AS h FROM sb),
+        perms(i, pa, pb) AS (VALUES {_PERMS_VALUES}),
+        ma AS (SELECT i, min((pa * h + pb) % {P}) AS m
+               FROM ha, perms GROUP BY i),
+        mb AS (SELECT i, min((pa * h + pb) % {P}) AS m
+               FROM hb, perms GROUP BY i),
+        est AS (
+            SELECT ROUND(CAST(SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END)
+                              AS DOUBLE) / 16, 6) AS est_jaccard
+            FROM ma JOIN mb USING (i)
+        ),
+        ex AS (
+            SELECT ROUND(
+                CAST(SUM(CASE WHEN a.shingle IS NOT NULL
+                               AND b.shingle IS NOT NULL
+                          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*),
+                6) AS exact_jaccard
+            FROM sa a FULL OUTER JOIN sb b ON a.shingle = b.shingle
+        )
+        SELECT 16 AS n_perms, est_jaccard, exact_jaccard,
+               abs(est_jaccard - exact_jaccard) <= 0.3 AS within_03
+        FROM est CROSS JOIN ex
+    """,
+)
+def qd8(spark, sf_dir):
+    """Snapshot-overlap audit (operators/dedup.py corpus_overlap): the
+    check a curation pipeline runs when a new dataset VERSION arrives —
+    estimate the shingle-set Jaccard between two overlapping snapshots
+    (doc_id % 3 != 0 vs doc_id % 2 == 0, so the overlap is real at any
+    sf) from 16-permutation MinHash corpus sketches, anchored by the
+    exact Jaccard and an in-engine tolerance verdict (q2a/q2b's
+    estimate+verdict pattern — the ESTIMATE itself is deterministic
+    given the fixed hash family, so it hash-matches cross-engine).
+
+    Scale shape: each sketch is one corpus pass reducing to 16 numbers
+    (map-side-combinable global min aggregates — no explode, no join
+    touches data); the exact anchor is one full-outer equi-join on the
+    bounded shingle key, the part a petabyte deployment samples or
+    drops. The cross-joins combine 1-row scalar relations."""
+    from rastercube_spark.operators.dedup import corpus_overlap
+
+    d = _docs(spark, sf_dir)
+    return corpus_overlap(
+        d.where(F.col("doc_id") % 3 != 0),
+        d.where(F.col("doc_id") % 2 == 0),
+        k=3,
+    )

@@ -62,8 +62,11 @@ _ORACLES: dict[str, str] = {}
 # order-invariant). All nine emit byte-identical values; no golden
 # regeneration needed. The round's GeoTIFF DEFLATE
 # work changed no registered closure (the codec feeds ingest/export and
-# T-tests, not query plans — verified via the all_hashes diff).
+# T-tests, not query plans — verified via the all_hashes diff). qd8
+# snapshot-overlap (MinHash corpus-sketch Jaccard estimate + exact
+# anchor + tolerance verdict) is NEW this round — first attestation.
 ATTEST_CHANGED: tuple[str, ...] = (
+    "qd8_snapshot_overlap",
     "q20_tpch_q1_agg",
     "q96_knn_bruteforce",
     "qd3_knn_label_consistency",
@@ -80,12 +83,12 @@ ATTEST_CHANGED: tuple[str, ...] = (
 # artifacts (VERDICT r8 "Next round" #2): FIRST the nine r6-stale
 # queries at the window's stated 2-round maximum (qb5-qb9, qr02,
 # qr06-qr08 — queued "first for r9" last round and honored here), then
-# the r7 cohort in planner (alphabetical) order through q82 (the last
-# three slots went to the late q20/q96/qd3 rebalance fixes, and qd3
-# rotated in as CHANGED anyway). Eleven r7 queries (q91-q95, q99, qa1,
-# qa5, qd1, qd2, qd5) don't fit and stay frozen at ≤2 rounds old,
-# first in line for r10 — the window (50) is just under half the
-# surface (103).
+# the r7 cohort in planner (alphabetical) order through q81 (the last
+# four slots went to the late q20/q96/qd3 rebalance fixes and the new
+# qd8 — a NEW query must be attested the round it lands). Twelve r7
+# queries (q82, q91-q95, q99, qa1, qa5, qd1, qd2, qd5) don't fit and
+# stay frozen at ≤2 rounds old, first in line for r10 — the window
+# (50) is just under half the surface (now 104).
 ATTEST_STALE: tuple[str, ...] = (
     "qb5_quality_rules",
     "qb6_quantized_knn",
@@ -127,7 +130,6 @@ ATTEST_STALE: tuple[str, ...] = (
     "q73_watermark_late_data",
     "q74_stateful_dedup",
     "q81_grouped_map_udf",
-    "q82_grouped_agg_udf",
 )
 
 ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE
