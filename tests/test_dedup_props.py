@@ -191,3 +191,25 @@ def test_ngram_novelty_short_docs_absent(spark):
     )
     got = {r["doc_id"] for r in ngram_novelty(docs, k=3).collect()}
     assert got == {1}
+
+
+def test_corpus_overlap_identity_and_disjoint(spark):
+    """corpus_overlap's estimator bounds: identical snapshots give
+    est = exact = 1; shingle-disjoint snapshots give est = exact = 0
+    (r9 qd8 operator)."""
+    from rastercube_spark.operators.dedup import corpus_overlap
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon w{i} zeta") for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    same = corpus_overlap(docs, docs).collect()[0]
+    assert same["est_jaccard"] == 1.0 and same["exact_jaccard"] == 1.0
+    assert same["within_03"]
+    other = spark.createDataFrame(
+        [(i, f"uno dos tres cuatro cinco x{i} seis") for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    disj = corpus_overlap(docs, other).collect()[0]
+    assert disj["exact_jaccard"] == 0.0
+    assert disj["est_jaccard"] == 0.0  # no shared shingle can share a min

@@ -326,6 +326,7 @@ def _median_time(build, loop_inclusive: bool) -> float:
 
 def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
     from rastercube_spark.operators.dedup import (
+        corpus_overlap,
         decontaminate,
         lsh_candidate_pairs,
         minhash_signatures,
@@ -436,6 +437,16 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
         # back) and a per-doc agg — qb4's topology, expected ~linear.
         "qd6_ngram_novelty": (
             lambda: ngram_novelty(docs, "doc_id", "text", k=3),
+            False,
+        ),
+        # r9: snapshot-overlap audit — the sketch halves are single-pass
+        # global min-aggregates (expected ~flat in n beyond scan cost);
+        # the exact anchor's full-outer shingle join is the ~linear part.
+        "qd8_snapshot_overlap": (
+            lambda: corpus_overlap(
+                docs.where(F.col("doc_id") % 3 != 0),
+                docs.where(F.col("doc_id") % 2 == 0),
+            ),
             False,
         ),
     }
@@ -607,7 +618,8 @@ def main() -> int:
                      "qb1_decontaminate", "qa6_sequence_packing",
                      "qb4_passage_dedup", "qb6_quantized_knn",
                      "qb7_group_sample", "qd3_label_consistency",
-                     "qd4_neardup_decontam", "qd6_ngram_novelty")
+                     "qd4_neardup_decontam", "qd6_ngram_novelty",
+                     "qd8_snapshot_overlap")
     ] + [(name, s) for s in RASTER_SIZES for name in RASTER_OPS] + [
         (name, n) for n in CC_FINISH_SIZES for name in CC_FINISH_OPS
     ]
