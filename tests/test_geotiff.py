@@ -580,3 +580,56 @@ def test_export_tiles_deflate_default(spark, ingested, tmp_path):
     arr, _ = read_tiled_export(out)
     np.testing.assert_array_equal(arr, full[3:38, 5:70, 1])
     assert not [f for f in os.listdir(out) if ".tmp." in f]
+
+
+def test_geotiff_roundtrip_property():
+    """Property round-trip over the r9 codec matrix: random shapes,
+    dtypes, layouts (single/multi-strip/tiled), compression and
+    predictor — decode(write(a)) == a exactly, every combination."""
+    from hypothesis import given, settings, strategies as st
+
+    from rastercube_spark.sources.geotiff import decode_geotiff
+
+    import io as _io
+    import os as _os
+    import tempfile
+
+    dtypes = st.sampled_from(["uint8", "int16", "uint16", "float32"])
+    layouts = st.sampled_from(
+        [{}, {"rows_per_strip": 5}, {"tile_size": 16}]
+    )
+    comps = st.sampled_from([None, "deflate"])
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        dt=dtypes,
+        layout=layouts,
+        comp=comps,
+        pred2=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def roundtrip(h, w, dt, layout, comp, pred2, seed):
+        rng = np.random.RandomState(seed)
+        info = np.iinfo(dt) if np.issubdtype(np.dtype(dt), np.integer) else None
+        if info is not None:
+            data = rng.randint(info.min, int(info.max) + 1, size=(h, w)).astype(dt)
+        else:
+            data = (rng.rand(h, w).astype(dt) * 100).astype(dt)
+        predictor = 2 if (pred2 and comp and info is not None) else 1
+        fd, path = tempfile.mkstemp(suffix=".tif")
+        _os.close(fd)
+        try:
+            write_geotiff(
+                path, data, GEOT, nodataval=0,
+                compress=comp, predictor=predictor, **layout,
+            )
+            arr, geot, nodata = read_geotiff(path)
+        finally:
+            _os.unlink(path)
+        np.testing.assert_array_equal(arr, data)
+        assert arr.dtype == data.dtype
+        assert geot == GEOT and nodata == 0
+
+    roundtrip()
