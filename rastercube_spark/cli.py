@@ -439,7 +439,10 @@ def cmd_export_tiff(args) -> int:
 
     cube = _open_cube(args.root)
     x0, y0, x1, y1 = (int(v) for v in args.window.split(","))
-    export_geotiff(_spark(), cube, args.out, (x0, y0), (x1, y1), args.t)
+    export_geotiff(
+        _spark(), cube, args.out, (x0, y0), (x1, y1), args.t,
+        compress=None if args.compress == "none" else args.compress,
+    )
     print(f"wrote {args.out}")
     return 0
 
@@ -458,7 +461,8 @@ def cmd_export_tiles(args) -> int:
     else:
         xy_from = xy_to = None
     man = export_geotiff_tiles(
-        _spark(), cube, args.out, xy_from, xy_to, t=args.t
+        _spark(), cube, args.out, xy_from, xy_to, t=args.t,
+        compress=None if args.compress == "none" else args.compress,
     )
     print(_json.dumps({"tiles": len(man["tiles"]), "out": args.out}))
     return 0
@@ -534,6 +538,10 @@ def build_parser() -> argparse.ArgumentParser:
     et.add_argument("--out", required=True)
     et.add_argument("--window", required=True, help="x0,y0,x1,y1 (end-exclusive)")
     et.add_argument("--t", type=int, default=0)
+    et.add_argument(
+        "--compress", choices=["deflate", "none"], default="deflate",
+        help="TIFF compression (reference sink parity: DEFLATE)",
+    )
     et.set_defaults(fn=cmd_export_tiff)
 
     ets = sub.add_parser("export-tiles")
@@ -543,6 +551,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--window", help="x0,y0,x1,y1 (end-exclusive); omit for whole grid"
     )
     ets.add_argument("--t", type=int, default=0)
+    ets.add_argument(
+        "--compress", choices=["deflate", "none"], default="deflate",
+        help="TIFF compression (recorded in the stitch manifest)",
+    )
     ets.set_defaults(fn=cmd_export_tiles)
 
     cl = sub.add_parser("clean-corpus")

@@ -590,7 +590,6 @@ def test_geotiff_roundtrip_property():
 
     from rastercube_spark.sources.geotiff import decode_geotiff
 
-    import io as _io
     import os as _os
     import tempfile
 
