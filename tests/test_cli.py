@@ -52,6 +52,25 @@ def test_cli_cube_workflow(spark, tiles, capsys):
     stitched, _ = read_tiled_export(f"{w}/tiles")
     np.testing.assert_array_equal(stitched, full[:, :, 0])
 
+    # --compress opt-outs (r9): uncompressed export verbs still
+    # round-trip and the manifest records the opt-out
+    import json as _json
+
+    assert main(["export-tiff", "--root", f"{w}/cube", "--out", f"{w}/u.tif",
+                 "--window", "0,0,40,40", "--t", "0",
+                 "--compress", "none"]) == 0
+    capsys.readouterr()
+    arr_u, _, _ = read_geotiff(f"{w}/u.tif")
+    np.testing.assert_array_equal(arr_u, full[:, :, 0])
+    assert main(["export-tiles", "--root", f"{w}/cube",
+                 "--out", f"{w}/tiles_u", "--t", "0",
+                 "--compress", "none"]) == 0
+    capsys.readouterr()
+    with open(f"{w}/tiles_u/manifest.json") as f:
+        assert _json.load(f)["compression"] is None
+    stitched_u, _ = read_tiled_export(f"{w}/tiles_u")
+    np.testing.assert_array_equal(stitched_u, full[:, :, 0])
+
 
 def test_cli_queries_and_errors(spark, capsys, sf_dir):
     assert main(["list-queries"]) == 0
