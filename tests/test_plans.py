@@ -106,6 +106,36 @@ def test_q98_left_side_parallelized(spark, sf_dir):
     assert "Exchange RoundRobinPartitioning" in plan
 
 
+@pytest.mark.parametrize(
+    "name", ["q20_tpch_q1_agg", "qd3_knn_label_consistency", "q96_knn_bruteforce"]
+)
+def test_rebalance_scan_survives_into_plan(spark, sf_dir, name):
+    """The r9 under-partitioned-scan sweep placed ``rebalance_scan`` on
+    these queries BY MEASUREMENT (q20 1.52→1.09 s, qd3 1.56→0.68 s at
+    sf0.1); this pins the decision mechanically so a refactor can't
+    silently drop the exchange (VERDICT r9 "Next round" #5). Exactly
+    ONE round-robin exchange: the single-file fixture scan rebalanced
+    to cluster width before the compute-heavy pre-shuffle stage — it
+    is the only RoundRobin in each of these plans, so the count also
+    fails if a second, unmeasured rebalance sneaks in."""
+    plan = _plan(spark, sf_dir, name)
+    assert plan.count("RoundRobinPartitioning") == 1
+
+
+def test_lsh_hash_pass_not_rebalanced(spark, sf_dir):
+    """The r9 A/B measured a rebalance BEFORE qb0's Arrow hash pass
+    strictly harmful at fixture scale (2.13/1.90 s without vs 2.57/2.29 s
+    with) and a no-op on many-file production scans — it was reverted
+    (docs/PERF_NOTES.md r9). qb0's plan carries exactly ONE round-robin
+    exchange: the post-DISTINCT candidate re-spread before the
+    vector-fetch fan-out (operators/similarity.py — AQE coalesces the
+    narrow pair rows blind to the fan-out). A re-added hash-pass
+    rebalance would show up as a second RoundRobin and fail here, so
+    the negative A/B result can't silently flip back."""
+    plan = _plan(spark, sf_dir, "qb0_cosine_pairs_lsh")
+    assert plan.count("RoundRobinPartitioning") == 1
+
+
 def test_cross_srs_gather_is_equi_join(spark, sf_dir, tmp_path):
     """gather_nearest_crs: projection math stays in the plan as column
     expressions; the source lookup is an equi-join on computed (x, y)."""
