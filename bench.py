@@ -11,6 +11,15 @@ code):
 - load average is checked at start; if the 1-minute load exceeds
   LOAD_IDLE_MAX the JSON carries a "load_warning" so a contended run
   can never again masquerade as a regression;
+- the artifact also records END-of-run loadavg, a per-query wall-clock
+  interval ("query_clock"), and whole-box vs own-process-tree CPU
+  accounting ("external_load") — r9's start-only loadavg left a
+  mid-run external 32-core burst invisible post-hoc (VERDICT r9
+  "what's wrong" #1: the driver artifact read qc0 at 2.1× two clean
+  records and nothing in the artifact could adjudicate it). The CPU
+  accounting is the strong signal: /proc/stat busy jiffies minus this
+  process tree's own CPU = CPU burned by OTHER processes during the
+  run, attributable to specific queries via query_clock;
 - queries execute via the noop sink — full plan execution (scan →
   shuffle → agg/join/window/UDF) without driver-side collection, so
   timings measure the engine, not result transfer;
@@ -183,6 +192,52 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _box_busy_cpu_s() -> float | None:
+    """Whole-box busy CPU seconds since boot (/proc/stat first line:
+    everything except idle and iowait), all processes included."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        busy = sum(vals) - vals[3] - (vals[4] if len(vals) > 4 else 0)
+        return busy / os.sysconf("SC_CLK_TCK")
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _proc_tree_cpu_s() -> float | None:
+    """CPU seconds consumed by THIS process and every live descendant
+    (the Spark JVM and its Python workers), plus each one's already-
+    reaped children (cutime/cstime — dead workers roll up into their
+    parent, so nothing is double-counted: cutime covers only waited-on
+    children, live ones report their own utime)."""
+    tck = os.sysconf("SC_CLK_TCK")
+    seen: set[int] = set()
+    queue = [os.getpid()]
+    total = 0
+    try:
+        while queue:
+            pid = queue.pop()
+            if pid in seen:
+                continue
+            seen.add(pid)
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    fields = f.read().rsplit(")", 1)[1].split()
+                # fields[11..14] = utime stime cutime cstime (1-indexed
+                # 14-17 of the full line; the comm field may contain
+                # spaces, hence the rsplit on ')')
+                total += sum(int(x) for x in fields[11:15])
+                for task in os.listdir(f"/proc/{pid}/task"):
+                    with open(f"/proc/{pid}/task/{task}/children") as f:
+                        queue.extend(int(c) for c in f.read().split())
+            except (OSError, ValueError, IndexError):
+                continue  # pid raced away mid-walk
+        return total / tck
+    except OSError:
+        return None
+
+
 def _wait_for_idle(max_wait_s: float = 900.0) -> float:
     """Bounded wait for BOTH the 1-minute loadavg to decay below
     LOAD_IDLE_MAX and the 5-minute below LOAD_IDLE_MAX_5 before timing
@@ -231,11 +286,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
 
+    run_t0 = time.time()
+    box_cpu0 = _box_busy_cpu_s()
+    tree_cpu0 = _proc_tree_cpu_s()
+
     timings: dict[str, float] = {}
+    query_clock: dict[str, dict] = {}
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
             continue
+        q_t0 = time.time()
         samples: list[float] = []
         if name in LOOP_INCLUSIVE:
             _noop(fn(spark, sf_dir))  # warm (JIT, shuffle files)
@@ -251,6 +312,43 @@ def main() -> None:
                 _noop(df)
                 samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
+        query_clock[name] = {"t0": round(q_t0, 2), "t1": round(time.time(), 2)}
+
+    # End-of-run accounting BEFORE spark.stop() so the JVM's CPU is
+    # still readable live from /proc (rusage-of-children would need the
+    # JVM reaped first — racy).
+    box_cpu1 = _box_busy_cpu_s()
+    tree_cpu1 = _proc_tree_cpu_s()
+    elapsed = time.time() - run_t0
+    try:
+        la_end = [round(x, 2) for x in os.getloadavg()]
+        # the raw end loadavg is self-polluted by the bench's own
+        # 32-thread bursts; it is recorded for cross-referencing, while
+        # the CLEAN-END verdict comes from the CPU accounting below
+        env["loadavg_end"] = la_end
+    except OSError:
+        pass
+    if None not in (box_cpu0, box_cpu1, tree_cpu0, tree_cpu1):
+        own = tree_cpu1 - tree_cpu0
+        external = max(0.0, (box_cpu1 - box_cpu0) - own)
+        ncpu = os.cpu_count() or 1
+        frac = external / (elapsed * ncpu)
+        env["external_load"] = {
+            "elapsed_s": round(elapsed, 1),
+            "own_cpu_s": round(own, 1),
+            "external_cpu_s": round(external, 1),
+            "external_frac_of_box": round(frac, 4),
+            # <5% of box-seconds went to other processes ⇒ no external
+            # burst can explain a multi-second per-query delta
+            "clean_end": frac < 0.05,
+        }
+        if frac >= 0.05:
+            env["load_warning_end"] = (
+                f"{external:.0f} CPU-seconds ({frac:.1%} of the box) went "
+                "to processes OUTSIDE this bench during the run; locate "
+                "the burst against query_clock before reading any "
+                "per-query delta as a regression"
+            )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -262,6 +360,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "env": env,
+                "query_clock": query_clock,
             }
         )
     )
