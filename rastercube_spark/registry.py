@@ -40,96 +40,86 @@ _ORACLES: dict[str, str] = {}
 # baseline with tests/make_attest.py IN THE SAME COMMIT that rotates
 # these lists; make_attest refuses to run while the rule is violated.
 #
-# Round 9 changed set — six closures (the exact diff of
-# rastercube_spark.attest.all_hashes() vs the r8 baseline): the
-# qb2/qc0 wall-time work (VERDICT r8 "Next round" #3) — pass-1 CC
-# contraction runs on the input's existing partitioning when the
-# driver finish is armed (no repartitionByRange sampling job/exchange),
-# the driver finish rides Arrow both ways (toPandas + pandas
-# createDataFrame), and lsh_cosine_pairs gained a plan-time broadcast
-# of the rescore's vector-fetch sides gated on caller-supplied footer
-# stats (corpus_rows) → qa3/qa4 (CC users), qb0 (fetch broadcast),
-# qb2/qc0 (all three). Plus qa9: its query-side featurization now runs
-# on the pre-filtered 5 docs instead of filtering the corpus features
-# (a doc_id predicate cannot push through the mapInPandas featurizer
-# barrier — the old form paid 2x corpus featurization; vectors
-# identical). Plus the r9 under-partitioned-scan sweep: q20's decimal
-# aggregation, brute_force_knn's cosine stage (q96/qd3/qa9) and
-# lsh_cosine_pairs' hash pass (qb0/qb2/qc0) rebalance single-file
-# fixture scans to cluster width before their compute-heavy
-# pre-shuffle stages (rebalance_scan — a no-op on many-file
-# production scans; decimal sums and per-row hashing are
-# order-invariant). All nine emit byte-identical values; no golden
-# regeneration needed. The round's GeoTIFF DEFLATE
-# work changed no registered closure (the codec feeds ingest/export and
-# T-tests, not query plans — verified via the all_hashes diff). qd8
-# snapshot-overlap (MinHash corpus-sketch Jaccard estimate + exact
-# anchor + tolerance verdict) is NEW this round — first attestation.
+# Round 10 changed set — five closures (the exact diff of
+# rastercube_spark.attest.all_hashes() vs the r9 baseline): the
+# CC driver-finish memory bound is now MEASURED and the gate derived
+# (VERDICT r9 "Next round" #3) — operators/graph.py gained the
+# per-dtype bytes-per-row constants (SCALING.json cc_finish_rss,
+# tools/measure_finish_rss.py) and driver_finish_gate(), and
+# min_label_clusters' default resolves through it → qa3/qa4/qb2/qc0
+# (the CC users). Plus qd8: corpus_overlap's exact anchor became a
+# callable policy (anchor='full'|'sampled'|None with recorded rate +
+# binomial CI — VERDICT r9 "Next round" #4); the registered query pins
+# anchor='full' and projects the original four columns, so its oracle
+# SQL and values are unchanged while the closure (and output of the
+# OPERATOR) changed. All five emit the same values as r9; the bench
+# artifact-layer work (end-of-run CPU accounting) and the
+# rebalance_scan plan assertions changed no closure.
 ATTEST_CHANGED: tuple[str, ...] = (
     "qd8_snapshot_overlap",
-    "q20_tpch_q1_agg",
-    "q96_knn_bruteforce",
-    "qd3_knn_label_consistency",
-    "qa9_media_knn",
     "qa3_dup_clusters",
     "qa4_dedup_keep",
-    "qb0_cosine_pairs_lsh",
     "qb2_semantic_dedup",
     "qc0_balanced_sample",
 )
 
 # The 45 remaining window slots go oldest-first per tools/
 # rotate_window.py's ground-truth reading of the CORRECTNESS_r*
-# artifacts (VERDICT r8 "Next round" #2): FIRST the nine r6-stale
-# queries at the window's stated 2-round maximum (qb5-qb9, qr02,
-# qr06-qr08 — queued "first for r9" last round and honored here), then
-# the r7 cohort in planner (alphabetical) order through q81 (the last
-# four slots went to the late q20/q96/qd3 rebalance fixes and the new
-# qd8 — a NEW query must be attested the round it lands). Twelve r7
-# queries (q82, q91-q95, q99, qa1, qa5, qd1, qd2, qd5) don't fit and
-# stay frozen at ≤2 rounds old, first in line for r10 — the window
-# (50) is just under half the surface (now 104).
+# artifacts (VERDICT r9 "Next round" #1): FIRST the twelve r7-stale
+# queries at the window's stated 2-round maximum (q82, q91-q95, q99,
+# qa1, qa5, qd1, qd2, qd5 — queued "first for r10" last round and
+# honored here), then the r8 cohort in the planner's (alphabetical)
+# order through qb3. Nine r8 queries (qb4, qd4, qd6, qd7, qr01,
+# qr03-qr05, qr09) don't fit and stay frozen at ≤2 rounds old, first
+# in line for r11 — with 5 changed + 45 stale slots over 104 queries
+# the steady state keeps every query ≤2 rounds from its last driver
+# attestation.
 ATTEST_STALE: tuple[str, ...] = (
-    "qb5_quality_rules",
-    "qb6_quantized_knn",
-    "qb7_group_sample",
-    "qb8_mixture_upsample",
-    "qb9_dataset_report",
-    "qr02_polygon_mask",
-    "qr06_cube_window_agg",
-    "qr07_resample_downsample",
-    "qr08_reproject_nearest",
-    "q01_scan_count",
-    "q02_project_filter",
-    "q03_in_null_predicates",
-    "q17_asof_join",
-    "q22_rollup",
-    "q2a_approx_count_distinct",
-    "q2b_approx_quantiles",
-    "q30_ranking",
-    "q31_lag_lead_gapfill",
-    "q32_moving_average",
-    "q33_running_total",
-    "q40_global_topk",
-    "q41_per_group_topk",
-    "q50_union_all",
-    "q51_union_distinct",
-    "q52_intersect",
-    "q53_except",
-    "q60_string_funcs",
-    "q61_date_funcs",
-    "q62_math_funcs",
-    "q64_nodata_case",
-    "q66_array_json",
-    "q67_categorical_legend",
-    "q68_type_reinterpret",
-    "q69_landsat_qa",
-    "q70_tumbling_window",
-    "q71_sliding_window",
-    "q72_session_window",
-    "q73_watermark_late_data",
-    "q74_stateful_dedup",
-    "q81_grouped_map_udf",
+    "q82_grouped_agg_udf",
+    "q91_exact_dedup",
+    "q92_minhash_lsh_pairs",
+    "q93_lsh_jaccard",
+    "q94_ngram_jaccard_topk",
+    "q95_simhash",
+    "q99_winnow_fingerprint",
+    "qa1_tfidf_topterms",
+    "qa5_repetition_filters",
+    "qd1_incremental_dedup",
+    "qd2_temperature_mixture",
+    "qd5_token_drift",
+    "q10_inner_equi",
+    "q11_broadcast_join",
+    "q12_sort_merge_join",
+    "q13_left_outer_null",
+    "q14_left_semi",
+    "q15_left_anti",
+    "q16_theta_join",
+    "q18_copartitioned_zip",
+    "q19_range_join",
+    "q21_count_distinct",
+    "q23_cube",
+    "q24_grouping_sets",
+    "q25_having",
+    "q26_zonal_stats",
+    "q27_argmax_gather",
+    "q28_zonal_percentile",
+    "q29_salted_agg",
+    "q63_qa_bitops",
+    "q65_affine_transform",
+    "q75_stream_static_join",
+    "q76_stream_stream_join",
+    "q80_scalar_pandas_udf",
+    "q83_chunk_udtf",
+    "q90_text_metrics",
+    "q97_lsh_knn",
+    "q98_cosine_pairs_topk",
+    "qa0_multimodal_decode",
+    "qa2_ivf_knn",
+    "qa6_sequence_packing",
+    "qa7_pii_redaction",
+    "qa8_frame_sample",
+    "qb1_decontaminate",
+    "qb3_mixture_sample",
 )
 
 ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE
