@@ -17,8 +17,12 @@ import json
 import os
 import sys
 
-from rastercube_spark import registry
-from rastercube_spark.attest import all_hashes, violations
+sys.path.insert(
+    0, os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
+)
+
+from rastercube_spark import registry  # noqa: E402
+from rastercube_spark.attest import all_hashes, violations  # noqa: E402
 
 OUT = os.path.join(os.path.dirname(__file__), "attest_hashes.json")
 

@@ -705,6 +705,13 @@ def main() -> int:
         "loadavg_start": loadavg_start,
         "ops": curves,
     }
+    # Carry over sections other tools own (e.g. cc_finish_rss from
+    # measure_finish_rss.py) — this sweep only regenerates ITS keys.
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            prior = json.load(f)
+        for k, v in prior.items():
+            result.setdefault(k, v)
     with open(os.path.abspath(OUT), "w") as f:
         json.dump(result, f, indent=1)
     if os.path.exists(PARTIAL):
