@@ -203,6 +203,41 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+LINE_BUDGET = 1900  # the driver keeps the LAST 2000 chars of stdout
+
+
+def _compact_line(full: dict) -> str:
+    """The one stdout line, bounded under LINE_BUDGET: metric, value,
+    queries, sf, plus two admissibility booleans and the detail-file
+    pointer. Over budget it sheds the summary fields — never the
+    queries dict, which is what the driver's artifact exists to carry
+    (a too-long line is truncated from the FRONT, losing metric/value
+    first — the r9 failure mode)."""
+    env = full.get("env", {})
+    idle_ok = bool(
+        env.get("idle_gate", {}).get("1min", {}).get("ok")
+        and env.get("idle_gate", {}).get("5min", {}).get("ok")
+    )
+    compact = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "queries": full["queries"],
+        "sf": full["sf"],
+        "env": {
+            "idle_ok": idle_ok,
+            "clean_end": env.get("external_load", {}).get("clean_end"),
+        },
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > LINE_BUDGET:
+        compact.pop("detail", None)
+        compact.pop("env", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
+
+
 def _box_busy_cpu_s() -> float | None:
     """Whole-box busy CPU seconds since boot (/proc/stat first line:
     everything except idle and iowait), all processes included."""
@@ -411,31 +446,7 @@ def main() -> None:
             json.dump(full, f, indent=1)
     except OSError as e:
         print(f"could not write {detail_path}: {e}", file=sys.stderr)
-    idle_ok = bool(
-        env.get("idle_gate", {}).get("1min", {}).get("ok")
-        and env.get("idle_gate", {}).get("5min", {}).get("ok")
-    )
-    compact = {
-        "metric": "headline_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "env": {
-            "idle_ok": idle_ok,
-            "clean_end": env.get("external_load", {}).get("clean_end"),
-        },
-        "detail": "BENCH_DETAIL.json",
-    }
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:
-        # the driver records only the last 2000 chars of stdout; a line
-        # that outgrows it loses its FRONT (metric, value) first —
-        # shed the summary fields, never the queries dict
-        compact.pop("detail", None)
-        compact.pop("env", None)
-        line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    print(_compact_line(full))
     spark.stop()
 
 

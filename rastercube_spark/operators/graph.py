@@ -64,13 +64,16 @@ _FINISH_BYTES_PER_ROW_STR = 512
 # driver (1/16th), not for this sandbox. Even string ids fit 2M rows
 # inside it with measured margin.
 _FINISH_MEM_BUDGET = 1 << 30
-# Time-crossover evidence (SCALING.json cc_finish curves) stops at
-# 1.6M stars with the driver finish still winning ~2×; 2M extends that
-# by bounded extrapolation while the memory model above binds first
-# for anything wider than a 64-bit id. Beyond the ceiling the
-# distributed pointer-doubling loop on the CONTRACTED graph is the
-# measured-safe (and 100 TB) path.
-_FINISH_ROWS_CEIL = 2_000_000
+# Time-crossover evidence (SCALING.json cc_finish curves): the driver
+# finish wins at every size swept, now through 3.2M stars (r10 legs:
+# 6.3 s driver vs 33.7 s distributed at 3.2M — a 5.4× win; the r9
+# sweep stopped at 1.6M and the old 2M ceiling was extrapolation).
+# The ceiling is the largest MEASURED size; the memory model above
+# still binds first for anything wider than a 64-bit id (1 GiB/512 B
+# caps string ids at ~2.1M rows). Beyond the gate the distributed
+# pointer-doubling loop on the CONTRACTED graph is the measured-safe
+# (and 100 TB) path.
+_FINISH_ROWS_CEIL = 3_200_000
 
 
 def driver_finish_gate(id_type) -> int:
@@ -244,8 +247,9 @@ def min_label_clusters(
     (VERDICT r8 "what's wrong" #5; SCALING.json cc_finish curves,
     chain-32 graphs, local[32]): the driver finish beats the
     distributed loop at every size swept — 1.17 vs 4.58 s at 100k
-    stars, 2.53 vs 6.17 s at 400k, 7.8 vs 15.0 s at 1.6M — so the
-    crossover lies ABOVE 1.6M rows. ``None`` (the default) resolves via
+    stars, 2.53 vs 6.17 s at 400k, 7.8 vs 15.0 s at 1.6M, 6.3 vs
+    33.7 s at 3.2M (r10 leg) — so the time crossover lies ABOVE 3.2M
+    rows and memory binds first. ``None`` (the default) resolves via
     :func:`driver_finish_gate` from the star relation's id type: the
     1 GiB driver budget over the MEASURED peak-RSS bytes-per-row
     (SCALING.json cc_finish_rss; tools/measure_finish_rss.py), capped

@@ -239,6 +239,7 @@ from rastercube_spark.operators import graph
 from rastercube_spark.session import get_spark
 
 gate = graph.driver_finish_gate(LongType())
+assert gate == 3_200_000  # time-evidence ceiling (1 GiB/256 B would allow 4.19M)
 def boom(stars):
     raise AssertionError("driver finish fired above the gate")
 graph._driver_finish = boom
@@ -265,26 +266,35 @@ spark.stop()
 
 
 def test_distributed_path_engages_above_gate():
-    """The 100 TB path above the driver-finish gate had only ≤1.6M
-    crossover-sweep evidence (VERDICT r9 "what's wrong" #3): build a
-    contracted star relation LARGER than the derived default gate
-    (2.1M disjoint 2-cliques → ~2.1M star rows > the 2M ceiling) and
-    assert by interception that the driver finish does NOT fire — the
-    distributed pointer-doubling loop runs on the contracted graph —
-    and that its labels are exact, checked by aggregates (4.2M rows,
-    one cluster per pair, cluster_id = the even pair minimum) rather
-    than a 4.2M-row collect.
+    """The 100 TB path above the driver-finish gate (VERDICT r9 "what's
+    wrong" #3): build a contracted star relation LARGER than the derived
+    default gate (gate+100k disjoint 2-cliques → > the 3.2M time-evidence
+    ceiling) and assert by interception that the driver finish does NOT
+    fire — the distributed pointer-doubling loop runs on the contracted
+    graph — and that its labels are exact, checked by aggregates (2×
+    pairs rows, one cluster per pair, cluster_id = the even pair
+    minimum) rather than a multi-million-row collect.
 
     Own subprocess JVM (the scaling-leg isolation pattern): the shared
     test session keeps the suite's deliberate 1 GiB driver-heap
     discipline, while the distributed loop's per-round checkpoints at
-    4.2M rows need real (production-executor-like) heap in local mode."""
+    ~6.6M rows need real (production-executor-like) heap in local mode."""
     import json
     import os
     import subprocess
     import sys
 
-    env = dict(os.environ, PYSPARK_SUBMIT_ARGS="--driver-memory 6g pyspark-shell")
+    from pyspark.sql.types import LongType, StringType
+
+    from rastercube_spark.operators import graph
+
+    # the derived defaults themselves (pure logic, no Spark):
+    # int64 → the 3.2M measured-time ceiling; md5-string ids → the
+    # 1 GiB / 512 B memory bound engages first
+    assert graph.driver_finish_gate(LongType()) == 3_200_000
+    assert graph.driver_finish_gate(StringType()) == (1 << 30) // 512
+
+    env = dict(os.environ, PYSPARK_SUBMIT_ARGS="--driver-memory 8g pyspark-shell")
     proc = subprocess.run(
         [sys.executable, "-c", _ABOVE_GATE_SCRIPT],
         capture_output=True, text=True, timeout=600, env=env,
@@ -294,7 +304,6 @@ def test_distributed_path_engages_above_gate():
         if line.startswith("RESULT "):
             result = json.loads(line[len("RESULT "):])
     assert result is not None, proc.stderr[-3000:]
-    assert result["gate"] == 2_000_000  # 1 GiB / 256 B/row caps at 2M
     assert result["n"] == 2 * result["n_pairs"]
     assert result["n_clusters"] == result["n_pairs"]
     assert result["n_wrong"] == 0

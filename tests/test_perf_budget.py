@@ -213,6 +213,39 @@ def test_committed_budget_file_carries_ratchet_provenance():
     assert isinstance(budget["accepted_regressions"], dict)
 
 
+def test_bench_compact_line_fits_driver_window():
+    """The driver's artifact keeps only the LAST 2000 chars of bench
+    stdout; r9's full line outgrew it and the round's BENCH artifact
+    lost its front (parsed=null). The compact line must stay under the
+    budget for the CURRENT headline set and keep the queries dict when
+    shedding."""
+    import bench
+
+    queries = {name: 12.345 for name in bench.HEADLINE}
+    full = {
+        "metric": "headline_total",
+        "value": 123.456,
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1,
+        "env": {
+            "idle_gate": {"1min": {"ok": True}, "5min": {"ok": True}},
+            "external_load": {"clean_end": True},
+        },
+        "query_clock": {n: {"t0": 1.0, "t1": 2.0} for n in queries},
+    }
+    line = bench._compact_line(full)
+    assert len(line) <= bench.LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["queries"] == queries
+    assert parsed["env"] == {"idle_ok": True, "clean_end": True}
+    # shedding path: absurdly long query names force the fallback,
+    # which must keep the queries dict and drop only summary fields
+    big = dict(full, queries={f"q{i}_" + "x" * 60: 1.0 for i in range(40)})
+    parsed_big = json.loads(bench._compact_line(big))
+    assert "queries" in parsed_big and "env" not in parsed_big
+
+
 def test_bench_idle_gate_debounce(monkeypatch):
     """bench._wait_for_idle must require TWO consecutive passing reads
     (r9: an external 32-core burst arriving right after a single

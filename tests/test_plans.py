@@ -136,6 +136,38 @@ def test_lsh_hash_pass_not_rebalanced(spark, sf_dir):
     assert plan.count("RoundRobinPartitioning") == 1
 
 
+def test_sampled_anchor_filter_below_distinct(spark, sf_dir):
+    """corpus_overlap(anchor='sampled') applies the key-space sampling
+    predicate in code AFTER .distinct(), but the whole point at scale
+    is that Catalyst pushes the deterministic filter-on-the-grouping-key
+    BELOW the distinct so the anchor's keyed shuffle itself shrinks by
+    the rate. Pin the pushdown: each side's xxhash64 Filter must sit
+    UNDER (deeper than) its distinct HashAggregate in the executed
+    plan, not above it."""
+    from pyspark.sql import functions as F
+
+    from rastercube_spark.operators.dedup import corpus_overlap
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = corpus_overlap(
+        d.where(F.col("doc_id") % 3 != 0),
+        d.where(F.col("doc_id") % 2 == 0),
+        anchor="sampled",
+        anchor_rate=0.05,
+    )
+    lines = df._jdf.queryExecution().executedPlan().toString().splitlines()
+    filt = [i for i, l in enumerate(lines) if "Filter" in l and "xxhash64" in l]
+    aggs = [
+        i for i, l in enumerate(lines) if "HashAggregate" in l and "shingle" in l
+    ]
+    assert len(filt) == 2, "expected one pushed sampling filter per side"
+    # plan text indents children BELOW parents: pushed-down means every
+    # sampling filter appears after (deeper than) some distinct aggregate
+    assert all(any(a < f for a in aggs) for f in filt)
+    # and not hoisted above every aggregate
+    assert min(aggs) < min(filt)
+
+
 def test_cross_srs_gather_is_equi_join(spark, sf_dir, tmp_path):
     """gather_nearest_crs: projection math stays in the plan as column
     expressions; the source lookup is an equi-join on computed (x, y)."""

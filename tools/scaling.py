@@ -520,7 +520,11 @@ def _passage_dedup(docs: DataFrame) -> DataFrame:
 # (gate forced closed), at star counts bracketing the default. Chains
 # of 32 → stars ≈ 31/32 of the edge count. Both are loop-inclusive
 # (construction runs the eager checkpoint + the finish).
-CC_FINISH_SIZES = [100_000, 400_000, 1_600_000]
+# r10: a 3.2M leg extends the sweep past the 2M gate ceiling so the
+# above-gate region is measured, not extrapolated (the driver-finish
+# leg forces the gate open; memory is fine — the RSS model reads
+# ~700 MiB for int64 ids at 3.2M in the 16g sweep JVM)
+CC_FINISH_SIZES = [100_000, 400_000, 1_600_000, 3_200_000]
 CC_FINISH_OPS = ("cc_driver_finish", "cc_distributed")
 
 
