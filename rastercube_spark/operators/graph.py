@@ -253,7 +253,7 @@ def min_label_clusters(
     :func:`driver_finish_gate` from the star relation's id type: the
     1 GiB driver budget over the MEASURED peak-RSS bytes-per-row
     (SCALING.json cc_finish_rss; tools/measure_finish_rss.py), capped
-    at the 2M time-evidence ceiling — both bounds are recorded
+    at the 3.2M time-evidence ceiling — both bounds are recorded
     measurements, not estimates (VERDICT r9 "what's wrong" #3). Above
     the gate — a corpus whose near-dup graph has multi-million distinct
     vertices — the distributed pointer-doubling loop runs on the
