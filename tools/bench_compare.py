@@ -24,7 +24,36 @@ ABS_FLOOR_S = 0.20
 def load(path: str) -> dict:
     with open(path) as f:
         d = json.load(f)
-    return d.get("parsed", d)
+    parsed = d.get("parsed", d)
+    if parsed is None:
+        # a driver artifact whose stdout line outgrew the 2000-char
+        # capture (BENCH_r09.json): the tail lost its FRONT, but the
+        # queries dict usually survives — recover it instead of
+        # crashing, and say so
+        tail = d.get("tail", "")
+        start = tail.find('"queries"')
+        if start != -1:
+            brace = tail.find("{", start)
+            depth, end = 0, -1
+            for i, ch in enumerate(tail[brace:], brace):
+                depth += ch == "{"
+                depth -= ch == "}"
+                if depth == 0:
+                    end = i
+                    break
+            if end != -1:
+                print(
+                    f"NOTE: {path} has parsed=null (truncated stdout "
+                    "line); queries recovered from the tail, value/env "
+                    "unavailable",
+                    file=sys.stderr,
+                )
+                return {"queries": json.loads(tail[brace : end + 1])}
+        raise SystemExit(
+            f"{path}: parsed=null and no queries dict recoverable from "
+            "its 2000-char tail"
+        )
+    return parsed
 
 
 def main() -> int:
