@@ -213,6 +213,36 @@ def test_committed_budget_file_carries_ratchet_provenance():
     assert isinstance(budget["accepted_regressions"], dict)
 
 
+def test_bench_cpu_accounting_sees_children_and_reaped():
+    """The external-load verdict subtracts THIS process tree's CPU from
+    the box total; missing a descendant would misattribute our own work
+    as external and falsely taint clean runs. Pin both halves of the
+    tree walk: a LIVE child's burn is counted (via /proc children
+    traversal) and stays counted after the child is reaped (via the
+    parent's cutime rollup)."""
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    import bench
+
+    t0 = bench._proc_tree_cpu_s()
+    assert t0 is not None
+    p = subprocess.Popen(
+        [_sys.executable, "-c",
+         "import time;[sum(range(2_000_000)) for _ in range(40)]"]
+    )
+    _time.sleep(1.0)
+    live = bench._proc_tree_cpu_s() - t0
+    assert live >= 0.5, f"live child CPU not seen in tree walk ({live:.2f}s)"
+    p.wait()
+    reaped = bench._proc_tree_cpu_s() - t0
+    assert reaped >= live - 0.1, "reaped child's CPU vanished from the tree"
+    # the box-level meter must tick at least as fast as our own tree
+    b0 = bench._box_busy_cpu_s()
+    assert b0 is not None and b0 > 0
+
+
 def test_bench_compact_line_fits_driver_window():
     """The driver's artifact keeps only the LAST 2000 chars of bench
     stdout; r9's full line outgrew it and the round's BENCH artifact
