@@ -2520,3 +2520,89 @@ def qd8(spark, sf_dir):
         k=3,
         anchor="full",
     ).select("n_perms", "est_jaccard", "exact_jaccard", "within_03")
+
+
+@query(
+    "qd9_dedup_keep_best",
+    oracle=f"""
+        WITH RECURSIVE {_shingles_cte(3)}, {_LSH_CTES},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM cand
+            UNION
+            SELECT doc_b, doc_a FROM cand
+        ),
+        reach(a, b) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+        ),
+        clusters AS (
+            SELECT a AS doc_id, min(b) AS cluster_id
+            FROM reach GROUP BY a
+        ),
+        len AS (
+            SELECT doc_id, length(text) AS text_len FROM documents
+        ),
+        member AS (
+            SELECT c.doc_id, c.cluster_id, l.text_len
+            FROM clusters c JOIN len l USING (doc_id)
+        ),
+        best AS (
+            SELECT doc_id, text_len FROM (
+                SELECT doc_id, text_len,
+                       row_number() OVER (
+                           PARTITION BY cluster_id
+                           ORDER BY text_len DESC, doc_id ASC
+                       ) AS rn
+                FROM member
+            ) WHERE rn = 1
+        )
+        SELECT doc_id, text_len FROM best
+        UNION ALL
+        SELECT doc_id, text_len FROM len
+        WHERE doc_id NOT IN (SELECT doc_id FROM clusters)
+        ORDER BY doc_id
+    """,
+)
+def qd9(spark, sf_dir):
+    """Quality-aware dedup keeper selection: qa4 keeps the MIN-id member
+    of each near-dup cluster, but a curation pipeline keeps the BEST
+    member — here the longest text (the most complete capture of a
+    boilerplate-trimmed page), ties broken by min doc_id. Emits the
+    keep-list with the keeper's length; unclustered docs pass through.
+
+    Scale shape: the cluster relation is bounded by the near-dup graph
+    (≪ corpus); the per-cluster argmax is ONE map-side-combinable
+    ``max(struct(score, -id))`` aggregate — no window sort, no second
+    shuffle — and the unclustered remainder is a LEFT ANTI on doc_id,
+    the same keyed-join class qa4 ships at 100 TB. The oracle replays
+    the identical LSH banding + recursive-CTE closure and picks the
+    keeper with a window (values identical; the agg form is the scale
+    choice, not a semantic one)."""
+    from rastercube_spark.operators.graph import min_label_clusters
+
+    d = _docs(spark, sf_dir)
+    scored = d.select(
+        "doc_id", F.length("text").cast("bigint").alias("text_len")
+    )
+    sh = shingles_df(d, "doc_id", "text", k=3, distinct=False)
+    pairs = lsh_candidate_pairs(minhash_signatures(sh))
+    clusters = min_label_clusters(pairs)
+    member = scored.join(clusters, "doc_id")
+    best = (
+        member.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("text_len"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                )
+            ).alias("b")
+        )
+        .select(
+            (-F.col("b.neg_id")).alias("doc_id"),
+            F.col("b.text_len").alias("text_len"),
+        )
+    )
+    rest = scored.join(clusters.select("doc_id"), "doc_id", "left_anti")
+    return best.unionByName(rest).orderBy("doc_id")

@@ -40,7 +40,8 @@ _ORACLES: dict[str, str] = {}
 # baseline with tests/make_attest.py IN THE SAME COMMIT that rotates
 # these lists; make_attest refuses to run while the rule is violated.
 #
-# Round 10 changed set — five closures (the exact diff of
+# Round 10 changed set — six entries: five changed closures (the
+# exact diff of
 # rastercube_spark.attest.all_hashes() vs the r9 baseline): the
 # CC driver-finish memory bound is now MEASURED and the gate derived
 # (VERDICT r9 "Next round" #3) — operators/graph.py gained the
@@ -54,8 +55,14 @@ _ORACLES: dict[str, str] = {}
 # SQL and values are unchanged while the closure (and output of the
 # OPERATOR) changed. All five emit the same values as r9; the bench
 # artifact-layer work (end-of-run CPU accounting) and the
-# rebalance_scan plan assertions changed no closure.
+# rebalance_scan plan assertions changed no closure. qd9 keep-best
+# dedup (quality-aware keeper: longest text per near-dup cluster via
+# one map-side-combinable argmax aggregate) is NEW this round — first
+# attestation; it displaces qb3 from the stale fill below (qb3 stays
+# r8-frozen at the 2-round maximum, first in line for r11 with the
+# other nine r8 leftovers).
 ATTEST_CHANGED: tuple[str, ...] = (
+    "qd9_dedup_keep_best",
     "qd8_snapshot_overlap",
     "qa3_dup_clusters",
     "qa4_dedup_keep",
@@ -63,17 +70,18 @@ ATTEST_CHANGED: tuple[str, ...] = (
     "qc0_balanced_sample",
 )
 
-# The 45 remaining window slots go oldest-first per tools/
+# The 44 remaining window slots go oldest-first per tools/
 # rotate_window.py's ground-truth reading of the CORRECTNESS_r*
 # artifacts (VERDICT r9 "Next round" #1): FIRST the twelve r7-stale
 # queries at the window's stated 2-round maximum (q82, q91-q95, q99,
 # qa1, qa5, qd1, qd2, qd5 — queued "first for r10" last round and
 # honored here), then the r8 cohort in the planner's (alphabetical)
-# order through qb3. Nine r8 queries (qb4, qd4, qd6, qd7, qr01,
-# qr03-qr05, qr09) don't fit and stay frozen at ≤2 rounds old, first
-# in line for r11 — with 5 changed + 45 stale slots over 104 queries
-# the steady state keeps every query ≤2 rounds from its last driver
-# attestation.
+# order through qb1 (qb3 displaced by the new qd9 — a NEW query must
+# be attested the round it lands). Ten r8 queries (qb3, qb4, qd4, qd6,
+# qd7, qr01, qr03-qr05, qr09) don't fit and stay frozen at ≤2 rounds
+# old, first in line for r11 — with ~6 changed + 44 stale slots over
+# 105 queries the steady state keeps every query ≤2 rounds from its
+# last driver attestation.
 ATTEST_STALE: tuple[str, ...] = (
     "q82_grouped_agg_udf",
     "q91_exact_dedup",
@@ -119,7 +127,6 @@ ATTEST_STALE: tuple[str, ...] = (
     "qa7_pii_redaction",
     "qa8_frame_sample",
     "qb1_decontaminate",
-    "qb3_mixture_sample",
 )
 
 ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE
