@@ -235,17 +235,42 @@ def _compact_line(full: dict) -> str:
         compact.pop("detail", None)
         compact.pop("env", None)
         line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > LINE_BUDGET:
+        # Shedding summary fields was not enough: the queries dict alone
+        # outgrew the budget (ADVICE r10 — without this guard the line
+        # would silently truncate from the FRONT again, the exact r9
+        # failure). Degrade in order: (1) coarser per-query precision,
+        # (2) drop whole query entries from the END of the headline,
+        # recording how many were elided so the loss is loud, never
+        # silent. The full-precision record is always in
+        # BENCH_DETAIL.json either way.
+        compact["queries"] = {
+            k: round(v, 2) for k, v in compact["queries"].items()
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+        while len(line) > LINE_BUDGET and compact["queries"]:
+            dropped = list(compact["queries"])[-1]
+            del compact["queries"][dropped]
+            compact["queries_elided"] = (
+                compact.get("queries_elided", 0) + 1
+            )
+            compact["detail"] = "BENCH_DETAIL.json"
+            line = json.dumps(compact, separators=(",", ":"))
     return line
 
 
 def _box_busy_cpu_s() -> float | None:
     """Whole-box busy CPU seconds since boot (/proc/stat first line:
-    everything except idle and iowait), all processes included."""
+    user+nice+system+irq+softirq+steal), all processes included.
+    Fields 9-10 (guest, guest_nice) are EXCLUDED: the kernel already
+    folds guest time into user/nice, so summing them double-counts VM
+    CPU and would falsely taint ``clean_end`` on a box hosting VMs
+    (ADVICE r10)."""
     try:
         with open("/proc/stat") as f:
             parts = f.readline().split()
         vals = [int(x) for x in parts[1:]]
-        busy = sum(vals) - vals[3] - (vals[4] if len(vals) > 4 else 0)
+        busy = sum(vals[:8]) - vals[3] - (vals[4] if len(vals) > 4 else 0)
         return busy / os.sysconf("SC_CLK_TCK")
     except (OSError, ValueError, IndexError):
         return None

@@ -525,6 +525,13 @@ def corpus_overlap(
         raise ValueError(
             f"anchor must be 'full', 'sampled' or None, got {anchor!r}"
         )
+    if anchor == "sampled" and not (0.0 < anchor_rate <= 1.0):
+        # without this, rate<=0 silently clamps to 1/2^20 and rate>1
+        # records an effective anchor_rate above 1.0 while keeping every
+        # shingle — misleading metadata either way (ADVICE r10)
+        raise ValueError(
+            f"anchor_rate must be in (0, 1], got {anchor_rate!r}"
+        )
     def sketch(docs: DataFrame, side: str) -> DataFrame:
         h = (
             shingles_df(docs, id_col, text_col, k=k, distinct=False)

@@ -58,6 +58,13 @@ from rastercube_spark.session import shuffle_partitions
 #   int64 ids:   221–245 B/row (409 MiB at 2.0M star rows)
 #   md5-hex ids: 394–446 B/row (728 MiB at 2.0M star rows)
 # The constants round those up to the next power of two for headroom.
+# Scope (ADVICE r10): these bound the PYTHON driver process — pandas
+# frames, id lists, the union-find dict, the Arrow rebuild. The JVM
+# driver's transient collect/serve buffers live in a separate process
+# bounded by spark.driver.memory, not by this gate; the measurement
+# tool samples that child's RSS over the same window and records it
+# per leg (SCALING.json cc_finish_rss legs: jvm_delta_mib) so the
+# exclusion is measured rather than silent.
 _FINISH_BYTES_PER_ROW_INT = 256
 _FINISH_BYTES_PER_ROW_STR = 512
 # Driver memory the finish may spend — sized for a 16 GiB production

@@ -304,6 +304,52 @@ def test_cli_sample_corpus(spark, tmp_path, capsys):
     assert a == b
 
 
+def test_cli_corpus_overlap_anchor_modes(spark, tmp_path, capsys):
+    """corpus-overlap verb exposes qd8's anchor scale policy (VERDICT
+    r10 "Next round" #4): full replays the exact anchor, sampled
+    records the effective rate + CI, none NULLs the anchor columns —
+    all from the shipped CLI, no Python."""
+    import json
+
+    from rastercube_spark.sources.tables import load
+
+    other = str(tmp_path / "snapshot_b")
+    load(spark, "/root/testdata/sf0.001", "documents").where(
+        "doc_id % 2 = 0"
+    ).select("doc_id", "text").write.parquet(other)
+
+    def run(*extra):
+        assert main([
+            "corpus-overlap", "--sf-dir", "/root/testdata/sf0.001",
+            "--other", other, *extra,
+        ]) == 0
+        return json.loads(capsys.readouterr().out)
+
+    full = run("--anchor", "full")
+    assert full["n_perms"] == 16
+    assert full["anchor_rate"] == 1.0 and full["anchor_ci95"] == 0.0
+    assert 0.0 < full["exact_jaccard"] <= 1.0
+
+    samp = run("--anchor", "sampled", "--anchor-rate", "0.25")
+    assert samp["anchor_rate"] == pytest.approx(0.25, abs=1e-5)
+    assert samp["anchor_ci95"] > 0.0
+    # same sketch estimate; sampled anchor is a consistent estimator
+    assert samp["est_jaccard"] == full["est_jaccard"]
+
+    none = run("--anchor", "none")
+    assert none["exact_jaccard"] is None
+    assert none["anchor_rate"] is None
+    assert none["within_03"] is None
+    assert none["est_jaccard"] == full["est_jaccard"]
+
+    # invalid rate surfaces as a clean CLI error, not a traceback
+    assert main([
+        "corpus-overlap", "--sf-dir", "/root/testdata/sf0.001",
+        "--other", other, "--anchor", "sampled", "--anchor-rate", "0",
+    ]) == 2
+    assert "anchor_rate" in capsys.readouterr().err
+
+
 def test_cli_sample_corpus_bad_spec(tmp_path, capsys):
     bad = str(tmp_path / "nope.json")
     assert main([

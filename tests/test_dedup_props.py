@@ -261,3 +261,15 @@ def test_corpus_overlap_anchor_modes(spark):
     assert none["within_03"] is None
     with pytest.raises(ValueError, match="anchor"):
         corpus_overlap(a, b, anchor="bogus")
+    # anchor_rate is validated, not clamped: rate<=0 used to silently
+    # become 1/2^20 and rate>1 recorded an effective rate above 1.0
+    # while keeping everything (ADVICE r10)
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="anchor_rate"):
+            corpus_overlap(a, b, anchor="sampled", anchor_rate=bad)
+    # ...but only the sampled mode reads it: full/None ignore the arg
+    assert (
+        corpus_overlap(a, b, anchor="full", anchor_rate=-1.0)
+        .collect()[0]["anchor_rate"]
+        == 1.0
+    )

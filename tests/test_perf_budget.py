@@ -274,6 +274,19 @@ def test_bench_compact_line_fits_driver_window():
     big = dict(full, queries={f"q{i}_" + "x" * 60: 1.0 for i in range(40)})
     parsed_big = json.loads(bench._compact_line(big))
     assert "queries" in parsed_big and "env" not in parsed_big
+    # final guard (ADVICE r10): when the queries dict ALONE outgrows the
+    # budget, the line must still fit — coarser precision first, then
+    # whole entries elided LOUDLY from the end, never a silent
+    # front-truncation
+    huge = dict(full, queries={f"q{i}_" + "x" * 60: 1.2345 for i in range(60)})
+    line_huge = bench._compact_line(huge)
+    assert len(line_huge) <= bench.LINE_BUDGET
+    parsed_huge = json.loads(line_huge)
+    assert parsed_huge["queries_elided"] >= 1
+    assert parsed_huge["detail"] == "BENCH_DETAIL.json"
+    kept = list(parsed_huge["queries"])
+    assert kept == [f"q{i}_" + "x" * 60 for i in range(len(kept))]
+    assert all(v == 1.23 for v in parsed_huge["queries"].values())
 
 
 def test_bench_idle_gate_debounce(monkeypatch):

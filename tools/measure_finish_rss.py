@@ -51,21 +51,65 @@ def _rss_bytes() -> int:
         return int(f.read().split()[1]) * _PAGE
 
 
+def _jvm_pids() -> list[int]:
+    """Pids of this process's java children (the py4j-launched Spark
+    driver JVM). The Arrow collect buffers behind toPandas live THERE,
+    in a separate process — sampling only /proc/self/statm under-counts
+    the driver-side memory the 1 GiB budget is meant to bound
+    (ADVICE r10)."""
+    me = os.getpid()
+    pids: list[int] = []
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                raw = f.read()
+            comm = raw[raw.index("(") + 1 : raw.rindex(")")]
+            ppid = int(raw.rsplit(")", 1)[1].split()[1])
+        except (OSError, ValueError, IndexError):
+            continue
+        if ppid == me and "java" in comm:
+            pids.append(int(d))
+    return pids
+
+
+def _pid_rss_bytes(pid: int) -> int:
+    try:
+        with open(f"/proc/{pid}/statm") as f:
+            return int(f.read().split()[1]) * _PAGE
+    except (OSError, ValueError, IndexError):
+        return 0
+
+
 class _Sampler(threading.Thread):
+    """Tracks peak RSS of BOTH sides of the py4j boundary: this Python
+    process and the Spark driver JVM child (separately — the gate's
+    bytes/row constants bound the Python-side union-find; the JVM peak
+    is recorded so the exclusion is measured, not silent)."""
+
     def __init__(self) -> None:
         super().__init__(daemon=True)
         self.peak = 0
+        self.jvm_peak = 0
+        self._jvm = _jvm_pids()
         self._halt = threading.Event()
+
+    def _tick(self) -> None:
+        self.peak = max(self.peak, _rss_bytes())
+        self.jvm_peak = max(
+            self.jvm_peak, sum(_pid_rss_bytes(p) for p in self._jvm)
+        )
 
     def run(self) -> None:
         while not self._halt.is_set():
-            self.peak = max(self.peak, _rss_bytes())
+            self._tick()
             time.sleep(0.01)
 
     def stop(self) -> None:
         self._halt.set()
         self.join()
-        self.peak = max(self.peak, _rss_bytes())
+        self._tick()
 
 
 def run_leg(dtype: str, n: int) -> int:
@@ -95,12 +139,16 @@ def run_leg(dtype: str, n: int) -> int:
     # settle: let the JVM/py4j churn from the count drain before baseline
     time.sleep(1.0)
     baseline = statistics.median(_rss_bytes() for _ in range(5))
+    jvm_baseline = statistics.median(
+        sum(_pid_rss_bytes(p) for p in _jvm_pids()) for _ in range(5)
+    )
     s = _Sampler()
     s.start()
     out = graph._driver_finish(stars)
     n_out = out.count()  # materialize the Arrow rebuild end-to-end
     s.stop()
     delta = int(s.peak - baseline)
+    jvm_delta = int(s.jvm_peak - jvm_baseline)
     print(
         "LEG_RESULT "
         + json.dumps(
@@ -112,6 +160,13 @@ def run_leg(dtype: str, n: int) -> int:
                 "peak_rss_mib": round(s.peak / 2**20, 1),
                 "delta_mib": round(delta / 2**20, 1),
                 "bytes_per_row": round(delta / rows, 1),
+                # the JVM driver child, sampled over the same window —
+                # its Arrow collect/serve buffers are NOT in the
+                # Python-side constants (they are bounded separately by
+                # spark.driver.memory); recorded so the exclusion is a
+                # number, not a footnote (ADVICE r10)
+                "jvm_delta_mib": round(jvm_delta / 2**20, 1),
+                "jvm_bytes_per_row": round(jvm_delta / rows, 1),
             }
         )
     )
@@ -150,7 +205,12 @@ def main() -> int:
             "collect + union-find dict + Arrow rebuild — sampled at 10 ms "
             "on /proc/self/statm, fresh process per leg; justifies the "
             "bytes-per-row constants behind min_label_clusters' "
-            "driver_finish_rows default (operators/graph.py)"
+            "driver_finish_rows default (operators/graph.py). "
+            "bytes_per_row covers the PYTHON process only; the JVM "
+            "driver child (Arrow collect/serve buffers, bounded by "
+            "spark.driver.memory, not by this gate) is sampled over "
+            "the same window and recorded as jvm_delta_mib/"
+            "jvm_bytes_per_row per leg"
         ),
         "legs": legs,
     }
