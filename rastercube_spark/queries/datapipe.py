@@ -2606,3 +2606,124 @@ def qd9(spark, sf_dir):
     )
     rest = scored.join(clusters.select("doc_id"), "doc_id", "left_anti")
     return best.unionByName(rest).orderBy("doc_id")
+
+
+@query(
+    "qe0_embedding_drift",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id % 2 AS tag, label,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> floor(x * 10000.0)) AS qv
+            FROM embeddings
+        ),
+        comp AS (
+            SELECT tag, label, ix.i AS i, SUM(qv[ix.i]) AS sv
+            FROM q
+            CROSS JOIN (SELECT UNNEST(range(1, {EMB_DIM + 1})) AS i) ix
+            GROUP BY tag, label, ix.i
+        ),
+        sums AS (
+            SELECT tag, label, list(sv ORDER BY i) AS sumv
+            FROM comp GROUP BY tag, label
+        ),
+        cnts AS (
+            SELECT tag, label, CAST(COUNT(*) AS BIGINT) AS n
+            FROM q GROUP BY tag, label
+        ),
+        s AS (SELECT * FROM sums JOIN cnts USING (tag, label))
+        SELECT a.label, a.n AS n_a, b.n AS n_b,
+               ROUND(list_dot_product(a.sumv, b.sumv)
+                     / (sqrt(list_dot_product(a.sumv, a.sumv))
+                        * sqrt(list_dot_product(b.sumv, b.sumv))), 6)
+                   AS centroid_cosine
+        FROM s a JOIN s b ON a.label = b.label AND a.tag = 0 AND b.tag = 1
+        ORDER BY a.label
+    """,
+)
+def qe0(spark, sf_dir):
+    """Embedding-drift monitor: per-label cosine between the centroid of
+    snapshot A (even vec_ids) and snapshot B (odd vec_ids) — the
+    representation-shift audit a training pipeline runs when a corpus or
+    its embedding model is re-versioned (a centroid that swings while
+    counts hold means the TEXT under a label moved; counts swinging too
+    means the mixture moved). Emits (label, n_a, n_b, centroid_cosine).
+
+    Spark-first shape: components are quantized to exact integers
+    (floor(x·10⁴), the qa2/IVF determinism trick — integer sums are
+    order-independent, so partial aggregation cannot perturb values),
+    arrays become ml VECTORS, and the per-(label, snapshot) sum is ONE
+    ``Summarizer.sum`` aggregate: JVM-side, map-side combinable, no
+    explode — the corpus is read ONCE and never inflated dim-fold (the
+    oracle's unnest does inflate; that is the oracle's cost, not the
+    engine's). The A/B split rides the SAME aggregate as conditional
+    sums — off-snapshot rows contribute a zero vector (``pivot`` would
+    plan the identical CASE but Summarizer rejects its NULL branch with
+    a MatchError; the explicit zero-vector ``otherwise`` keeps the sums
+    exact and the whole query in one groupBy). Cosine is computed on
+    the SUM vectors (scale-invariance makes the /n division
+    unnecessary) with a fixed-order zip_with/aggregate fold, matching
+    DuckDB's list_dot_product fold order exactly.
+
+    100 TB shape: one scan, one shuffle of (n_labels × 2) partial
+    summaries, a result of n_labels rows. Nothing downstream of the
+    groupBy sees more than labels × dim doubles.
+
+    No reference analog (the reference has no embedding surface); the
+    snapshot-split convention follows qd5's token-drift monitor."""
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        (F.col("vec_id") % 2).alias("tag"),
+        "label",
+        array_to_vector(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 10000).cast("double"),
+            )
+        ).alias("qv"),
+    )
+    zero = array_to_vector(F.array_repeat(F.lit(0.0), EMB_DIM))
+
+    def side_sum(tag: int):
+        return Summarizer.sum(
+            F.when(F.col("tag") == tag, F.col("qv")).otherwise(zero)
+        )
+
+    def side_n(tag: int):
+        return (
+            F.sum(F.when(F.col("tag") == tag, 1).otherwise(0))
+            .cast("bigint")
+        )
+
+    agg = q.groupBy("label").agg(
+        side_sum(0).alias("sa"),
+        side_sum(1).alias("sb"),
+        side_n(0).alias("n_a"),
+        side_n(1).alias("n_b"),
+    )
+
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    va = vector_to_array(F.col("sa"))
+    vb = vector_to_array(F.col("sb"))
+    return (
+        agg.where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            F.round(
+                dot(va, vb) / (F.sqrt(dot(va, va)) * F.sqrt(dot(vb, vb))),
+                6,
+            ).alias("centroid_cosine"),
+        )
+        .orderBy("label")
+    )

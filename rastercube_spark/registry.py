@@ -40,93 +40,81 @@ _ORACLES: dict[str, str] = {}
 # baseline with tests/make_attest.py IN THE SAME COMMIT that rotates
 # these lists; make_attest refuses to run while the rule is violated.
 #
-# Round 10 changed set — six entries: five changed closures (the
-# exact diff of
-# rastercube_spark.attest.all_hashes() vs the r9 baseline): the
-# CC driver-finish memory bound is now MEASURED and the gate derived
-# (VERDICT r9 "Next round" #3) — operators/graph.py gained the
-# per-dtype bytes-per-row constants (SCALING.json cc_finish_rss,
-# tools/measure_finish_rss.py) and driver_finish_gate(), and
-# min_label_clusters' default resolves through it → qa3/qa4/qb2/qc0
-# (the CC users). Plus qd8: corpus_overlap's exact anchor became a
-# callable policy (anchor='full'|'sampled'|None with recorded rate +
-# binomial CI — VERDICT r9 "Next round" #4); the registered query pins
-# anchor='full' and projects the original four columns, so its oracle
-# SQL and values are unchanged while the closure (and output of the
-# OPERATOR) changed. All five emit the same values as r9; the bench
-# artifact-layer work (end-of-run CPU accounting) and the
-# rebalance_scan plan assertions changed no closure. qd9 keep-best
-# dedup (quality-aware keeper: longest text per near-dup cluster via
-# one map-side-combinable argmax aggregate) is NEW this round — first
-# attestation; it displaces qb3 from the stale fill below (qb3 stays
-# r8-frozen at the 2-round maximum, first in line for r11 with the
-# other nine r8 leftovers).
+# Round 11 changed set — two entries, the exact diff of
+# rastercube_spark.attest.all_hashes() vs the r10 baseline:
+# qe0_embedding_drift is NEW this round (per-label centroid-cosine
+# drift between vec_id-parity snapshots: quantized exact-integer
+# components, one Summarizer.sum groupBy — the first pyspark.ml
+# vector-aggregation user; a NEW query must be attested the round it
+# lands), and qd8_snapshot_overlap's closure changed because
+# corpus_overlap now VALIDATES anchor_rate instead of silently
+# clamping (ADVICE r10; the registered query pins anchor='full' so its
+# values are unchanged). The bench/CLI work (compact-line overflow
+# guard, guest-CPU fix, corpus-overlap verb) touches no closure.
 ATTEST_CHANGED: tuple[str, ...] = (
-    "qd9_dedup_keep_best",
+    "qe0_embedding_drift",
     "qd8_snapshot_overlap",
-    "qa3_dup_clusters",
-    "qa4_dedup_keep",
-    "qb2_semantic_dedup",
-    "qc0_balanced_sample",
 )
 
-# The 44 remaining window slots go oldest-first per tools/
+# The 48 remaining window slots go oldest-first per tools/
 # rotate_window.py's ground-truth reading of the CORRECTNESS_r*
-# artifacts (VERDICT r9 "Next round" #1): FIRST the twelve r7-stale
-# queries at the window's stated 2-round maximum (q82, q91-q95, q99,
-# qa1, qa5, qd1, qd2, qd5 — queued "first for r10" last round and
-# honored here), then the r8 cohort in the planner's (alphabetical)
-# order through qb1 (qb3 displaced by the new qd9 — a NEW query must
-# be attested the round it lands). Ten r8 queries (qb3, qb4, qd4, qd6,
-# qd7, qr01, qr03-qr05, qr09) don't fit and stay frozen at ≤2 rounds
-# old, first in line for r11 — with ~6 changed + 44 stale slots over
-# 105 queries the steady state keeps every query ≤2 rounds from its
-# last driver attestation.
+# artifacts: FIRST the ten r8-stale queries at the window's stated
+# 2-round maximum (qb3, qb4, qd4, qd6, qd7, qr01, qr03-qr05, qr09 —
+# queued "first for r11" last round and honored here, VERDICT r10
+# "Next round" #1), then the r9 cohort in the planner's (alphabetical)
+# order through qb7. Seven r9 queries (qb8, qb9, qd3, qr02, qr06-qr08)
+# don't fit and stay frozen at ≤2 rounds old, first in line for r12 —
+# with ~2 changed + 48 stale slots over 106 queries the steady state
+# keeps every query ≤2 rounds from its last driver attestation.
 ATTEST_STALE: tuple[str, ...] = (
-    "q82_grouped_agg_udf",
-    "q91_exact_dedup",
-    "q92_minhash_lsh_pairs",
-    "q93_lsh_jaccard",
-    "q94_ngram_jaccard_topk",
-    "q95_simhash",
-    "q99_winnow_fingerprint",
-    "qa1_tfidf_topterms",
-    "qa5_repetition_filters",
-    "qd1_incremental_dedup",
-    "qd2_temperature_mixture",
-    "qd5_token_drift",
-    "q10_inner_equi",
-    "q11_broadcast_join",
-    "q12_sort_merge_join",
-    "q13_left_outer_null",
-    "q14_left_semi",
-    "q15_left_anti",
-    "q16_theta_join",
-    "q18_copartitioned_zip",
-    "q19_range_join",
-    "q21_count_distinct",
-    "q23_cube",
-    "q24_grouping_sets",
-    "q25_having",
-    "q26_zonal_stats",
-    "q27_argmax_gather",
-    "q28_zonal_percentile",
-    "q29_salted_agg",
-    "q63_qa_bitops",
-    "q65_affine_transform",
-    "q75_stream_static_join",
-    "q76_stream_stream_join",
-    "q80_scalar_pandas_udf",
-    "q83_chunk_udtf",
-    "q90_text_metrics",
-    "q97_lsh_knn",
-    "q98_cosine_pairs_topk",
-    "qa0_multimodal_decode",
-    "qa2_ivf_knn",
-    "qa6_sequence_packing",
-    "qa7_pii_redaction",
-    "qa8_frame_sample",
-    "qb1_decontaminate",
+    "qb3_mixture_sample",
+    "qb4_passage_dedup",
+    "qd4_neardup_decontaminate",
+    "qd6_ngram_novelty",
+    "qd7_split_assign",
+    "qr01_windowed_read_fill",
+    "qr03_availability_semi_join",
+    "qr04_incremental_anti_join",
+    "qr05_date_coverage",
+    "qr09_chunk_checksum",
+    "q01_scan_count",
+    "q02_project_filter",
+    "q03_in_null_predicates",
+    "q17_asof_join",
+    "q20_tpch_q1_agg",
+    "q22_rollup",
+    "q2a_approx_count_distinct",
+    "q2b_approx_quantiles",
+    "q30_ranking",
+    "q31_lag_lead_gapfill",
+    "q32_moving_average",
+    "q33_running_total",
+    "q40_global_topk",
+    "q41_per_group_topk",
+    "q50_union_all",
+    "q51_union_distinct",
+    "q52_intersect",
+    "q53_except",
+    "q60_string_funcs",
+    "q61_date_funcs",
+    "q62_math_funcs",
+    "q64_nodata_case",
+    "q66_array_json",
+    "q67_categorical_legend",
+    "q68_type_reinterpret",
+    "q69_landsat_qa",
+    "q70_tumbling_window",
+    "q71_sliding_window",
+    "q72_session_window",
+    "q73_watermark_late_data",
+    "q74_stateful_dedup",
+    "q81_grouped_map_udf",
+    "q96_knn_bruteforce",
+    "qa9_media_knn",
+    "qb0_cosine_pairs_lsh",
+    "qb5_quality_rules",
+    "qb6_quantized_knn",
+    "qb7_group_sample",
 )
 
 ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE

@@ -356,3 +356,37 @@ def test_cluster_balanced_sample_operator(spark, sf_dir):
     for ranks in per_cluster.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 2
+
+
+def test_embedding_drift_invariants(spark):
+    """qe0's centroid-cosine drift: identical snapshots read EXACTLY 1.0
+    (quantized integer sums are exact, so A==B collapses to u·u/|u||u|),
+    a label present on one side only is dropped (inner-join semantics),
+    and an orthogonal flip reads -1.0."""
+    from rastercube_spark.queries.datapipe import qe0
+
+    rows = []
+    # label 0: identical vector content on both parities
+    for i in range(8):
+        v = [0.1 * ((i % 4) + 1)] * 64
+        rows.append((i, v, 0))
+    # label 1: B is the exact negation of A (pairwise by parity)
+    for i in range(8, 16):
+        v = [0.25, -0.5] * 32
+        rows.append((i, v if i % 2 == 0 else [-x for x in v], 1))
+    # label 2: only even (snapshot A) members -> must not appear
+    rows.append((16, [1.0] * 64, 2))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        emb.write.parquet(os.path.join(d, "embeddings.parquet"))
+        out = {r["label"]: r for r in qe0(spark, d).collect()}
+    assert sorted(out) == [0, 1]
+    assert out[0]["centroid_cosine"] == 1.0
+    assert out[0]["n_a"] == 4 and out[0]["n_b"] == 4
+    assert out[1]["centroid_cosine"] == -1.0
