@@ -143,6 +143,12 @@ HEADLINE = [
     # subset)
     # snapshot-overlap audit (MinHash corpus sketches + exact anchor)
     "qd8_snapshot_overlap",
+    # round 11 additions: quality-aware dedup keeper selection (landed
+    # late in r10 after that round's clean records were committed —
+    # docs/PERF_NOTES.md r10 addendum) and the per-label embedding-
+    # centroid drift monitor (Summarizer vector aggregation)
+    "qd9_dedup_keep_best",
+    "qe0_embedding_drift",
     "qr02_polygon_mask",
     "qr03_availability_semi_join",
     "qr04_incremental_anti_join",
@@ -392,6 +398,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     query_clock: dict[str, dict] = {}
+    # Per-query external-CPU attribution (r10's run-LEVEL accounting
+    # could say "28 CPU-s went elsewhere" but not WHERE — the q12
+    # adjudication in docs/PERF_NOTES.md r11 had to argue from bounds.
+    # Sampling the same three counters at every query boundary turns
+    # that class of question into a direct read: ext_cpu_s is the CPU
+    # other processes burned INSIDE this query's wall-clock window).
+    prev_box, prev_tree, prev_steal = box_cpu0, tree_cpu0, steal0
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
@@ -412,7 +425,18 @@ def main() -> None:
                 _noop(df)
                 samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
-        query_clock[name] = {"t0": round(q_t0, 2), "t1": round(time.time(), 2)}
+        clock = {"t0": round(q_t0, 2), "t1": round(time.time(), 2)}
+        q_box, q_tree, q_steal = (
+            _box_busy_cpu_s(), _proc_tree_cpu_s(), _steal_cpu_s(),
+        )
+        if None not in (prev_box, q_box, prev_tree, q_tree):
+            clock["ext_cpu_s"] = round(
+                max(0.0, (q_box - prev_box) - (q_tree - prev_tree)), 1
+            )
+        if None not in (prev_steal, q_steal):
+            clock["steal_s"] = round(q_steal - prev_steal, 1)
+        prev_box, prev_tree, prev_steal = q_box, q_tree, q_steal
+        query_clock[name] = clock
 
     # End-of-run accounting BEFORE spark.stop() so the JVM's CPU is
     # still readable live from /proc (rusage-of-children would need the
