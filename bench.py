@@ -210,6 +210,11 @@ def _noop(df) -> None:
 
 
 LINE_BUDGET = 1900  # the driver keeps the LAST 2000 chars of stdout
+# Full record lands here (module constant so tests can redirect it
+# instead of clobbering the round's committed record)
+DETAIL_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+)
 
 
 def _compact_line(full: dict) -> str:
@@ -488,8 +493,7 @@ def main() -> None:
         "env": env,
         "query_clock": query_clock,
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
+    detail_path = DETAIL_PATH
     try:
         with open(detail_path, "w") as f:
             json.dump(full, f, indent=1)

@@ -310,3 +310,33 @@ def test_bench_idle_gate_debounce(monkeypatch):
     # exactly the four reads consumed: the gate broke on the second
     # consecutive pass, not the first
     assert next(reads) == (9.9, 9.9, 9.9)
+
+
+def test_bench_per_query_external_attribution(monkeypatch, tmp_path, capsys):
+    """bench.main() records ext_cpu_s / steal_s per query-boundary in
+    query_clock (r11: the q12 adjudication had to argue from run-level
+    bounds; the boundary samples make the next one a direct read).
+    Functional: run the real loop on two cheap queries at sf0.001."""
+    import bench
+
+    monkeypatch.setattr(bench, "HEADLINE", ["q01_scan_count",
+                                            "q40_global_topk"])
+    monkeypatch.setattr(bench, "N_SAMPLES", 1)
+    monkeypatch.setattr(bench, "_wait_for_idle", lambda *a, **k: 0.0)
+    monkeypatch.setattr(bench, "DETAIL_PATH", str(tmp_path / "detail.json"))
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    compact = json.loads(out)
+    assert set(compact["queries"]) == {"q01_scan_count", "q40_global_topk"}
+    with open(tmp_path / "detail.json") as f:
+        full = json.load(f)
+    for name in ("q01_scan_count", "q40_global_topk"):
+        clk = full["query_clock"][name]
+        assert clk["t1"] >= clk["t0"]
+        # counters are monotonic, deltas clamped at >= 0
+        assert clk["ext_cpu_s"] >= 0.0
+        assert clk["steal_s"] >= 0.0
+        # the external share of a window can't exceed the whole box
+        ncpu = __import__("os").cpu_count() or 1
+        assert clk["ext_cpu_s"] <= (clk["t1"] - clk["t0"] + 1.0) * ncpu
