@@ -920,3 +920,85 @@ def cluster_balanced_sample(
     return group_sample(u, k=k, on="cluster_id", key="vec_id", salt="bal:").select(
         "vec_id", "cluster_id", "sample_rank"
     )
+
+
+def embedding_drift(
+    emb: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    quant_scale: int = 10_000,
+) -> DataFrame:
+    """Per-label centroid drift between two snapshots of an embedding
+    table (snapshot A = even ids, B = odd ids): the representation-shift
+    audit qe0 registers. Returns (label, n_a, n_b, centroid_cosine)
+    with inner-join semantics (labels present in both snapshots only).
+
+    Determinism + scale shape (see qe0's docstring): components are
+    quantized to exact integers (floor(x·quant_scale) — sums become
+    order-independent), lifted to ml vectors, and BOTH snapshots' sums
+    ride ONE map-side-combinable groupBy via conditional
+    ``Summarizer.sum`` with a zero-vector otherwise-branch (``pivot``
+    would plan the same CASE but Summarizer rejects its NULL branch).
+    Cosine on the sum vectors (scale-invariant, so /n is unnecessary)
+    with a fixed-order zip_with/aggregate fold. One scan, one shuffle
+    of n_labels × 2 partial summaries — the corpus is never exploded
+    dim-fold."""
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
+
+    q = emb.select(
+        (F.col(id_col) % 2).alias("tag"),
+        F.col(label_col).alias("label"),
+        array_to_vector(
+            F.transform(
+                vec_col,
+                lambda x: F.floor(x.cast("double") * quant_scale)
+                .cast("double"),
+            )
+        ).alias("qv"),
+    )
+    zero = array_to_vector(F.array_repeat(F.lit(0.0), dim))
+
+    def side_sum(tag: int):
+        return Summarizer.sum(
+            F.when(F.col("tag") == tag, F.col("qv")).otherwise(zero)
+        )
+
+    def side_n(tag: int):
+        return (
+            F.sum(F.when(F.col("tag") == tag, 1).otherwise(0))
+            .cast("bigint")
+        )
+
+    agg = q.groupBy("label").agg(
+        side_sum(0).alias("sa"),
+        side_sum(1).alias("sb"),
+        side_n(0).alias("n_a"),
+        side_n(1).alias("n_b"),
+    )
+
+    def fold_dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    va = vector_to_array(F.col("sa"))
+    vb = vector_to_array(F.col("sb"))
+    return (
+        agg.where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            F.round(
+                fold_dot(va, vb)
+                / (F.sqrt(fold_dot(va, va)) * F.sqrt(fold_dot(vb, vb))),
+                6,
+            ).alias("centroid_cosine"),
+        )
+        .orderBy("label")
+    )

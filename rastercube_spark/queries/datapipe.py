@@ -2670,60 +2670,9 @@ def qe0(spark, sf_dir):
     groupBy sees more than labels × dim doubles.
 
     No reference analog (the reference has no embedding surface); the
-    snapshot-split convention follows qd5's token-drift monitor."""
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-    from pyspark.ml.stat import Summarizer
+    snapshot-split convention follows qd5's token-drift monitor. The
+    operator core lives in operators/similarity.py embedding_drift
+    (also the scaling-sweep callable)."""
+    from rastercube_spark.operators.similarity import embedding_drift
 
-    emb = load(spark, sf_dir, "embeddings")
-    q = emb.select(
-        (F.col("vec_id") % 2).alias("tag"),
-        "label",
-        array_to_vector(
-            F.transform(
-                "embedding",
-                lambda x: F.floor(x.cast("double") * 10000).cast("double"),
-            )
-        ).alias("qv"),
-    )
-    zero = array_to_vector(F.array_repeat(F.lit(0.0), EMB_DIM))
-
-    def side_sum(tag: int):
-        return Summarizer.sum(
-            F.when(F.col("tag") == tag, F.col("qv")).otherwise(zero)
-        )
-
-    def side_n(tag: int):
-        return (
-            F.sum(F.when(F.col("tag") == tag, 1).otherwise(0))
-            .cast("bigint")
-        )
-
-    agg = q.groupBy("label").agg(
-        side_sum(0).alias("sa"),
-        side_sum(1).alias("sb"),
-        side_n(0).alias("n_a"),
-        side_n(1).alias("n_b"),
-    )
-
-    def dot(u, v):
-        return F.aggregate(
-            F.zip_with(u, v, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    va = vector_to_array(F.col("sa"))
-    vb = vector_to_array(F.col("sb"))
-    return (
-        agg.where((F.col("n_a") > 0) & (F.col("n_b") > 0))
-        .select(
-            "label",
-            "n_a",
-            "n_b",
-            F.round(
-                dot(va, vb) / (F.sqrt(dot(va, va)) * F.sqrt(dot(vb, vb))),
-                6,
-            ).alias("centroid_cosine"),
-        )
-        .orderBy("label")
-    )
+    return embedding_drift(load(spark, sf_dir, "embeddings"), dim=EMB_DIM)

@@ -33,6 +33,13 @@ sf-dir fixtures cap out near 5k rows, which cannot show a curve):
 - qd4  near-dup decontam     fixed 500-doc benchmark's bands broadcast
                              vs n-doc train corpus; candidate-only
                              exact-Jaccard verify (r8)
+- qd9  keep-best dedup       banding + CC (loop-inclusive) + one
+                             map-side argmax keeper + anti remainder
+- qe0  embedding drift       one Summarizer vector groupBy; reduce side
+                             is n_labels rows regardless of n
+
+The two cheapest dedup audits (q92, qd8_sampled_anchor) additionally
+run a 320k (64×) leg — see EXT64_OPS.
 
 Sub-quadratic gate: data grows 16× (5k→80k); a quadratic operator grows
 ~256×. The recorded `growth_80k_over_5k` must stay well under
@@ -65,8 +72,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 DIM = 64
 SIZES = [5_000, 20_000, 80_000]
+# 64× legs (VERDICT r10 "Next round" #5): every curve used to stop at
+# 16×, so the 100 TB story extrapolated from 16×. The cheapest dedup
+# audits get one 320k point each to pin the exponent further out.
+EXT_SIZE = 320_000
+EXT64_OPS = ("q92_minhash_lsh_pairs", "qd8_sampled_anchor")
 N_SAMPLES = 3
-QUADRATIC_GROWTH = 256.0  # 16× data, squared
+QUADRATIC_GROWTH = 256.0  # 16× data, squared (64× legs gate on 4096/4)
 
 # Hyperplane count per corpus size for the cosine-LSH ops. Bucket count
 # (2^n_planes per table) is a DEPLOYMENT parameter that must track the
@@ -92,7 +104,7 @@ QUADRATIC_GROWTH = 256.0  # 16× data, squared
 # operators.similarity.planes_for_corpus (target_occupancy≈0.3 here —
 # these hand values predate the helper and are kept so the recorded
 # curves match the parameters that produced them).
-N_PLANES = {5_000: 14, 20_000: 16, 80_000: 18}
+N_PLANES = {5_000: 14, 20_000: 16, 80_000: 18, 320_000: 20}
 OUT = os.path.join(os.path.dirname(__file__), os.pardir, "SCALING.json")
 
 
@@ -338,6 +350,7 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
     from rastercube_spark.operators.prefix import running_sum_exclusive
     from rastercube_spark.operators.sampling import group_sample
     from rastercube_spark.operators.similarity import (
+        embedding_drift,
         lsh_cosine_pairs,
         lsh_knn,
         quantized_knn,
@@ -461,6 +474,24 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
             ),
             False,
         ),
+        # r11 (VERDICT r10 "Next round" #2): qd9's operator core —
+        # banding + CC (loop-inclusive, like qa3) + ONE map-side
+        # argmax + LEFT ANTI remainder; expected near qa3's shape
+        # since the keeper agg adds only a keyed pass over the
+        # (bounded) cluster relation.
+        "qd9_keep_best": (lambda: _keep_best(docs), True),
+        # r11: qe0's operator core — one Summarizer vector groupBy;
+        # expected ~linear scan-bound (the reduce side is n_labels
+        # rows regardless of n).
+        "qe0_embedding_drift": (
+            lambda: embedding_drift(
+                emb.withColumn(
+                    "label", (F.col("vec_id") % 10).cast("int")
+                ),
+                dim=DIM,
+            ),
+            False,
+        ),
     }
 
 
@@ -510,6 +541,43 @@ def _passage_dedup(docs: DataFrame) -> DataFrame:
             F.sum(dup).alias("n_dup"),
         )
     )
+
+
+def _keep_best(docs: DataFrame) -> DataFrame:
+    """qd9's operator core (queries/datapipe.py qd9) on synthetic docs:
+    LSH banding → CC clusters → one map-side argmax keeper + LEFT ANTI
+    remainder."""
+    from rastercube_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles_df,
+    )
+    from rastercube_spark.operators.graph import min_label_clusters
+
+    scored = docs.select(
+        "doc_id", F.length("text").cast("bigint").alias("text_len")
+    )
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(shingles_df(docs, "doc_id", "text", distinct=False))
+    )
+    clusters = min_label_clusters(pairs)
+    best = (
+        scored.join(clusters, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("text_len"), (-F.col("doc_id")).alias("neg_id")
+                )
+            ).alias("b")
+        )
+        .select(
+            (-F.col("b.neg_id")).alias("doc_id"),
+            F.col("b.text_len").alias("text_len"),
+        )
+    )
+    rest = scored.join(clusters.select("doc_id"), "doc_id", "left_anti")
+    return best.unionByName(rest)
 
 
 # --- driver-finish crossover (VERDICT r8 "Next round" #6) ----------------
@@ -635,7 +703,10 @@ def main() -> int:
                      "qb4_passage_dedup", "qb6_quantized_knn",
                      "qb7_group_sample", "qd3_label_consistency",
                      "qd4_neardup_decontam", "qd6_ngram_novelty",
-                     "qd8_snapshot_overlap", "qd8_sampled_anchor")
+                     "qd8_snapshot_overlap", "qd8_sampled_anchor",
+                     "qd9_keep_best", "qe0_embedding_drift")
+    ] + [
+        (name, EXT_SIZE) for name in EXT64_OPS
     ] + [(name, s) for s in RASTER_SIZES for name in RASTER_OPS] + [
         (name, n) for n in CC_FINISH_SIZES for name in CC_FINISH_OPS
     ]
@@ -666,24 +737,32 @@ def main() -> int:
             print(f"n={n:>6}  {name:<24} {t:>8.3f}s (la {la})", file=sys.stderr)
 
     for name, c in curves.items():
-        if name in RASTER_OPS:
-            sizes = RASTER_SIZES
-        elif name in CC_FINISH_OPS:
-            sizes = CC_FINISH_SIZES
-        else:
-            sizes = SIZES
-        lo, hi = str(sizes[0]), str(sizes[-1])
+        # growth from the op's own RECORDED sizes (the 64× ops carry an
+        # extra 320k leg, so hi/lo is per-op, not a global constant; the
+        # key is named generically for the same reason — the old
+        # growth_80k_over_5k spelling lied for any non-16× span)
+        recorded = sorted(int(k) for k in c["seconds"])
+        lo, hi = str(recorded[0]), str(recorded[-1])
         g = round(c["seconds"][hi] / c["seconds"][lo], 2)
-        c["growth_80k_over_5k"] = g
-        c["data_growth"] = sizes[-1] // sizes[0]
-        c["quadratic_growth"] = QUADRATIC_GROWTH
-        c["sub_quadratic"] = g < QUADRATIC_GROWTH / 4  # generous margin
+        c["growth_hi_over_lo"] = g
+        c["data_growth"] = recorded[-1] // recorded[0]
+        quad = float(c["data_growth"]) ** 2
+        c["quadratic_growth"] = quad
+        c["sub_quadratic"] = g < quad / 4  # generous margin
         if name == "qr06_pruned_window":
             # the pruning claim is stronger than sub-quadratic: a FIXED
             # window over a 16× cube must stay ~flat
             c["pruned_window_flat"] = g < 3.0
     result = {
         "sizes": SIZES,
+        "ext64": {
+            "size": EXT_SIZE,
+            "ops": list(EXT64_OPS),
+            "note": "64x legs (VERDICT r10 #5): these ops carry a 320k "
+                    "point so their exponent is pinned past the 16x the "
+                    "rest of the sweep stops at; growth_hi_over_lo and "
+                    "the quadratic gate use each op's own recorded span",
+        },
         "samples": N_SAMPLES,
         "stat": "median",
         "isolation": "one JVM per (op, n) leg, JIT-warmed",
