@@ -149,6 +149,9 @@ HEADLINE = [
     # centroid drift monitor (Summarizer vector aggregation)
     "qd9_dedup_keep_best",
     "qe0_embedding_drift",
+    # doc-level cross-snapshot containment (qd6's topology, qd8's
+    # drill-down)
+    "qe1_containment_audit",
     "qr02_polygon_mask",
     "qr03_availability_semi_join",
     "qr04_incremental_anti_join",

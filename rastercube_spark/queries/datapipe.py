@@ -2676,3 +2676,67 @@ def qe0(spark, sf_dir):
     from rastercube_spark.operators.similarity import embedding_drift
 
     return embedding_drift(load(spark, sf_dir, "embeddings"), dim=EMB_DIM)
+
+
+@query(
+    "qe1_containment_audit",
+    oracle=f"""
+        WITH {_shingles_cte(3)},
+        a_pres AS (
+            SELECT shingle,
+                   MAX(CASE WHEN doc_id < 250 THEN 1 ELSE 0 END) AS in_a
+            FROM sh GROUP BY shingle
+        )
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(p.in_a) AS BIGINT) AS n_hit,
+               ROUND(CAST(SUM(p.in_a) AS DOUBLE) / COUNT(*), 6)
+                   AS containment
+        FROM sh s JOIN a_pres p USING (shingle)
+        WHERE s.doc_id >= 250
+        GROUP BY s.doc_id
+        ORDER BY containment DESC, doc_id
+        LIMIT 20
+    """,
+)
+def qe1(spark, sf_dir):
+    """Doc-level cross-snapshot containment audit: for each document of
+    the incoming snapshot (ids ≥ 250, qd5's split convention), the
+    fraction of its distinct 3-shingles already present anywhere in the
+    reference snapshot (ids < 250) — top-20 most-contained docs. This is
+    the PER-DOCUMENT drill-down of qd8's corpus-level overlap number:
+    qd8 says "how much of B is already in A", this ranks WHICH B docs
+    are the redundancy (near-1.0 = re-crawl/mirror, drop before paying
+    for cross-snapshot dedup; mid-range = partial quotes worth keeping).
+
+    Scale shape: qd6's exact topology, cross-snapshot semantics — the
+    distinct (doc_id, shingle) relation → ONE map-side-combinable
+    groupBy on the shingle key (A-presence as max(tag), never a
+    distinct-set materialization per side) → equi-join back on shingle
+    → per-doc agg → global top-k (TakeOrdered, no full sort). No
+    self-join, no pairs; both shuffles are keyed on the bounded shingle
+    key. Determinism: exact bigint counts, containment rounded to 6 dp
+    BEFORE the ordering, doc_id tie-break.
+
+    No reference analog; complements qb1 (exact any-hit decontamination
+    flag) and qd4 (near-dup flag) with a graded score."""
+    sh = shingles_df(_docs(spark, sf_dir), "doc_id", "text", k=3)
+    a_pres = sh.groupBy("shingle").agg(
+        F.max(
+            F.when(F.col("doc_id") < 250, 1).otherwise(0)
+        ).alias("in_a")
+    )
+    return (
+        sh.where(F.col("doc_id") >= 250)
+        .join(a_pres, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum("in_a").cast("bigint").alias("n_hit"),
+            F.round(
+                F.sum("in_a").cast("double") / F.count(F.lit(1)), 6
+            ).alias("containment"),
+        )
+        .orderBy(F.col("containment").desc(), "doc_id")
+        .limit(20)
+    )
