@@ -396,3 +396,25 @@ def test_lsh_rescore_fetch_broadcast_gate(spark, sf_dir):
         assert big.count("SortMergeJoin") + big.count("ShuffledHashJoin") >= 2, big
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_embedding_drift_single_pass_no_explode(spark, sf_dir):
+    """qe0's scale claim is mechanical: the corpus is read ONCE and never
+    inflated dim-fold — no Generate (explode) anywhere, ONE
+    hash-partitioned exchange (the label groupBy; the only other
+    exchange is the n_labels-row output sort), and the Summarizer
+    aggregate runs partial+final (map-side combinable)."""
+    plan = _plan(spark, sf_dir, "qe0_embedding_drift")
+    assert "Generate" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("ObjectHashAggregate") >= 2  # partial + final
+
+
+def test_containment_audit_topk_no_pairs(spark, sf_dir):
+    """qe1: shingle-keyed groupBy + equi-join back — never a doc×doc
+    pair relation (no cartesian/BNLJ) — and the top-20 is TakeOrdered,
+    not a global sort."""
+    plan = _plan(spark, sf_dir, "qe1_containment_audit")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
