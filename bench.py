@@ -152,6 +152,9 @@ HEADLINE = [
     # doc-level cross-snapshot containment (qd6's topology, qd8's
     # drill-down)
     "qe1_containment_audit",
+    # PQ+ADC shortlist / exact-refine ANN (loop-inclusive below:
+    # codebook training runs at construction)
+    "qe2_pq_knn",
     "qr02_polygon_mask",
     "qr03_availability_semi_join",
     "qr04_incremental_anti_join",
@@ -166,7 +169,8 @@ HEADLINE = [
 # Driver-iterative queries: the query function itself executes work
 # (eager localCheckpoint loop), so each timed sample must include the
 # function call, not just the noop sink of the returned plan.
-LOOP_INCLUSIVE = {"qb2_semantic_dedup", "qc0_balanced_sample"}
+LOOP_INCLUSIVE = {"qb2_semantic_dedup", "qc0_balanced_sample",
+                  "qe2_pq_knn"}
 
 
 def _env_note() -> dict:

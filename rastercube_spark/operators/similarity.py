@@ -1002,3 +1002,251 @@ def embedding_drift(
         )
         .orderBy("label")
     )
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_cents: int = 16,
+    n_iters: int = 2,
+    sample_below: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """Product-quantization codebooks: ``m`` independent spherical
+    k-means codebooks, one per ``dim/m``-wide subspace, trained with
+    the same deterministic recipe as :func:`train_ivf_centroids`
+    (id-pruned sample, lowest-id init, argmax of exact-integer
+    dot / count, integer elementwise updates, empty-cluster carry) so a
+    SQL oracle replays training bit-for-bit per subspace. Returns RAW
+    ``(sums, cnts)`` — shapes (m, n_cents, dim/m) and (m, n_cents) —
+    NOT the divided centroids: downstream ADC scoring needs the exact
+    integer sums so every score is one integer dot and one IEEE
+    division (order-independent in both engines).
+
+    All m subspaces train in the SAME pass: one assignment UDF emits
+    the m-long code array, and one map-side-combinable
+    groupBy(subspace, code, component) integer-sum update per
+    iteration — m× the codebooks of IVF for the identical job count."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    sub_d, rem = divmod(dim, m)
+    if rem:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sample = df.where(F.col(id_col) < sample_below).select(
+        F.col(id_col).alias("sid"), quantize_vec(F.col(vec_col)).alias("qv")
+    )
+    init_rows = sample.orderBy("sid").limit(n_cents).collect()
+    if len(init_rows) < n_cents:
+        raise ValueError(
+            f"sample has {len(init_rows)} rows < n_cents={n_cents}"
+        )
+    qv0 = np.array(
+        [np.asarray(r["qv"], dtype=np.float64) for r in init_rows]
+    )  # (n_cents, dim)
+    sums = np.ascontiguousarray(
+        qv0.reshape(n_cents, m, sub_d).transpose(1, 0, 2)
+    )  # (m, n_cents, sub_d)
+    cnts = np.ones((m, n_cents), dtype=np.float64)
+
+    sc = df.sparkSession.sparkContext
+    for _ in range(n_iters):
+        b = sc.broadcast((sums, cnts))
+
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def _assign_all(vs: pd.Series) -> pd.Series:
+            if len(vs) == 0:
+                return pd.Series([], dtype=object)
+            cs, cc = b.value  # (m, K, sub_d) exact ints, (m, K)
+            v = np.array([np.asarray(x, dtype=np.float64) for x in vs])
+            vsub = v.reshape(len(v), cs.shape[0], -1)
+            codes = np.empty((len(v), cs.shape[0]), dtype=np.int32)
+            for s in range(cs.shape[0]):
+                # integer dots are exact -> BLAS reassociation cannot
+                # change a bit; one IEEE division; first-max == lowest
+                # code tie-break (the train_ivf_centroids argument)
+                quot = (vsub[:, s, :] @ cs[s].T) / cc[s][None, :]
+                codes[:, s] = np.argmax(quot, axis=1)
+            return pd.Series(list(codes))
+
+        s_expr = (F.col("i") / sub_d).cast("int")
+        rows = (
+            sample.select(
+                _assign_all("qv").alias("codes"),
+                F.posexplode("qv").alias("i", "val"),
+            )
+            .select(
+                s_expr.alias("s"),
+                F.element_at("codes", s_expr + 1).alias("cid"),
+                F.pmod(F.col("i"), F.lit(sub_d)).alias("j"),
+                "val",
+            )
+            .groupBy("s", "cid", "j")
+            .agg(F.sum("val").alias("sv"), F.count("*").alias("n"))
+            .collect()
+        )
+        b.destroy()
+        new_sums = sums.copy()
+        new_cnts = cnts.copy()
+        for r in rows:
+            new_sums[r["s"], r["cid"], r["j"]] = r["sv"]
+            new_cnts[r["s"], r["cid"]] = float(r["n"])
+        sums, cnts = new_sums, new_cnts
+    return sums, cnts
+
+
+def pq_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    m: int = 16,
+    n_cents: int = 32,
+    n_iters: int = 2,
+    sample_below: int = 256,
+    rerank: int = 100,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Top-k by PRODUCT-quantized candidate generation + exact re-rank
+    (FAISS's PQ+ADC with a refinement pass, expressed relationally):
+    the corpus collapses to ``m`` codes over ``n_cents`` codewords per
+    vector (m=16, K=32 -> 16×5 bits = 10 bytes vs the 256-byte float
+    column — the memory-bound regime PQ exists for), each query becomes
+    an (m × K) lookup table, and the exhaustive pass scores a corpus
+    row with m integer table lookups — no float dot ever touches the
+    full corpus. The top-``rerank`` ADC candidates per query are then
+    EXACTLY re-scored (one integer dot each over the quantized full
+    vectors, fetched by a keyed join) and the final top-k ranks on the
+    exact score — the standard shortlist/refine split: on the fixture
+    corpus direct ADC recall@10 measures only ~0.3-0.4 (near-isotropic
+    64-dim embeddings are PQ's hard case; parameter ablation in
+    docs/PERF_NOTES.md r11), while the 100-candidate refined recall
+    measures 0.9+ (gated in tests/test_similarity.py).
+
+    Cross-engine determinism (every step replayable in SQL):
+
+    - codebooks: :func:`train_pq_codebooks` (exact-integer spherical
+      k-means per subspace, lowest-id/first-max tie-breaks);
+    - encoding: argmax over codewords of dot(v_s, sum_k)/cnt_k — one
+      exact integer dot + one IEEE division per codeword;
+    - ADC terms: floor(1024·dot(q_s, sum_k)/cnt_k) — the 1024 scale
+      keeps the product exactly representable (<2^53) while preserving
+      sub-integer rank granularity, and floor of one IEEE division is
+      identical in every engine;
+    - the per-row shortlist score is a SUM of m exact integers —
+      order-free — cut at ``rerank`` with id tie-breaks; the refine
+      dot is an exact integer dot (JVM-side zip_with/aggregate fold,
+      ≡ DuckDB list_dot_product on the same integers), and the final
+      rank uses it with id tie-breaks (the displayed ``score`` divides
+      the quantization scale back out).
+
+    At 100 TB: train on the bounded sample, encode once at ingest and
+    persist the code column — the exhaustive pass reads ~25× fewer
+    bytes than float32, and the refine pass touches ``rerank`` rows
+    per query via a keyed join, independent of corpus size (compose
+    with qa2's IVF lists when the code scan itself becomes the bound).
+    The query side is collected and broadcast as LUTs — bounded by
+    contract, like every broadcast query side here."""
+    from pyspark.sql.types import ArrayType, IntegerType, LongType
+
+    sub_d = dim // m
+    sums, cnts = train_pq_codebooks(
+        corpus, dim, m=m, n_cents=n_cents, n_iters=n_iters,
+        sample_below=sample_below, id_col=c_id, vec_col=c_vec,
+    )
+    q_rows = queries.select(q_id, q_vec).collect()
+    luts = {}
+    for r in q_rows:
+        qv = np.floor(np.asarray(r[q_vec], dtype=np.float64) * 10000.0)
+        qsub = qv.reshape(m, sub_d)
+        t = np.empty((m, n_cents), dtype=np.float64)
+        for s in range(m):
+            t[s] = np.floor((1024.0 * (qsub[s] @ sums[s].T)) / cnts[s])
+        luts[r[q_id]] = t.astype(np.int64)
+
+    sc = corpus.sparkSession.sparkContext
+    b_cb = sc.broadcast((sums, cnts))
+    b_lut = sc.broadcast(luts)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _encode(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        cs, cc = b_cb.value
+        v = np.floor(
+            np.array([np.asarray(x, dtype=np.float64) for x in vs])
+            * 10000.0
+        )
+        vsub = v.reshape(len(v), m, sub_d)
+        codes = np.empty((len(v), m), dtype=np.int32)
+        for s in range(m):
+            quot = (vsub[:, s, :] @ cs[s].T) / cc[s][None, :]
+            codes[:, s] = np.argmax(quot, axis=1)
+        return pd.Series(list(codes))
+
+    @F.pandas_udf(LongType())
+    def _adc(qids: pd.Series, codes: pd.Series) -> pd.Series:
+        if len(qids) == 0:
+            return pd.Series([], dtype="int64")
+        lut = b_lut.value
+        c = np.array([np.asarray(x, dtype=np.int64) for x in codes])
+        out = np.empty(len(qids), dtype=np.int64)
+        srange = np.arange(m)
+        for qid, grp in pd.Series(range(len(qids)), dtype="int64").groupby(
+            qids.to_numpy()
+        ):
+            idx = grp.to_numpy()
+            out[idx] = lut[qid][srange[None, :], c[idx]].sum(axis=1)
+        return pd.Series(out)
+
+    enc = corpus.select(F.col(c_id), _encode(F.col(c_vec)).alias("codes"))
+    qq = queries.select(F.col(q_id))
+    scored = (
+        enc.join(F.broadcast(qq))
+        .where(F.col(q_id) != F.col(c_id))
+        .select(
+            F.col(q_id),
+            F.col(c_id),
+            _adc(F.col(q_id), F.col("codes")).alias("iscore"),
+        )
+    )
+    w_adc = Window.partitionBy(q_id).orderBy(
+        F.col("iscore").desc(), F.col(c_id)
+    )
+    cand = (
+        scored.withColumn("crank", F.row_number().over(w_adc))
+        .where(F.col("crank") <= rerank)
+        .select(q_id, c_id)
+    )
+    # refine: exact integer dot over the quantized FULL vectors for the
+    # shortlist only — corpus side fetched by a keyed join (rerank rows
+    # per query, independent of corpus size), query side broadcast
+    cqv = corpus.select(F.col(c_id), quantize_vec(F.col(c_vec)).alias("cv"))
+    qqv = queries.select(
+        F.col(q_id), quantize_vec(F.col(q_vec)).alias("qv")
+    )
+    exact = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    refined = (
+        cand.join(cqv, c_id)
+        .join(F.broadcast(qqv), q_id)
+        .select(F.col(q_id), F.col(c_id), exact.alias("xdot"))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("xdot").desc(), F.col(c_id))
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            q_id,
+            c_id,
+            F.round(F.col("xdot") / 100000000.0, 6).alias("score"),
+            "rank",
+        )
+    )

@@ -2740,3 +2740,184 @@ def qe1(spark, sf_dir):
         .orderBy(F.col("containment").desc(), "doc_id")
         .limit(20)
     )
+
+
+def _pq_training_ctes(
+    m: int = 16,
+    sub_d: int = 4,
+    n_cents: int = 32,
+    n_iters: int = 2,
+    sample_below: int = 256,
+) -> str:
+    """SQL that REPLAYS train_pq_codebooks bit-for-bit: m independent
+    copies of the _ivf_training_ctes recipe (quantized sample, lowest-id
+    init, argmax of exact-integer dot/cnt assignment, elementwise
+    integer re-sum, empty-cluster carry), each over its own
+    ``list_slice`` of the embedding, CTE names suffixed per subspace.
+    Ends with ``cb (s, cid, sumv, cnt)`` — RAW integer sums + counts,
+    exactly what the engine's ADC consumes."""
+    parts = []
+    for s in range(m):
+        a = s * sub_d + 1
+        parts.append(
+            f"""s_{s} AS (
+            SELECT vec_id AS sid,
+                   list_transform(
+                       list_slice(CAST(embedding AS DOUBLE[]),
+                                  {a}, {a + sub_d - 1}),
+                       x -> floor(x * 10000.0)) AS qv
+            FROM embeddings WHERE vec_id < {sample_below}
+        ),
+        c0_{s} AS (
+            SELECT rn - 1 AS cid, qv AS sumv, CAST(1 AS DOUBLE) AS cnt
+            FROM (SELECT qv, row_number() OVER (ORDER BY sid) AS rn
+                  FROM s_{s})
+            WHERE rn <= {n_cents}
+        )"""
+        )
+        for t in range(1, n_iters + 1):
+            p = t - 1
+            parts.append(
+                f"""a{t}_{s} AS (
+            SELECT sid, qv, cid FROM (
+                SELECT v.sid, v.qv, p.cid,
+                       row_number() OVER (
+                           PARTITION BY v.sid
+                           ORDER BY list_dot_product(v.qv, p.sumv) / p.cnt
+                                        DESC,
+                                    p.cid ASC
+                       ) AS rn
+                FROM s_{s} v, c{p}_{s} p
+            ) WHERE rn = 1
+        ),
+        u{t}_{s} AS (
+            SELECT a.cid, ix.i, SUM(a.qv[ix.i]) AS sv
+            FROM a{t}_{s} a
+            CROSS JOIN (SELECT UNNEST(range(1, {sub_d + 1})) AS i) ix
+            GROUP BY a.cid, ix.i
+        ),
+        ns{t}_{s} AS (SELECT cid, list(sv ORDER BY i) AS sumv
+                      FROM u{t}_{s} GROUP BY cid),
+        nc{t}_{s} AS (SELECT cid, CAST(COUNT(*) AS DOUBLE) AS n
+                      FROM a{t}_{s} GROUP BY cid),
+        c{t}_{s} AS (
+            SELECT p.cid,
+                   COALESCE(ns.sumv, p.sumv) AS sumv,
+                   COALESCE(nc.n, p.cnt) AS cnt
+            FROM c{p}_{s} p
+            LEFT JOIN ns{t}_{s} ns USING (cid)
+            LEFT JOIN nc{t}_{s} nc USING (cid)
+        )"""
+            )
+    union = "\n            UNION ALL ".join(
+        f"SELECT {s} AS s, cid, sumv, cnt FROM c{n_iters}_{s}"
+        for s in range(m)
+    )
+    parts.append(f"""cb AS (
+            {union}
+        )""")
+    return ",\n        ".join(parts)
+
+
+@query(
+    "qe2_pq_knn",
+    oracle=f"""
+        WITH {_pq_training_ctes()},
+        corp AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings
+        ),
+        csub AS (
+            SELECT vec_id, sub.s,
+                   list_transform(
+                       list_slice(emb, sub.s * 4 + 1, sub.s * 4 + 4),
+                       x -> floor(x * 10000.0)) AS qv
+            FROM corp
+            CROSS JOIN (SELECT UNNEST(range(0, 16)) AS s) sub
+        ),
+        enc AS (
+            SELECT vec_id, s, sumv, cnt FROM (
+                SELECT c.vec_id, c.s, cb.sumv, cb.cnt,
+                       row_number() OVER (
+                           PARTITION BY c.vec_id, c.s
+                           ORDER BY list_dot_product(c.qv, cb.sumv)
+                                        / cb.cnt DESC,
+                                    cb.cid ASC
+                       ) AS rn
+                FROM csub c JOIN cb ON cb.s = c.s
+            ) WHERE rn = 1
+        ),
+        qsub AS (
+            SELECT vec_id AS q_id, s, qv FROM csub WHERE vec_id < 10
+        ),
+        terms AS (
+            SELECT q.q_id, e.vec_id,
+                   floor(1024.0 * list_dot_product(q.qv, e.sumv)
+                         / e.cnt) AS term
+            FROM qsub q
+            JOIN enc e ON e.s = q.s AND e.vec_id <> q.q_id
+        ),
+        shortlist AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY q_id
+                           ORDER BY SUM(term) DESC, vec_id
+                       ) AS crank
+                FROM terms GROUP BY q_id, vec_id
+            ) WHERE crank <= 100
+        ),
+        qfull AS (
+            SELECT vec_id,
+                   list_transform(emb, x -> floor(x * 10000.0)) AS qv
+            FROM corp
+        ),
+        refined AS (
+            SELECT s.q_id, s.vec_id,
+                   list_dot_product(qa.qv, qb.qv) AS xdot
+            FROM shortlist s
+            JOIN qfull qa ON qa.vec_id = s.q_id
+            JOIN qfull qb ON qb.vec_id = s.vec_id
+        ),
+        r AS (
+            SELECT q_id, vec_id,
+                   ROUND(xdot / 100000000.0, 6) AS score,
+                   row_number() OVER (
+                       PARTITION BY q_id
+                       ORDER BY xdot DESC, vec_id
+                   ) AS rank
+            FROM refined
+        )
+        SELECT q_id, vec_id, score, rank FROM r WHERE rank <= 10
+        ORDER BY q_id, rank
+    """,
+)
+def qe2(spark, sf_dir):
+    """Product-quantized kNN (PQ + ADC + exact refine) — the
+    memory-bound ANN regime next to LSH (q97), IVF (qa2) and SQ8 (qb6):
+    the corpus collapses to 16 codes over 32 codewords per vector (~10
+    bytes vs the 256-byte float column), each query becomes a 16×32
+    lookup table, the exhaustive pass scores a corpus row with 16
+    integer table lookups, and only the top-100 ADC candidates per
+    query get an exact integer dot before the final top-10 (the
+    shortlist/refine split that buys recall 0.9+ where direct ADC
+    measures ~0.4 on these near-isotropic fixtures — ablation in
+    docs/PERF_NOTES.md r11). Codebooks are trained per subspace with
+    the deterministic exact-integer spherical k-means of qa2's IVF
+    (operators/similarity.py train_pq_codebooks), so the oracle replays
+    training, encoding, ADC shortlisting, and the refine dot
+    bit-for-bit; every rank cut uses exact integers with id tie-breaks.
+
+    At 100 TB: train on the bounded id-pruned sample, encode once at
+    ingest, persist the code column — the exhaustive pass reads ~25×
+    fewer bytes than float32, the refine join touches 100 rows per
+    query regardless of corpus size; compose with IVF lists (qa2) when
+    the code scan itself becomes the bound. Queries ride a broadcast
+    LUT; the corpus is never shuffled."""
+    from rastercube_spark.operators.similarity import pq_knn
+
+    e = load(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return pq_knn(qs, e, dim=EMB_DIM, k=10).orderBy("q_id", "rank")

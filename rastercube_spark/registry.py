@@ -40,8 +40,10 @@ _ORACLES: dict[str, str] = {}
 # baseline with tests/make_attest.py IN THE SAME COMMIT that rotates
 # these lists; make_attest refuses to run while the rule is violated.
 #
-# Round 11 changed set — three entries, the exact diff of
+# Round 11 changed set — four entries, the exact diff of
 # rastercube_spark.attest.all_hashes() vs the r10 baseline:
+# qe2_pq_knn (product-quantized ANN: deterministic per-subspace
+# codebooks + integer-LUT ADC shortlist + exact refine),
 # qe1_containment_audit (doc-level cross-snapshot containment, the
 # per-document drill-down of qd8 — qd6's shingle-keyed topology) and
 # qe0_embedding_drift are NEW this round (per-label centroid-cosine
@@ -54,20 +56,21 @@ _ORACLES: dict[str, str] = {}
 # values are unchanged). The bench/CLI work (compact-line overflow
 # guard, guest-CPU fix, corpus-overlap verb) touches no closure.
 ATTEST_CHANGED: tuple[str, ...] = (
+    "qe2_pq_knn",
     "qe1_containment_audit",
     "qe0_embedding_drift",
     "qd8_snapshot_overlap",
 )
 
-# The 47 remaining window slots go oldest-first per tools/
+# The 46 remaining window slots go oldest-first per tools/
 # rotate_window.py's ground-truth reading of the CORRECTNESS_r*
 # artifacts: FIRST the ten r8-stale queries at the window's stated
 # 2-round maximum (qb3, qb4, qd4, qd6, qd7, qr01, qr03-qr05, qr09 —
 # queued "first for r11" last round and honored here, VERDICT r10
 # "Next round" #1), then the r9 cohort in the planner's (alphabetical)
-# order through qb6. Eight r9 queries (qb7, qb8, qb9, qd3, qr02,
+# order through qb5. Nine r9 queries (qb6, qb7, qb8, qb9, qd3, qr02,
 # qr06-qr08) don't fit and stay frozen at ≤2 rounds old, first in line
-# for r12 — with ~3 changed + 47 stale slots over 107 queries the
+# for r12 — with ~4 changed + 46 stale slots over 108 queries the
 # steady state
 # keeps every query ≤2 rounds from its last driver attestation.
 ATTEST_STALE: tuple[str, ...] = (
@@ -117,7 +120,6 @@ ATTEST_STALE: tuple[str, ...] = (
     "qa9_media_knn",
     "qb0_cosine_pairs_lsh",
     "qb5_quality_rules",
-    "qb6_quantized_knn",
 )
 
 ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE

@@ -418,3 +418,13 @@ def test_containment_audit_topk_no_pairs(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pq_knn_broadcast_query_side_no_corpus_shuffle(spark, sf_dir):
+    """qe2: the ADC pass broadcast-joins the tiny query-id side against
+    the encoded corpus (no corpus-sized shuffle before the per-query
+    window), the refine fetch is a keyed join, and nothing plans a
+    cartesian over the full corpus pair space."""
+    plan = _plan(spark, sf_dir, "qe2_pq_knn")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

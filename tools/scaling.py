@@ -37,6 +37,8 @@ sf-dir fixtures cap out near 5k rows, which cannot show a curve):
                              map-side argmax keeper + anti remainder
 - qe0  embedding drift       one Summarizer vector groupBy; reduce side
                              is n_labels rows regardless of n
+- qe2  PQ+ADC refine kNN     bounded-sample codebook training, linear
+                             integer-LUT code scan, fixed-size refine
 
 The two cheapest dedup audits (q92, qd8_sampled_anchor) additionally
 run a 320k (64×) leg — see EXT64_OPS.
@@ -353,6 +355,7 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
         embedding_drift,
         lsh_cosine_pairs,
         lsh_knn,
+        pq_knn,
         quantized_knn,
     )
     from rastercube_spark.operators.text import token_count
@@ -491,6 +494,14 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
                 dim=DIM,
             ),
             False,
+        ),
+        # r11: PQ+ADC shortlist / exact-refine kNN — loop-inclusive
+        # (codebook training runs at construction, 2 bounded-sample
+        # jobs); the timed region is training + LUT build + the linear
+        # code scan + the fixed-100-rows-per-query refine join.
+        "qe2_pq_knn": (
+            lambda: pq_knn(queries, emb, dim=DIM, k=10),
+            True,
         ),
     }
 
@@ -704,7 +715,8 @@ def main() -> int:
                      "qb7_group_sample", "qd3_label_consistency",
                      "qd4_neardup_decontam", "qd6_ngram_novelty",
                      "qd8_snapshot_overlap", "qd8_sampled_anchor",
-                     "qd9_keep_best", "qe0_embedding_drift")
+                     "qd9_keep_best", "qe0_embedding_drift",
+                     "qe2_pq_knn")
     ] + [
         (name, EXT_SIZE) for name in EXT64_OPS
     ] + [(name, s) for s in RASTER_SIZES for name in RASTER_OPS] + [
