@@ -319,11 +319,19 @@ def test_bench_per_query_external_attribution(monkeypatch, tmp_path, capsys):
     Functional: run the real loop on two cheap queries at sf0.001."""
     import bench
 
+    from pyspark.sql import SparkSession
+
     monkeypatch.setattr(bench, "HEADLINE", ["q01_scan_count",
                                             "q40_global_topk"])
     monkeypatch.setattr(bench, "N_SAMPLES", 1)
     monkeypatch.setattr(bench, "_wait_for_idle", lambda *a, **k: 0.0)
     monkeypatch.setattr(bench, "DETAIL_PATH", str(tmp_path / "detail.json"))
+    # bench.main() ends with spark.stop() — running it in-process would
+    # kill the suite's shared session-scoped SparkContext and fail every
+    # test after this module (observed: 192 cascade failures). Neuter
+    # stop for the test's duration; getOrCreate hands main() the shared
+    # session, which must survive.
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     bench.main()
     out = capsys.readouterr().out.strip().splitlines()[-1]
