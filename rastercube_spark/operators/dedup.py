@@ -626,3 +626,68 @@ def corpus_overlap(
             F.abs(F.col("est_jaccard") - F.col("exact_jaccard")) <= 0.3
         ).alias("within_03"),
     )
+
+
+def cross_source_overlap(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    size: int = 8,
+) -> DataFrame:
+    """Cross-source passage-overlap matrix: for every pair of sources,
+    how many distinct 8-token passages they share — the provenance-
+    contamination report a mixture designer reads before treating two
+    scrapes as independent (a high-overlap pair is a mirror or a
+    shared-boilerplate family; its docs double-count in qb3/qb8
+    weights). Whole-document fingerprints (q91) miss this entirely when
+    mirrors re-wrap content; passage granularity (qb4's convention:
+    non-overlapping ``size``-token windows, literal single-space
+    tokenization) catches it.
+
+    Returns (src_a, src_b, n_shared, n_a, n_b, overlap) for pairs with
+    at least one shared passage, src_a < src_b, where overlap =
+    n_shared / min(n_a, n_b) — the containment coefficient, so a small
+    source fully mirrored inside a large one still reads 1.0.
+
+    Scale shape: map-side explode to ~tokens/size passage hashes →
+    ONE distinct shuffle on (source, 16-byte hash) → self-equi-join on
+    the hash (fan-out per hash is bounded by the number of sources, not
+    corpus size) → map-side-combinable pair counts → two broadcast
+    joins against the per-source totals (one row per source). No text
+    ever crosses the wire; nothing is all-pairs in the corpus dimension.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("src"),
+        F.split(F.col(text_col), " ").alias("__tk"),
+    )
+    n = F.size("__tk")
+    starts = F.sequence(F.lit(0), n - 1, F.lit(size))
+    phs = F.transform(
+        starts,
+        lambda s: F.md5(F.array_join(F.slice(F.col("__tk"), s + 1, size), " ")),
+    )
+    p = toks.select("src", F.explode(phs).alias("ph")).distinct()
+    totals = p.groupBy("src").agg(F.count("*").alias("n_pass"))
+    shared = (
+        p.alias("a")
+        .join(p.alias("b"), "ph")
+        .where(F.col("a.src") < F.col("b.src"))
+        .groupBy(
+            F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    n_a = totals.select(F.col("src").alias("src_a"), F.col("n_pass").alias("n_a"))
+    n_b = totals.select(F.col("src").alias("src_b"), F.col("n_pass").alias("n_b"))
+    return shared.join(F.broadcast(n_a), "src_a").join(
+        F.broadcast(n_b), "src_b"
+    ).select(
+        "src_a",
+        "src_b",
+        "n_shared",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("n_shared").cast("double") / F.least("n_a", "n_b"), 6
+        ).alias("overlap"),
+    )

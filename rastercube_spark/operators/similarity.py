@@ -1250,3 +1250,81 @@ def pq_knn(
             "rank",
         )
     )
+
+
+def label_centroid_outliers(
+    emb: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    quant_scale: int = 10_000,
+) -> DataFrame:
+    """Per-label embedding outliers: the k vectors of each label whose
+    cosine to their OWN label's centroid is lowest — the mislabel/noise
+    audit (cleanlab-style) a pipeline runs before trusting a label
+    column for stratified sampling (qb7), mixture weighting (qd2) or
+    label-consistency probes (qd3). A vector far from its label's
+    centroid is either mislabeled, an outlier worth manual review, or
+    evidence the label is not one cluster. Returns
+    (label, rank, vec_id, cos_centroid), rank 1 = most anomalous.
+
+    Determinism is qe0's recipe (embedding_drift): components quantized
+    to exact integers (floor(x·quant_scale)), per-label centroid SUM via
+    ONE map-side-combinable ``Summarizer.sum`` groupBy (cosine is
+    scale-invariant, so the /n division is unnecessary and the sum
+    vector IS the centroid), per-vector cosine against the label sum
+    with a fixed-order zip_with/aggregate fold matching DuckDB's
+    list_dot_product, ROUND(6) BEFORE ranking, id tie-break.
+
+    Scale shape: one scan for the sums (shuffle of n_labels partial
+    summaries), the label→sum map broadcasts (n_labels rows), the
+    per-vector score is map-side, and the per-label bottom-k runs as a
+    rank window that Spark 3.5+ executes with map-side WindowGroupLimit
+    — no task ever sorts more than its partition's slice of one label.
+    The corpus is never exploded dim-fold and never self-joined."""
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
+    from pyspark.sql import Window
+
+    q = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        F.transform(
+            vec_col,
+            lambda x: F.floor(x.cast("double") * quant_scale).cast("double"),
+        ).alias("qv"),
+    )
+    sums = (
+        q.select("label", array_to_vector(F.col("qv")).alias("v"))
+        .groupBy("label")
+        .agg(Summarizer.sum(F.col("v")).alias("sv"))
+        .select("label", vector_to_array(F.col("sv")).alias("sumv"))
+    )
+
+    def fold_dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    scored = q.join(F.broadcast(sums), "label").select(
+        "label",
+        "vec_id",
+        F.round(
+            fold_dot(F.col("qv"), F.col("sumv"))
+            / (
+                F.sqrt(fold_dot(F.col("qv"), F.col("qv")))
+                * F.sqrt(fold_dot(F.col("sumv"), F.col("sumv")))
+            ),
+            6,
+        ).alias("cos_centroid"),
+    )
+    w = Window.partitionBy("label").orderBy("cos_centroid", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("label", "rank", "vec_id", "cos_centroid")
+    )

@@ -84,3 +84,95 @@ def lang_guess(text: Column) -> Column:
             F.element_at(code_lookup, F.lit(len(codes)) - best["pri"])
         )
     )
+
+
+def bm25_topk(
+    docs,
+    terms: tuple[str, ...],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """BM25-style lexical top-k retrieval — the keyword leg of the search
+    surface next to the embedding kNN family (q96/q97/qa2/qb6/qe2):
+    contamination hunts, eval-set leaks and curation audits all start
+    with "find the documents that score highest for THESE terms", and at
+    100 TB that must be one corpus pass, not an inverted-index service.
+    Returns the top ``k`` (doc_id, n_terms, score) rows.
+
+    Scoring is BM25 with one deliberate substitution: the idf factor is
+    the LINEAR rarity ratio (N - df + 0.5) / (df + 0.5) instead of its
+    logarithm. log() is libm-version-dependent and the driver's gate is
+    an exact value hash (the qd2 sqrt-vs-pow lesson, _util.py); the
+    linear form is a strictly monotone transform of the standard idf, so
+    single-term rankings are identical and multi-term rankings simply
+    weight rarity harder. Every other op in the score is IEEE +,-,*,/
+    on identical inputs — exactly rounded and engine-identical:
+    token counts and doc frequencies are exact integers, avgdl is one
+    double division of exact sums, and the per-document total is a
+    FIXED-ORDER chain of additions over the terms tuple (conditional
+    MAX per term, coalesce to 0.0 — never a float SUM, whose order the
+    engine may permute). Rounded to 6 dp BEFORE ranking, id tie-break.
+
+    Scale shape: document length comes from ``size(split(...))`` — a
+    map-only pass, no explode; the explode feeds ONLY the term filter,
+    which prunes to the query's terms immediately (tf rows ≈ hit docs ×
+    terms); df is a |terms|-row aggregate that broadcasts back; the
+    global top-k is orderBy+limit → TakeOrdered, never a full sort.
+    Tokenization matches the shingle convention (lower, trim, split on
+    runs of whitespace)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__tk"),
+    )
+    dl = toks.select("doc_id", F.size("__tk").alias("dl"))
+    st = dl.agg(
+        (
+            F.sum("dl").cast("double") / F.count("dl").cast("double")
+        ).alias("avgdl"),
+        F.count("dl").cast("double").alias("n_docs"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("__tk").alias("tok"))
+        .where(F.col("tok").isin(*terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
+    sc = (
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (
+                F.lit(1.0)
+                - F.lit(b)
+                + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
+            )
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", "tok", sc.alias("sc"))
+    )
+    total = None
+    for t in terms:
+        part = F.coalesce(
+            F.max(F.when(F.col("tok") == t, F.col("sc"))), F.lit(0.0)
+        )
+        total = part if total is None else total + part
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.round(total, 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+    )

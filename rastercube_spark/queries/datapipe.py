@@ -2921,3 +2921,199 @@ def qe2(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return pq_knn(qs, e, dim=EMB_DIM, k=10).orderBy("q_id", "rank")
+
+
+@query(
+    "qe3_source_overlap",
+    oracle="""
+        WITH d AS (
+            SELECT source, string_split(text, ' ') AS toks FROM documents
+        ),
+        p AS (
+            SELECT DISTINCT source,
+                   md5(array_to_string(
+                       toks[st + 1 : least(st + 8, len(toks))], ' '
+                   )) AS ph
+            FROM (
+                SELECT source, toks, UNNEST(range(0, len(toks), 8)) AS st
+                FROM d
+            )
+        ),
+        n AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_pass
+            FROM p GROUP BY source
+        ),
+        sh AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM p a JOIN p b ON a.ph = b.ph AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT sh.src_a, sh.src_b, sh.n_shared,
+               na.n_pass AS n_a, nb.n_pass AS n_b,
+               ROUND(CAST(sh.n_shared AS DOUBLE)
+                     / LEAST(na.n_pass, nb.n_pass), 6) AS overlap
+        FROM sh
+        JOIN n na ON na.source = sh.src_a
+        JOIN n nb ON nb.source = sh.src_b
+        ORDER BY src_a, src_b
+    """,
+)
+def qe3(spark, sf_dir):
+    """Cross-source passage-overlap matrix (operators/dedup.py
+    cross_source_overlap): which sources mirror which, at qb4's 8-token
+    passage granularity — the provenance-contamination report read
+    before treating two scrapes as independent in mixture design
+    (qb3/qb8 weights double-count a mirrored pair). Exact whole-doc
+    fingerprints find ZERO cross-source duplicates on this corpus (the
+    synthetic dups stay within a source — verified against the fixture);
+    passage granularity is what surfaces the shared boilerplate.
+    overlap = n_shared / min(n_a, n_b): containment, so a small source
+    fully mirrored inside a large one reads 1.0.
+
+    Scale shape (see the operator docstring): map-side explode → one
+    distinct shuffle on (source, 16-byte hash) → hash-keyed self-join
+    whose fan-out is bounded by the source count → combinable pair
+    counts → broadcast totals. No reference analog."""
+    from rastercube_spark.operators.dedup import cross_source_overlap
+
+    return cross_source_overlap(_docs(spark, sf_dir)).orderBy(
+        "src_a", "src_b"
+    )
+
+
+@query(
+    "qe4_embedding_outliers",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id, label,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> floor(x * 10000.0)) AS qv
+            FROM embeddings
+        ),
+        comp AS (
+            SELECT label, ix.i AS i, SUM(qv[ix.i]) AS sv
+            FROM q
+            CROSS JOIN (SELECT UNNEST(range(1, {EMB_DIM + 1})) AS i) ix
+            GROUP BY label, ix.i
+        ),
+        sums AS (
+            SELECT label, list(sv ORDER BY i) AS sumv
+            FROM comp GROUP BY label
+        ),
+        scored AS (
+            SELECT q.label, q.vec_id,
+                   ROUND(list_dot_product(q.qv, s.sumv)
+                         / (sqrt(list_dot_product(q.qv, q.qv))
+                            * sqrt(list_dot_product(s.sumv, s.sumv))), 6)
+                       AS cos_centroid
+            FROM q JOIN sums s USING (label)
+        ),
+        r AS (
+            SELECT label, vec_id, cos_centroid,
+                   row_number() OVER (
+                       PARTITION BY label ORDER BY cos_centroid, vec_id
+                   ) AS rank
+            FROM scored
+        )
+        SELECT label, rank, vec_id, cos_centroid
+        FROM r WHERE rank <= 5
+        ORDER BY label, rank
+    """,
+)
+def qe4(spark, sf_dir):
+    """Per-label embedding outliers (operators/similarity.py
+    label_centroid_outliers): the 5 vectors of each label with the
+    lowest cosine to their own label's centroid — the mislabel/noise
+    audit run before trusting a label column for stratified sampling
+    (qb7), mixture weighting (qd2) or the qd3 consistency probe. qe0
+    answers "did the LABEL move between snapshots"; qe4 answers "which
+    MEMBERS don't belong" — same Summarizer centroid machinery, row
+    granularity instead of label granularity.
+
+    Determinism: qe0's quantized-integer recipe end to end; cosine
+    rounded to 6 dp BEFORE ranking, vec_id tie-break. Scale shape: one
+    Summarizer.sum groupBy (n_labels partials), broadcast label→sum
+    map, map-side scoring, per-label bottom-k via a rank window that
+    runs under map-side WindowGroupLimit. No reference analog."""
+    from rastercube_spark.operators.similarity import label_centroid_outliers
+
+    return label_centroid_outliers(
+        load(spark, sf_dir, "embeddings"), dim=EMB_DIM, k=5
+    ).orderBy("label", "rank")
+
+
+@query(
+    "qe5_bm25_topk",
+    oracle="""
+        WITH tk AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+            FROM documents
+        ),
+        dl AS (SELECT doc_id, len(tk) AS dl FROM tk),
+        st AS (
+            SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(dl) AS DOUBLE)
+                       AS avgdl,
+                   CAST(COUNT(dl) AS DOUBLE) AS n_docs
+            FROM dl
+        ),
+        tf AS (
+            SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+            FROM (SELECT doc_id, UNNEST(tk) AS tok FROM tk)
+            WHERE tok IN ('dup', 'join', 'query', 'vector')
+            GROUP BY doc_id, tok
+        ),
+        df AS (
+            SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok
+        ),
+        s AS (
+            SELECT tf.doc_id, tf.tok,
+                   (st.n_docs - df.df + 0.5) / (df.df + 0.5)
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (1.0 - 0.75
+                      + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl))) AS sc
+            FROM tf
+            JOIN df USING (tok)
+            JOIN dl USING (doc_id)
+            CROSS JOIN st
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   COALESCE(MAX(CASE WHEN tok = 'dup' THEN sc END), 0.0)
+                 + COALESCE(MAX(CASE WHEN tok = 'join' THEN sc END), 0.0)
+                 + COALESCE(MAX(CASE WHEN tok = 'query' THEN sc END), 0.0)
+                 + COALESCE(MAX(CASE WHEN tok = 'vector' THEN sc END), 0.0)
+                       AS score
+            FROM s GROUP BY doc_id
+        )
+        SELECT doc_id, n_terms, ROUND(score, 6) AS score
+        FROM agg
+        ORDER BY score DESC, doc_id
+        LIMIT 20
+    """,
+)
+def qe5(spark, sf_dir):
+    """BM25 lexical top-k retrieval (operators/text.py bm25_topk) for
+    the fixed query {dup, join, query, vector} — the keyword leg of the
+    search surface next to the embedding ANN family (q96/q97/qa2/qb6/
+    qe2); contamination hunts and curation audits start from "the docs
+    that score highest for THESE terms", as one corpus pass with no
+    index service. idf uses the LINEAR rarity ratio (N-df+.5)/(df+.5)
+    — a monotone transform of the log form chosen because log() is
+    libm-version-dependent while the driver's gate is an exact value
+    hash (the qd2 sqrt-vs-pow lesson); every other op is IEEE +,-,*,/
+    on exact-integer-derived inputs, the per-doc total is a fixed-order
+    addition chain over the term tuple (never a float SUM), and the
+    score is rounded to 6 dp before the ranking with an id tie-break.
+
+    Scale shape (operator docstring): dl from size(split()) map-only;
+    the explode feeds only the term IN-filter (tf rows ≈ hit docs ×
+    |terms|); df broadcasts (|terms| rows); top-k is TakeOrdered.
+    No reference analog."""
+    from rastercube_spark.operators.text import bm25_topk
+
+    return bm25_topk(
+        _docs(spark, sf_dir), terms=("dup", "join", "query", "vector"), k=20
+    )

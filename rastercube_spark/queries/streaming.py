@@ -313,3 +313,63 @@ def q76(spark, sf_dir):
         )
         .orderBy("view_id", "click_id")
     )
+
+
+@query(
+    "q77_dedup_within_watermark",
+    oracle="""
+        WITH RECURSIVE e AS (
+            SELECT event_id, ts, user_id, event_type, value,
+                   row_number() OVER (
+                       PARTITION BY user_id, event_type ORDER BY event_id
+                   ) AS idx,
+                   max(ts) OVER (
+                       ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) - INTERVAL '24 hours' AS wm
+            FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        ),
+        chain AS (
+            SELECT user_id, event_type, idx, event_id, ts, value,
+                   ts AS anchor, TRUE AS kept
+            FROM e WHERE idx = 1
+            UNION ALL
+            SELECT e.user_id, e.event_type, e.idx, e.event_id, e.ts,
+                   e.value,
+                   CASE WHEN e.wm >= c.anchor + INTERVAL '24 hours'
+                        THEN e.ts ELSE c.anchor END,
+                   COALESCE(e.wm >= c.anchor + INTERVAL '24 hours', FALSE)
+            FROM chain c
+            JOIN e ON e.user_id IS NOT DISTINCT FROM c.user_id
+                  AND e.event_type IS NOT DISTINCT FROM c.event_type
+                  AND e.idx = c.idx + 1
+        )
+        SELECT event_id, ts, user_id, event_type, value
+        FROM chain WHERE kept
+        ORDER BY event_id
+    """,
+)
+def q77(spark, sf_dir):
+    """Time-bounded streaming dedup in its deterministic batch form
+    (streaming/stateful.py dedup_within_watermark): the replay of
+    ``withWatermark('ts', '24 hours').dropDuplicatesWithinWatermark(
+    ['user_id', 'event_type'])`` with one event per trigger in
+    event_id (arrival) order — the first event of a key anchors, later
+    events of the key are dropped while the anchor's state lives, the
+    state is evicted once the watermark (prior-arrival max event time
+    minus 24 h) REACHES anchor_ts + 24 h (non-strict — the conformance
+    test pins the equality boundary), and the next
+    occurrence re-anchors. q74 dedups forever (exact once-only ids);
+    q77 is the DOUBLE-SEND suppressor, the missing time-bounded member
+    of the dedup family — and the oracle is the state machine itself,
+    written as a per-key recursive chain over the arrival order (depth
+    = events per key, bounded).
+
+    The true streaming pipeline (readStream → withWatermark →
+    dropDuplicatesWithinWatermark → append sink) is conformance-tested
+    in tests/test_streaming.py, including the exact eviction boundary,
+    via the row-granular EventReplay harness."""
+    from rastercube_spark.streaming.stateful import dedup_within_watermark
+
+    e = load(spark, sf_dir, "events")
+    return dedup_within_watermark(e, delay_s=24 * 3600)

@@ -40,17 +40,23 @@ _ORACLES: dict[str, str] = {}
 # baseline with tests/make_attest.py IN THE SAME COMMIT that rotates
 # these lists; make_attest refuses to run while the rule is violated.
 #
-# Round 11 changed set — four entries, the exact diff of
-# rastercube_spark.attest.all_hashes() vs the r10 baseline:
+# Round 11 changed set — eight entries, the exact diff of
+# rastercube_spark.attest.all_hashes() vs the r10 baseline. Seven are
+# NEW queries (a NEW query must be attested the round it lands):
 # qe2_pq_knn (product-quantized ANN: deterministic per-subspace
 # codebooks + integer-LUT ADC shortlist + exact refine),
 # qe1_containment_audit (doc-level cross-snapshot containment, the
-# per-document drill-down of qd8 — qd6's shingle-keyed topology) and
-# qe0_embedding_drift are NEW this round (per-label centroid-cosine
-# drift between vec_id-parity snapshots: quantized exact-integer
-# components, one Summarizer.sum groupBy — the first pyspark.ml
-# vector-aggregation user; a NEW query must be attested the round it
-# lands), and qd8_snapshot_overlap's closure changed because
+# per-document drill-down of qd8 — qd6's shingle-keyed topology),
+# qe0_embedding_drift (per-label centroid-cosine drift between
+# vec_id-parity snapshots: quantized exact-integer components, one
+# Summarizer.sum groupBy — the first pyspark.ml vector-aggregation
+# user), qe3_source_overlap (cross-source passage-overlap matrix —
+# provenance contamination), qe4_embedding_outliers (per-label
+# cosine-to-centroid bottom-k — the mislabel audit),
+# qe5_bm25_topk (lexical BM25 top-k, linear-idf determinism variant)
+# and q77_dedup_within_watermark (time-bounded streaming dedup, batch
+# replay of dropDuplicatesWithinWatermark with a recursive-CTE
+# oracle). qd8_snapshot_overlap's closure changed because
 # corpus_overlap now VALIDATES anchor_rate instead of silently
 # clamping (ADVICE r10; the registered query pins anchor='full' so its
 # values are unchanged). The bench/CLI work (compact-line overflow
@@ -59,20 +65,25 @@ ATTEST_CHANGED: tuple[str, ...] = (
     "qe2_pq_knn",
     "qe1_containment_audit",
     "qe0_embedding_drift",
+    "qe3_source_overlap",
+    "qe4_embedding_outliers",
+    "qe5_bm25_topk",
+    "q77_dedup_within_watermark",
     "qd8_snapshot_overlap",
 )
 
-# The 46 remaining window slots go oldest-first per tools/
+# The 42 remaining window slots go oldest-first per tools/
 # rotate_window.py's ground-truth reading of the CORRECTNESS_r*
 # artifacts: FIRST the ten r8-stale queries at the window's stated
 # 2-round maximum (qb3, qb4, qd4, qd6, qd7, qr01, qr03-qr05, qr09 —
 # queued "first for r11" last round and honored here, VERDICT r10
 # "Next round" #1), then the r9 cohort in the planner's (alphabetical)
-# order through qb5. Nine r9 queries (qb6, qb7, qb8, qb9, qd3, qr02,
-# qr06-qr08) don't fit and stay frozen at ≤2 rounds old, first in line
-# for r12 — with ~4 changed + 46 stale slots over 108 queries the
-# steady state
-# keeps every query ≤2 rounds from its last driver attestation.
+# order through q81. Thirteen r9 queries (qb5, qb6, qb7, qb8, qb9,
+# qd3, qr02, qr06-qr08, and — displaced when this session's four new
+# queries grew ATTEST_CHANGED from 4 to 8 slots — q96, qa9, qb0)
+# don't fit and stay frozen at ≤2 rounds old, first in line for r12 —
+# with ~4-8 changed + ~42 stale slots over 112 queries the steady
+# state keeps every query ≤2 rounds from its last driver attestation.
 ATTEST_STALE: tuple[str, ...] = (
     "qb3_mixture_sample",
     "qb4_passage_dedup",
@@ -116,10 +127,6 @@ ATTEST_STALE: tuple[str, ...] = (
     "q73_watermark_late_data",
     "q74_stateful_dedup",
     "q81_grouped_map_udf",
-    "q96_knn_bruteforce",
-    "qa9_media_knn",
-    "qb0_cosine_pairs_lsh",
-    "qb5_quality_rules",
 )
 
 ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE

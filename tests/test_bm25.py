@@ -1,0 +1,62 @@
+"""BM25 operator semantics on constructed corpora (operators/text.py
+bm25_topk): rarity weighting, length normalization, tf saturation, and
+partition invariance — the ranking properties the qe5 oracle can't
+express as requirements (it only proves engine agreement)."""
+
+from __future__ import annotations
+
+from rastercube_spark.operators.text import bm25_topk
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _scores(df):
+    return {r["doc_id"]: (r["n_terms"], r["score"]) for r in df.collect()}
+
+
+def test_rare_term_outweighs_common(spark):
+    """One 'needle' hit (df=1) must outrank one 'hay' hit (df=9) at
+    equal tf and document length."""
+    filler = " ".join(f"f{i}" for i in range(10))
+    rows = [(i, f"hay {filler}") for i in range(9)]
+    rows.append((9, f"needle {filler}"))
+    out = bm25_topk(_corpus(spark, rows), terms=("hay", "needle"), k=10)
+    s = _scores(out)
+    assert s[9][1] > s[0][1]
+
+
+def test_length_normalization_and_tf(spark):
+    """Same single term hit: the shorter document scores higher; two
+    hits beat one at equal length."""
+    rows = [
+        (1, "term " + " ".join(f"f{i}" for i in range(4))),    # short, tf 1
+        (2, "term " + " ".join(f"f{i}" for i in range(40))),   # long, tf 1
+        (3, "term term " + " ".join(f"f{i}" for i in range(3))),  # tf 2
+    ]
+    s = _scores(bm25_topk(_corpus(spark, rows), terms=("term",), k=10))
+    assert s[1][1] > s[2][1]  # shorter wins
+    assert s[3][1] > s[1][1]  # more hits win
+    assert s[1][0] == s[2][0] == s[3][0] == 1  # n_terms counts DISTINCT terms
+
+
+def test_multi_term_and_partition_invariance(spark):
+    """A doc hitting both terms outranks single-hit docs of the same
+    shape, and the exact (score, order) is invariant under input
+    partitioning — the fixed-order addition chain at work."""
+    filler = " ".join(f"f{i}" for i in range(8))
+    rows = [
+        (1, f"alpha beta {filler}"),
+        (2, f"alpha {filler} x"),
+        (3, f"beta {filler} x"),
+        (4, filler + " y z"),
+    ]
+    docs = _corpus(spark, rows)
+    a = [tuple(r) for r in bm25_topk(docs, terms=("alpha", "beta")).collect()]
+    assert a[0][0] == 1 and a[0][1] == 2  # doc 1, n_terms 2, ranked first
+    b = [
+        tuple(r)
+        for r in bm25_topk(docs.repartition(5), terms=("alpha", "beta")).collect()
+    ]
+    assert a == b

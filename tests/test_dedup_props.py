@@ -273,3 +273,51 @@ def test_corpus_overlap_anchor_modes(spark):
         .collect()[0]["anchor_rate"]
         == 1.0
     )
+
+
+def test_cross_source_overlap_containment_and_disjoint(spark):
+    """A small source whose every passage also appears in a big source
+    reads overlap 1.0 (containment, not Jaccard); a disjoint source
+    never pairs. 8 tokens per passage → each doc below is exactly two
+    passages."""
+    words = [f"w{i}" for i in range(16)]
+    shared = " ".join(words)  # passages: w0..w7, w8..w15
+    other = " ".join(f"x{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [
+            (1, shared, "big"),
+            (2, other, "big"),
+            (3, shared, "small"),   # fully contained in big
+            (4, " ".join(f"y{i}" for i in range(16)), "lone"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    from rastercube_spark.operators.dedup import cross_source_overlap
+
+    rows = {
+        (r["src_a"], r["src_b"]): r
+        for r in cross_source_overlap(docs).collect()
+    }
+    assert set(rows) == {("big", "small")}
+    r = rows[("big", "small")]
+    assert (r["n_shared"], r["n_a"], r["n_b"]) == (2, 4, 2)
+    assert r["overlap"] == 1.0
+
+
+def test_cross_source_overlap_partition_invariant(spark):
+    """The matrix is a pure set property of (source, passage) — any
+    input partitioning gives identical rows."""
+    docs = spark.createDataFrame(
+        [
+            # i % 5 rotates the text start, i % 3 the source, so some
+            # passages repeat across sources and some don't
+            (i, " ".join(f"t{j}" for j in range(i % 5, i % 5 + 12)), f"s{i % 3}")
+            for i in range(30)
+        ],
+        "doc_id long, text string, source string",
+    )
+    from rastercube_spark.operators.dedup import cross_source_overlap
+
+    a = sorted(map(tuple, cross_source_overlap(docs).collect()))
+    b = sorted(map(tuple, cross_source_overlap(docs.repartition(7)).collect()))
+    assert a == b and len(a) > 0

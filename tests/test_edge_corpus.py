@@ -64,6 +64,8 @@ QUERIES = [
     "qb7_group_sample",
     "qb8_mixture_upsample",
     "qb9_dataset_report",
+    "qe3_source_overlap",
+    "qe5_bm25_topk",
 ]
 
 

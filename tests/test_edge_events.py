@@ -98,3 +98,52 @@ def test_edge_events_vs_oracle(name, spark, edge_ev_dir, edge_ev_duck):
     df = registry.queries()[name](spark, edge_ev_dir)
     report = compare(df, edge_ev_duck, registry.oracle_sql()[name])
     assert report["ok"], report
+
+
+# q77 dedups over the ARRIVAL LOG: event_id is its arrival sequence
+# number, so the contract requires it unique (true of the driver table
+# by construction — TESTDATA.md). Under a duplicated event_id the
+# arrival order itself is undefined, so q77 is edge-tested on the
+# unique-arrival subset — keeping every NULL-key row, which is the
+# interesting part: NULL user_id / event_type form their OWN dedup key
+# (Spark groupBy semantics; the oracle's recursive chain joins with
+# IS NOT DISTINCT FROM to match).
+@pytest.fixture(scope="module")
+def edge_ev_unique_dir(tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("edge_events_uniq")
+    for f in os.listdir(BASE_SF):
+        if f != "events.parquet":
+            os.symlink(os.path.join(BASE_SF, f), os.path.join(d, f))
+    seen: set[int] = set()
+    rows = []
+    for r in EDGE_EVENTS:
+        if r[0] in seen:
+            continue
+        seen.add(r[0])
+        rows.append(r)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    return str(d)
+
+
+def test_edge_events_dedup_within_watermark(spark, edge_ev_unique_dir):
+    con = duck_connection(edge_ev_unique_dir)
+    try:
+        df = registry.queries()["q77_dedup_within_watermark"](
+            spark, edge_ev_unique_dir
+        )
+        report = compare(
+            df, con, registry.oracle_sql()["q77_dedup_within_watermark"]
+        )
+        assert report["ok"], report
+    finally:
+        con.close()

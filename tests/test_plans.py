@@ -428,3 +428,55 @@ def test_pq_knn_broadcast_query_side_no_corpus_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "qe2_pq_knn")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_source_overlap_keyed_self_join_broadcast_totals(spark, sf_dir):
+    """qe3: the passage self-join is a hash-keyed equi-join (fan-out
+    bounded by the source count — never a cartesian/BNLJ over passage
+    space) and both per-source total joins ride broadcasts."""
+    plan = _plan(spark, sf_dir, "qe3_source_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_embedding_outliers_one_pass_group_limit(spark, sf_dir):
+    """qe4: no explode anywhere (the corpus is never inflated
+    dim-fold), the label→sum map broadcasts, the Summarizer centroid
+    aggregate runs partial+final, and the per-label bottom-k executes
+    under map-side WindowGroupLimit (Partial + Final), never a
+    whole-label sort in one task feeding a filter."""
+    plan = _plan(spark, sf_dir, "qe4_embedding_outliers")
+    assert "Generate" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("ObjectHashAggregate") >= 2
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_topk_takeordered_broadcast_stats(spark, sf_dir):
+    """qe5: the global top-k is TakeOrdered (no full sort), df is a
+    broadcast hash join, and the only nested-loop is the 1-row
+    avgdl/N scalar broadcast (the sanctioned scalar cross-join
+    shape)."""
+    plan = _plan(spark, sf_dir, "qe5_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # scalar cross join: BNLJ build side is the single-row stats agg
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_dedup_within_watermark_distributed_prefix(spark, sf_dir):
+    """q77: the prior-arrival max rides the distributed prefix scan —
+    a bucketed window, NEVER a single-task global window (no
+    'Window [... ORDER BY' without a partition spec feeding the whole
+    relation through one task) — and the per-key chain is one
+    FlatMapGroupsInPandas over the key columns."""
+    plan = _plan(spark, sf_dir, "q77_dedup_within_watermark")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    # the prefix operator's window is bucket-partitioned — nothing in
+    # the plan funnels the relation through one task
+    assert "windowspecdefinition(__bkt" in plan
+    assert "Exchange SinglePartition" not in plan

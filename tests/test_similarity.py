@@ -426,3 +426,43 @@ def test_pq_knn_refined_recall(spark, sf_dir):
             expect = float(Qv[ids == v][0] @ Qv[q]) / 1e8
             assert abs(got[q][v] - expect) <= 1e-6
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_label_centroid_outliers_flags_planted_vector(spark):
+    """A planted vector pointing AWAY from its label's centroid must be
+    that label's rank-1 outlier; a tight label has no outlier below
+    cosine ~1; result invariant under repartition."""
+    import math
+
+    from rastercube_spark.operators.similarity import label_centroid_outliers
+
+    dim = 8
+    base = [1.0] + [0.0] * (dim - 1)
+    rows = []
+    vid = 0
+    for _ in range(20):  # tight cluster on +x for label 'a'
+        rows.append((vid, [v + 0.001 * (vid % 3) for v in base], "a"))
+        vid += 1
+    rows.append((vid, [-v for v in base], "a"))  # the planted outlier
+    planted = vid
+    vid += 1
+    for _ in range(10):  # label 'b', orthogonal axis
+        rows.append((vid, [0.0, 1.0] + [0.0] * (dim - 2), "b"))
+        vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = label_centroid_outliers(emb, dim=dim, k=3)
+    got = {(r["label"], r["rank"]): r for r in out.collect()}
+    assert got[("a", 1)]["vec_id"] == planted
+    assert got[("a", 1)]["cos_centroid"] < 0  # anti-aligned
+    assert got[("a", 2)]["cos_centroid"] > 0.99  # the rest are tight
+    assert math.isclose(got[("b", 1)]["cos_centroid"], 1.0, abs_tol=1e-5)
+
+    again = {
+        (r["label"], r["rank"]): r["vec_id"]
+        for r in label_centroid_outliers(
+            emb.repartition(7), dim=dim, k=3
+        ).collect()
+    }
+    assert again == {k: v["vec_id"] for k, v in got.items()}

@@ -468,3 +468,79 @@ def test_stream_stream_join_drops_late_view_row_granular(spark, tmp_path):
     assert (1, 2) in pairs_fine and (1, 2) in pairs_coarse  # on-time pair
     assert (6, 7) in pairs_coarse, "single-trigger replay must emit (v6,c7)"
     assert (6, 7) not in pairs_fine, "row-granular replay must drop late v6"
+
+
+def test_dedup_within_watermark_conformance(spark, tmp_path):
+    """q77's batch form vs the REAL dropDuplicatesWithinWatermark at row
+    granularity, including the exact eviction boundary. Fixture (delay
+    1 h; 'view' is the audited key, 'tick' rows advance the watermark
+    from a different key; each advancing tick is doubled so the harness'
+    shift-2 watermark propagation — see test_watermark_drops_row_granular
+    — and the batch form's ideal shift-1 reach the same verdicts):
+
+    - e1 view 10:00 → kept, anchors (expires when wm > 11:00)
+    - e3 view 10:30 → wm 09:30 ≤ 11:00 → dropped
+    - e4/e5 ticks 12:00 → wm 11:00
+    - e6 view 11:55 → wm 11:00 = anchor expiry: eviction is NON-strict
+      (state whose expiresAt equals the watermark is gone) → KEPT and
+      re-anchors  ← the boundary case, pinned against the real operator
+    - e7/e8 ticks 12:01 → wm 11:01
+    - e9 view 11:58 → wm 11:01 < e6's expiry 12:55 → dropped
+    - tick chain: e2 kept, e4/e5/e7/e8 all within its horizon → dropped
+    """
+    ev = _mk_events(
+        [
+            (1, "2024-01-01 10:00:00", 1, "view", 1.0),
+            (2, "2024-01-01 10:30:00", 1, "tick", 1.0),
+            (3, "2024-01-01 10:30:00", 1, "view", 1.0),
+            (4, "2024-01-01 12:00:00", 1, "tick", 1.0),
+            (5, "2024-01-01 12:00:00", 1, "tick", 1.0),
+            (6, "2024-01-01 11:55:00", 1, "view", 1.0),
+            (7, "2024-01-01 12:01:00", 1, "tick", 1.0),
+            (8, "2024-01-01 12:01:00", 1, "tick", 1.0),
+            (9, "2024-01-01 11:58:00", 1, "view", 1.0),
+        ]
+    )
+
+    fine = EventReplay.from_rows(
+        spark, ev, str(tmp_path / "fine"), rows_per_file=1
+    )
+    s = (
+        fine.stream(max_files_per_trigger=1)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    sink = run_to_completion(s, fine, "t77_sink", flushes=1).where(
+        F.col("event_type") != "__sentinel__"
+    )
+
+    from rastercube_spark.streaming.stateful import dedup_within_watermark
+
+    batch = dedup_within_watermark(spark.createDataFrame(ev), delay_s=3600)
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    got_stream = _rows(sink, cols)
+    got_batch = _rows(batch, cols)
+    assert [r[0] for r in got_batch] == [1, 2, 6]
+    assert got_stream == got_batch
+
+
+def test_dedup_within_watermark_batch_chain(spark):
+    """The batch operator's per-key chain in isolation: re-anchoring
+    after eviction starts a NEW horizon (e5 is judged against e4's
+    anchor, not e1's), and keys never interact."""
+    ev = _mk_events(
+        [
+            (1, "2024-01-01 10:00:00", 1, "view", 1.0),
+            (2, "2024-01-01 23:00:00", 2, "view", 1.0),  # other key
+            (3, "2024-01-01 23:30:00", 2, "view", 1.0),  # wm 22:30
+            (4, "2024-01-01 22:00:00", 1, "view", 1.0),  # evicted → kept
+            (5, "2024-01-01 22:30:00", 1, "view", 1.0),  # within e4's
+        ]
+    )
+    from rastercube_spark.streaming.stateful import dedup_within_watermark
+
+    out = dedup_within_watermark(
+        spark.createDataFrame(ev), delay_s=3600
+    ).collect()
+    assert [r["event_id"] for r in out] == [1, 2, 4]
