@@ -164,6 +164,13 @@ HEADLINE = [
     "q26_zonal_stats",
     "q27_argmax_gather",
     "q28_zonal_percentile",
+    # this session's additions: cross-source passage overlap, per-label
+    # embedding outliers, BM25 lexical top-k, time-bounded streaming
+    # dedup (batch form)
+    "qe3_source_overlap",
+    "qe4_embedding_outliers",
+    "qe5_bm25_topk",
+    "q77_dedup_within_watermark",
 ]
 
 # Driver-iterative queries: the query function itself executes work

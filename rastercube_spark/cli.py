@@ -13,6 +13,8 @@ reference user's workflows have drop-in analogs:
 | — | ``clean-corpus`` (training-data dedup + quality pipeline) |
 | — | ``sample-corpus`` (deterministic mixture down/up-sampling) |
 | — | ``corpus-overlap`` (snapshot-overlap audit; ``--anchor full|sampled|none`` scale policy) |
+| — | ``source-overlap`` (cross-source passage-overlap matrix) |
+| — | ``search`` (BM25 keyword top-k over the corpus) |
 
 Usage: ``python -m rastercube_spark.cli <subcommand> ...``
 """
@@ -396,6 +398,46 @@ def cmd_corpus_overlap(args) -> int:
     return 0
 
 
+def cmd_source_overlap(args) -> int:
+    """Cross-source passage-overlap matrix (qe3's operator): which
+    sources mirror which at 8-token passage granularity — run before
+    mixture design, since two mirrored scrapes double-count in the
+    sample-corpus weights. Prints one JSON line per source pair."""
+    import json as _json
+
+    from rastercube_spark.operators.dedup import cross_source_overlap
+    from rastercube_spark.sources.tables import load
+
+    spark = _spark()
+    docs = load(spark, args.sf_dir, "documents")
+    rows = (
+        cross_source_overlap(docs, size=args.passage_tokens)
+        .orderBy("src_a", "src_b")
+        .collect()
+    )
+    for r in rows:
+        print(_json.dumps(r.asDict(), sort_keys=True))
+    return 0
+
+
+def cmd_search(args) -> int:
+    """BM25 keyword search over the documents table (qe5's operator,
+    linear-idf determinism variant): the lexical leg of the search
+    surface — contamination hunts and curation audits start here.
+    Prints the top-k as JSON lines."""
+    import json as _json
+
+    from rastercube_spark.operators.text import bm25_topk
+    from rastercube_spark.sources.tables import load
+
+    spark = _spark()
+    docs = load(spark, args.sf_dir, "documents")
+    terms = tuple(sorted(set(t.lower() for t in args.terms)))
+    for r in bm25_topk(docs, terms=terms, k=args.k).collect():
+        print(_json.dumps(r.asDict(), sort_keys=True))
+    return 0
+
+
 def cmd_sample_corpus(args) -> int:
     """Apply a mixture spec (JSON: source → weight) to the documents
     table with DETERMINISTIC hash sampling — weight < 1 downsamples
@@ -620,6 +662,18 @@ def build_parser() -> argparse.ArgumentParser:
                     help="shingle-space keep rate for --anchor sampled")
     co.add_argument("--k", type=int, default=3)
     co.set_defaults(fn=cmd_corpus_overlap)
+
+    so = sub.add_parser("source-overlap")
+    so.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    so.add_argument("--passage-tokens", type=int, default=8)
+    so.set_defaults(fn=cmd_source_overlap)
+
+    se = sub.add_parser("search")
+    se.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    se.add_argument("--terms", nargs="+", required=True,
+                    help="query terms (lowercased, deduped, sorted)")
+    se.add_argument("--k", type=int, default=20)
+    se.set_defaults(fn=cmd_search)
 
     sc = sub.add_parser("sample-corpus")
     sc.add_argument("--sf-dir", default="/root/testdata/sf0.01")

@@ -95,43 +95,60 @@ def dedup_within_watermark(
     Scale shape: the global prior-arrival max rides the distributed
     prefix scan (operators/prefix.py — range partition + per-partition
     window + broadcast offsets, no single-task window); the per-key
-    chain is applyInPandas over the key, sequential only within a key's
-    (bounded) event list. The deployment path at 100 TB/day is the REAL
-    streaming operator (state in RocksDB, no replay); this batch form
-    exists for audits and as the oracle-checkable twin."""
+    chain runs as mapInPandas over key-REPARTITIONED, key-then-arrival
+    SORTED partitions — one Python invocation per partition, NOT one
+    per key (the first cut used groupBy.applyInPandas and spent ~12 ms
+    of Arrow/worker round-trip per tiny key group: 9.2 s for 750 keys
+    × ~13 rows at sf0.01; the partition-batched form reads the same
+    10k rows in well under a second). Anchor state is carried across
+    Arrow batches inside a partition (the iterator yields batches in
+    partition order), and key changes are detected null-safely, so a
+    NULL user_id / event_type still forms its own dedup key exactly as
+    groupBy semantics would. The deployment path at 100 TB/day is the
+    REAL streaming operator (state in RocksDB, no replay); this batch
+    form exists for audits and as the oracle-checkable twin."""
     import numpy as np
-
-    from pyspark.sql import functions as F
 
     from rastercube_spark.operators.prefix import running_max_exclusive
 
-    delay = pd.Timedelta(seconds=delay_s)
+    delay64 = np.timedelta64(int(delay_s), "s")
+    out_cols = ["event_id", ts_col, "user_id", "event_type", "value"]
 
-    e = running_max_exclusive(
-        events.select(
-            "event_id", ts_col, "user_id", "event_type", "value"
-        ),
-        order_col,
-        ts_col,
-    ).withColumnRenamed("__running_max", "prior_max")
-
-    def chain(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col)
-        wm = pdf["prior_max"] - delay
-        ts = pdf[ts_col]
-        keep = np.zeros(len(pdf), dtype=bool)
-        anchor = None
-        for i in range(len(pdf)):
-            w = wm.iloc[i]
-            if anchor is None or (pd.notna(w) and w >= anchor + delay):
-                keep[i] = True
-                anchor = ts.iloc[i]
-        return pdf.loc[
-            keep, ["event_id", ts_col, "user_id", "event_type", "value"]
-        ]
-
-    return (
-        e.groupBy("user_id", "event_type")
-        .applyInPandas(chain, DEDUP_WM_SCHEMA)
-        .orderBy("event_id")
+    e = (
+        running_max_exclusive(
+            events.select(*out_cols),
+            order_col,
+            ts_col,
+        )
+        .withColumnRenamed("__running_max", "prior_max")
+        .repartition("user_id", "event_type")
+        .sortWithinPartitions("user_id", "event_type", order_col)
     )
+
+    def chain(batches):
+        cur_key = object()  # never equals a real key tuple
+        anchor = None  # np.datetime64 of the live anchor, or None
+        for pdf in batches:
+            n = len(pdf)
+            uid, et = pdf["user_id"], pdf["event_type"]
+            # null-safe key tuples: (isnull, filled) pairs — a NULL key
+            # can never collide with a real value's tuple
+            keys = list(
+                zip(uid.isna(), uid.fillna(0), et.isna(), et.fillna(""))
+            )
+            wm = (pdf["prior_max"] - pd.Timedelta(seconds=delay_s)).values
+            ts = pdf[ts_col].values
+            keep = np.zeros(n, dtype=bool)
+            for i in range(n):
+                if keys[i] != cur_key:
+                    cur_key = keys[i]
+                    anchor = None
+                w = wm[i]
+                if anchor is None or (
+                    not np.isnat(w) and w >= anchor + delay64
+                ):
+                    keep[i] = True
+                    anchor = ts[i]
+            yield pdf.loc[keep, out_cols]
+
+    return e.mapInPandas(chain, DEDUP_WM_SCHEMA).orderBy("event_id")

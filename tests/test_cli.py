@@ -357,3 +357,41 @@ def test_cli_sample_corpus_bad_spec(tmp_path, capsys):
         "--spec", bad, "--out", str(tmp_path / "x"),
     ]) == 2
     assert "bad spec" in capsys.readouterr().err
+
+
+def test_cli_source_overlap(spark, capsys):
+    """source-overlap verb prints one JSON pair-row per overlapping
+    source pair, with containment in (0, 1]."""
+    import json
+
+    assert main(["source-overlap", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+        if ln.startswith("{")
+    ]
+    assert lines, "expected at least one overlapping source pair"
+    for r in lines:
+        assert r["src_a"] < r["src_b"]
+        assert 0 < r["overlap"] <= 1.0
+        assert r["n_shared"] <= min(r["n_a"], r["n_b"])
+
+
+def test_cli_search(spark, capsys):
+    """search verb prints BM25 top-k JSON lines, scores descending."""
+    import json
+
+    assert main([
+        "search", "--sf-dir", "/root/testdata/sf0.001",
+        "--terms", "DUP", "dup", "query",
+        "--k", "5",
+    ]) == 0
+    lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+        if ln.startswith("{")
+    ]
+    assert 0 < len(lines) <= 5
+    scores = [r["score"] for r in lines]
+    assert scores == sorted(scores, reverse=True)
+    assert all(1 <= r["n_terms"] <= 2 for r in lines)  # terms deduped

@@ -469,12 +469,15 @@ def test_bm25_topk_takeordered_broadcast_stats(spark, sf_dir):
 
 def test_dedup_within_watermark_distributed_prefix(spark, sf_dir):
     """q77: the prior-arrival max rides the distributed prefix scan —
-    a bucketed window, NEVER a single-task global window (no
-    'Window [... ORDER BY' without a partition spec feeding the whole
-    relation through one task) — and the per-key chain is one
-    FlatMapGroupsInPandas over the key columns."""
+    a bucketed window, NEVER a single-task global window — and the
+    per-key chain is MapInPandas over key-repartitioned sorted
+    partitions (one Python invocation per partition, not per key: the
+    applyInPandas form spent ~12 ms of worker round-trip per tiny key
+    group, 9 s at sf0.01)."""
     plan = _plan(spark, sf_dir, "q77_dedup_within_watermark")
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "hashpartitioning(user_id" in plan
     assert "CartesianProduct" not in plan
     # the prefix operator's window is bucket-partitioned — nothing in
     # the plan funnels the relation through one task

@@ -153,6 +153,26 @@ def synth_docs(spark: SparkSession, n: int, n_tokens: int = 40) -> DataFrame:
     )
 
 
+def synth_events(spark: SparkSession, n: int) -> DataFrame:
+    """Deterministic arrival log: event_id = arrival order, event time
+    mostly monotone (one event / 10 s) with a planted late row every 7th
+    event (−25 min), 500 users × 4 types — enough per-key density that
+    the 30-minute dedup horizon drops a real share at every n."""
+    late = F.when(F.col("id") % 7 == 3, F.lit(-1500)).otherwise(F.lit(0))
+    ts = F.timestamp_seconds(
+        F.lit(1_700_000_000) + F.col("id") * 10 + late
+    )
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        ts.alias("ts"),
+        F.pmod(F.col("id"), F.lit(500)).alias("user_id"),
+        F.concat(F.lit("e"), F.pmod(F.col("id"), F.lit(4)).cast("string")).alias(
+            "event_type"
+        ),
+        (F.col("id") % 100 / 10.0).alias("value"),
+    )
+
+
 def synth_edges(spark: SparkSession, n: int) -> DataFrame:
     """Chains of length 32 over [0, n): edge (i, i+1) unless i ends a
     chain — deep enough that CC convergence takes real pointer-doubling
@@ -341,6 +361,7 @@ def _median_time(build, loop_inclusive: bool) -> float:
 def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
     from rastercube_spark.operators.dedup import (
         corpus_overlap,
+        cross_source_overlap,
         decontaminate,
         lsh_candidate_pairs,
         minhash_signatures,
@@ -353,12 +374,14 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
     from rastercube_spark.operators.sampling import group_sample
     from rastercube_spark.operators.similarity import (
         embedding_drift,
+        label_centroid_outliers,
         lsh_cosine_pairs,
         lsh_knn,
         pq_knn,
         quantized_knn,
     )
-    from rastercube_spark.operators.text import token_count
+    from rastercube_spark.operators.text import bm25_topk, token_count
+    from rastercube_spark.streaming.stateful import dedup_within_watermark
 
     emb = synth_embeddings(spark, n)
     docs = synth_docs(spark, n)
@@ -501,6 +524,47 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
         # code scan + the fixed-100-rows-per-query refine join.
         "qe2_pq_knn": (
             lambda: pq_knn(queries, emb, dim=DIM, k=10),
+            True,
+        ),
+        # r11 session 2: cross-source passage overlap — passage relation
+        # is linear in corpus tokens, the self-join fan-out is bounded
+        # by the 16 synthetic sources; expected ~linear (qb4's topology
+        # plus one bounded self-join).
+        "qe3_source_overlap": (
+            lambda: cross_source_overlap(
+                docs.withColumn(
+                    "source", (F.col("doc_id") % 16).cast("string")
+                )
+            ),
+            False,
+        ),
+        # r11 session 2: per-label outliers — one Summarizer groupBy
+        # (reduce side = 10 labels), broadcast sums, map-side scoring,
+        # WindowGroupLimit bottom-k; expected ~linear scan-bound.
+        "qe4_embedding_outliers": (
+            lambda: label_centroid_outliers(
+                emb.withColumn("label", (F.col("vec_id") % 10).cast("int")),
+                dim=DIM,
+                k=5,
+            ),
+            False,
+        ),
+        # r11 session 2: BM25 — dl map-only, explode pruned to 4 terms,
+        # |terms|-row broadcast, TakeOrdered; expected ~linear.
+        # 't0' hits n/7 docs (the trailing token), w-terms ~0.8% each.
+        "qe5_bm25_topk": (
+            lambda: bm25_topk(
+                docs, terms=("t0", "w10", "w100", "w2500"), k=20
+            ),
+            False,
+        ),
+        # r11 session 2: time-bounded dedup — distributed prefix max
+        # (loop-inclusive: approxQuantile + bucket-totals collect at
+        # construction, qa6's meter) + per-key Arrow chain; ~linear.
+        "q77_dedup_within_wm": (
+            lambda: dedup_within_watermark(
+                synth_events(spark, n), delay_s=1800
+            ),
             True,
         ),
     }
@@ -716,7 +780,9 @@ def main() -> int:
                      "qd4_neardup_decontam", "qd6_ngram_novelty",
                      "qd8_snapshot_overlap", "qd8_sampled_anchor",
                      "qd9_keep_best", "qe0_embedding_drift",
-                     "qe2_pq_knn")
+                     "qe2_pq_knn", "qe3_source_overlap",
+                     "qe4_embedding_outliers", "qe5_bm25_topk",
+                     "q77_dedup_within_wm")
     ] + [
         (name, EXT_SIZE) for name in EXT64_OPS
     ] + [(name, s) for s in RASTER_SIZES for name in RASTER_OPS] + [
