@@ -277,8 +277,17 @@ def test_bench_compact_line_fits_driver_window():
     line = bench._compact_line(full)
     assert len(line) <= bench.LINE_BUDGET
     parsed = json.loads(line)
-    assert parsed["queries"] == queries
-    assert parsed["env"] == {"idle_ok": True, "clean_end": True}
+    # Every query must survive at 2-dp-or-better precision — the 65-query
+    # headline (r11 session 2) crossed the threshold where full 3-dp
+    # synthetic values no longer fit, so the FIRST degrade step (coarser
+    # precision, ADVICE r10's loud-degradation order) is allowed here;
+    # dropping queries is not ("elided" marks that stronger shed).
+    assert set(parsed["queries"]) == set(queries)
+    assert "elided" not in parsed
+    for name, v in parsed["queries"].items():
+        assert abs(v - queries[name]) <= 0.005
+    if "env" in parsed:
+        assert parsed["env"] == {"idle_ok": True, "clean_end": True}
     # shedding path: absurdly long query names force the fallback,
     # which must keep the queries dict and drop only summary fields
     big = dict(full, queries={f"q{i}_" + "x" * 60: 1.0 for i in range(40)})
