@@ -438,6 +438,49 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_knn(args) -> int:
+    """Approximate/exact kNN over the embeddings table — the embedding
+    leg of the search surface next to ``search``'s BM25. ``--method``
+    picks the regime the corpus size calls for: brute (exact, the
+    recall oracle), ivf (probe nprobe trained lists), pq (ADC shortlist
+    + exact refine, memory-bound), ivfpq (the composed 100 TB path —
+    probe AND codes, qf0's operator). Query vectors are corpus rows
+    named by --query-ids (the registered queries' convention). Prints
+    (q_id, vec_id, score-or-cosine, rank) as JSON lines."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from rastercube_spark.operators.similarity import (
+        brute_force_knn,
+        ivf_knn,
+        ivfpq_knn,
+        pq_knn,
+        train_ivf_centroids,
+    )
+    from rastercube_spark.sources.tables import load
+
+    spark = _spark()
+    emb = load(spark, args.sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    qs = emb.where(F.col("vec_id").isin(*args.query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    if args.method == "brute":
+        out = brute_force_knn(qs, emb, k=args.k)
+    elif args.method == "ivf":
+        cents = train_ivf_centroids(emb, dim=dim, n_cents=16, n_iters=3)
+        out = ivf_knn(qs, emb, dim=dim, k=args.k, n_cents=16,
+                      nprobe=args.nprobe, cents=cents)
+    elif args.method == "pq":
+        out = pq_knn(qs, emb, dim=dim, k=args.k)
+    else:  # ivfpq
+        out = ivfpq_knn(qs, emb, dim=dim, k=args.k, nprobe=args.nprobe)
+    for r in out.orderBy("q_id", "rank").collect():
+        print(_json.dumps(r.asDict(), sort_keys=True))
+    return 0
+
+
 def cmd_sample_corpus(args) -> int:
     """Apply a mixture spec (JSON: source → weight) to the documents
     table with DETERMINISTIC hash sampling — weight < 1 downsamples
@@ -674,6 +717,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="query terms (lowercased, deduped, sorted)")
     se.add_argument("--k", type=int, default=20)
     se.set_defaults(fn=cmd_search)
+
+    kn = sub.add_parser("knn")
+    kn.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    kn.add_argument("--query-ids", nargs="+", type=int, required=True,
+                    help="embeddings vec_ids to use as query vectors")
+    kn.add_argument("--k", type=int, default=10)
+    kn.add_argument("--method", default="ivfpq",
+                    choices=("brute", "ivf", "pq", "ivfpq"))
+    kn.add_argument("--nprobe", type=int, default=8)
+    kn.set_defaults(fn=cmd_knn)
 
     sc = sub.add_parser("sample-corpus")
     sc.add_argument("--sf-dir", default="/root/testdata/sf0.01")

@@ -1288,12 +1288,29 @@ def label_centroid_outliers(
     from pyspark.ml.stat import Summarizer
     from pyspark.sql import Window
 
+    # ``dim`` is enforced, not decorative (ADVICE r11: it used to be
+    # accepted and ignored — a caller passing the wrong dim deserves an
+    # error, not a silent pass): assert_true returns NULL on success and
+    # fails the job naming the offending row otherwise, evaluated inside
+    # the same JVM-side projection.
+    dim_ok = F.assert_true(
+        F.size(F.col(vec_col)) == dim,
+        F.concat(
+            F.lit(f"{vec_col} length != dim={dim} for {id_col}="),
+            F.col(id_col).cast("string"),
+        ),
+    )
     q = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(label_col).alias("label"),
-        F.transform(
-            vec_col,
-            lambda x: F.floor(x.cast("double") * quant_scale).cast("double"),
+        F.when(
+            dim_ok.isNull(),
+            F.transform(
+                vec_col,
+                lambda x: F.floor(
+                    x.cast("double") * quant_scale
+                ).cast("double"),
+            ),
         ).alias("qv"),
     )
     sums = (
@@ -1327,4 +1344,188 @@ def label_centroid_outliers(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("label", "rank", "vec_id", "cos_centroid")
+    )
+
+
+def ivfpq_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_coarse: int = 16,
+    nprobe: int = 8,
+    coarse_iters: int = 3,
+    m: int = 16,
+    n_cents: int = 32,
+    n_iters: int = 2,
+    sample_below: int = 256,
+    rerank: int = 100,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    coarse_cents: list[list[float]] | None = None,
+    codebooks: tuple["np.ndarray", "np.ndarray"] | None = None,
+) -> DataFrame:
+    """IVF×PQ composed ANN — the production 100 TB path both qa2's and
+    qe2's docstrings point at ("compose with qa2's IVF lists when the
+    code scan itself becomes the bound"): the corpus lives in
+    ``n_coarse`` trained inverted lists (qa2's coarse quantizer) AND
+    collapses to ``m`` PQ codes per vector (qe2's fine quantizer); a
+    query ADC-scans only the ``nprobe`` lists it probes — the FAISS
+    IVFPQ cost model, ~(nprobe/n_coarse)·(m lookups)·corpus instead of
+    either full-corpus scan. Codes encode the RAW vectors, not the
+    coarse residual (FAISS ``by_residual=False``): residual encoding
+    would couple every code to float centroid subtraction and break the
+    exact-integer determinism contract that lets the SQL oracle replay
+    training, encoding, probing, ADC and refine bit-for-bit. The recall
+    cost of skipping residuals is measured and gated in
+    tests/test_similarity.py (refined recall tracks qa2's IVF recall at
+    the same nprobe — the coarse quantizer, not the code, is the
+    recall bound once the refine pass runs).
+
+    Stages (every one the deterministic recipe of its parent):
+
+    - coarse train: :func:`train_ivf_centroids` (exact-integer Lloyd's
+      on the id-pruned bounded sample);
+    - fine train: :func:`train_pq_codebooks` (m independent subspace
+      k-means, same recipe);
+    - corpus pass: ONE projection computes the coarse list id
+      (:func:`ivf_assign`) and the m-code array (argmax of exact
+      integer dot / count per subspace) — no shuffle, encode-at-ingest
+      at scale with both columns persisted;
+    - queries: top-``nprobe`` lists (:func:`ivf_probe_lists`) +
+      integer ADC LUTs (floor(1024·dot/cnt)), broadcast — bounded by
+      the same contract as every ANN query side here;
+    - shortlist: broadcast-hash equi-join on the list id (corpus never
+      shuffles), m integer LUT lookups per touched row, per-query
+      top-``rerank`` on the exact-integer ADC sum (id tie-break);
+    - refine: exact integer dot over the quantized full vectors for
+      the shortlist only (keyed join, ``rerank`` rows per query
+      regardless of corpus size), final top-``k`` on it.
+
+    At 100 TB: train once on the bounded sample; encode (cid, codes) at
+    ingest and persist bucketed by cid — the probe join is then
+    shuffle-free AND reads ~25× fewer bytes than float32, and only
+    nprobe/n_coarse of those. The reference has no ANN surface; this
+    composes the repo's own qa2/qe2 primitives.
+    """
+    from pyspark.sql.types import ArrayType, IntegerType, LongType
+
+    sub_d, rem = divmod(dim, m)
+    if rem:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    if coarse_cents is None:
+        coarse_cents = train_ivf_centroids(
+            corpus, dim, n_cents=n_coarse, n_iters=coarse_iters,
+            sample_below=sample_below, id_col=c_id, vec_col=c_vec,
+        )
+    if codebooks is None:
+        sums, cnts = train_pq_codebooks(
+            corpus, dim, m=m, n_cents=n_cents, n_iters=n_iters,
+            sample_below=sample_below, id_col=c_id, vec_col=c_vec,
+        )
+    else:
+        sums, cnts = codebooks
+
+    # query-side LUTs: one (m × n_cents) integer table per query —
+    # floor of one IEEE division of exact integers per cell (the qe2
+    # recipe; identical in every engine)
+    q_rows = queries.select(q_id, q_vec).collect()
+    luts = {}
+    for r in q_rows:
+        qv = np.floor(np.asarray(r[q_vec], dtype=np.float64) * 10000.0)
+        qsub = qv.reshape(m, sub_d)
+        t = np.empty((m, n_cents), dtype=np.float64)
+        for s in range(m):
+            t[s] = np.floor((1024.0 * (qsub[s] @ sums[s].T)) / cnts[s])
+        luts[r[q_id]] = t.astype(np.int64)
+
+    sc = corpus.sparkSession.sparkContext
+    b_cb = sc.broadcast((sums, cnts))
+    b_lut = sc.broadcast(luts)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _encode(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        cs, cc = b_cb.value
+        v = np.floor(
+            np.array([np.asarray(x, dtype=np.float64) for x in vs])
+            * 10000.0
+        )
+        vsub = v.reshape(len(v), m, sub_d)
+        codes = np.empty((len(v), m), dtype=np.int32)
+        for s in range(m):
+            quot = (vsub[:, s, :] @ cs[s].T) / cc[s][None, :]
+            codes[:, s] = np.argmax(quot, axis=1)
+        return pd.Series(list(codes))
+
+    @F.pandas_udf(LongType())
+    def _adc(qids: pd.Series, codes: pd.Series) -> pd.Series:
+        if len(qids) == 0:
+            return pd.Series([], dtype="int64")
+        lut = b_lut.value
+        c = np.array([np.asarray(x, dtype=np.int64) for x in codes])
+        out = np.empty(len(qids), dtype=np.int64)
+        srange = np.arange(m)
+        for qid, grp in pd.Series(range(len(qids)), dtype="int64").groupby(
+            qids.to_numpy()
+        ):
+            idx = grp.to_numpy()
+            out[idx] = lut[qid][srange[None, :], c[idx]].sum(axis=1)
+        return pd.Series(out)
+
+    # one corpus pass: coarse list id + fine codes, both from the same
+    # scan (encode-at-ingest shape)
+    enc = corpus.select(
+        F.col(c_id),
+        ivf_assign(F.col(c_vec), coarse_cents).alias("cid"),
+        _encode(F.col(c_vec)).alias("codes"),
+    )
+    qprobe = queries.select(
+        F.col(q_id),
+        F.explode(
+            ivf_probe_lists(F.col(q_vec), coarse_cents, nprobe)
+        ).alias("cid"),
+    )
+    scored = (
+        enc.join(F.broadcast(qprobe), "cid")
+        .where(F.col(q_id) != F.col(c_id))
+        .select(
+            F.col(q_id),
+            F.col(c_id),
+            _adc(F.col(q_id), F.col("codes")).alias("iscore"),
+        )
+    )
+    w_adc = Window.partitionBy(q_id).orderBy(
+        F.col("iscore").desc(), F.col(c_id)
+    )
+    cand = (
+        scored.withColumn("crank", F.row_number().over(w_adc))
+        .where(F.col("crank") <= rerank)
+        .select(q_id, c_id)
+    )
+    cqv = corpus.select(F.col(c_id), quantize_vec(F.col(c_vec)).alias("cv"))
+    qqv = queries.select(F.col(q_id), quantize_vec(F.col(q_vec)).alias("qv"))
+    exact = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    refined = (
+        cand.join(cqv, c_id)
+        .join(F.broadcast(qqv), q_id)
+        .select(F.col(q_id), F.col(c_id), exact.alias("xdot"))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("xdot").desc(), F.col(c_id))
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            q_id,
+            c_id,
+            F.round(F.col("xdot") / 100000000.0, 6).alias("score"),
+            "rank",
+        )
     )

@@ -94,6 +94,7 @@ def bm25_topk(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    log_idf: bool = False,
 ):
     """BM25-style lexical top-k retrieval — the keyword leg of the search
     surface next to the embedding kNN family (q96/q97/qa2/qb6/qe2):
@@ -108,7 +109,17 @@ def bm25_topk(
     an exact value hash (the qd2 sqrt-vs-pow lesson, _util.py); the
     linear form is a strictly monotone transform of the standard idf, so
     single-term rankings are identical and multi-term rankings simply
-    weight rarity harder. Every other op in the score is IEEE +,-,*,/
+    weight rarity harder. CAVEAT (VERDICT r11): because the per-term
+    monotone transform is applied BEFORE the terms are summed, the
+    summed multi-term score is NOT order-equivalent to textbook log-idf
+    BM25 — on adversarial corpora the two top-k sets can differ (a very
+    rare term's linear idf dominates a sum where its log would not).
+    ``log_idf=True`` computes the textbook ln((N-df+0.5)/(df+0.5))
+    variant for callers that want standard BM25 semantics and can
+    tolerate libm-dependent last-bit drift (tolerance-tested against
+    the linear form in tests/test_bm25.py; NOT used by the oracle-gated
+    qe5, whose driver check is an exact hash). Every other op in the
+    score is IEEE +,-,*,/
     on identical inputs — exactly rounded and engine-identical:
     token counts and doc frequencies are exact integers, avgdl is one
     double division of exact sums, and the per-document total is a
@@ -123,6 +134,10 @@ def bm25_topk(
     global top-k is orderBy+limit → TakeOrdered, never a full sort.
     Tokenization matches the shingle convention (lower, trim, split on
     runs of whitespace)."""
+    # A duplicated term must not score twice (ADVICE r11: the fixed-order
+    # addition chain below iterates the tuple, so a repeat would silently
+    # double that term's contribution; only the CLI used to dedup).
+    terms = tuple(dict.fromkeys(terms))
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__tk"),
@@ -141,9 +156,13 @@ def bm25_topk(
         .agg(F.count("*").cast("double").alias("tf"))
     )
     df = tf.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
+    rarity = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    if log_idf:
+        rarity = F.log(rarity)
     sc = (
-        (F.col("n_docs") - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
+        rarity
         * (F.col("tf") * F.lit(k1 + 1.0))
         / (
             F.col("tf")

@@ -3117,3 +3117,144 @@ def qe5(spark, sf_dir):
     return bm25_topk(
         _docs(spark, sf_dir), terms=("dup", "join", "query", "vector"), k=20
     )
+
+
+@query(
+    "qf0_ivfpq_knn",
+    oracle=f"""
+        WITH {_ivf_training_ctes()},
+        {_pq_training_ctes()},
+        corp AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings
+        ),
+        cass AS (
+            SELECT vec_id, cid FROM (
+                SELECT c.vec_id, cents.cid,
+                       row_number() OVER (
+                           PARTITION BY c.vec_id
+                           ORDER BY list_dot_product(c.emb, cents.cv) DESC,
+                                    cents.cid ASC
+                       ) AS rn
+                FROM corp c, cents
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS q_id, emb AS qemb FROM corp
+              WHERE vec_id < 10),
+        qprobe AS (
+            SELECT q_id, cid FROM (
+                SELECT q.q_id, cents.cid,
+                       row_number() OVER (
+                           PARTITION BY q.q_id
+                           ORDER BY list_dot_product(q.qemb, cents.cv) DESC,
+                                    cents.cid ASC
+                       ) AS rn
+                FROM q, cents
+            ) WHERE rn <= 8
+        ),
+        csub AS (
+            SELECT vec_id, sub.s,
+                   list_transform(
+                       list_slice(emb, sub.s * 4 + 1, sub.s * 4 + 4),
+                       x -> floor(x * 10000.0)) AS qv
+            FROM corp
+            CROSS JOIN (SELECT UNNEST(range(0, 16)) AS s) sub
+        ),
+        enc AS (
+            SELECT vec_id, s, sumv, cnt FROM (
+                SELECT c.vec_id, c.s, cb.sumv, cb.cnt,
+                       row_number() OVER (
+                           PARTITION BY c.vec_id, c.s
+                           ORDER BY list_dot_product(c.qv, cb.sumv)
+                                        / cb.cnt DESC,
+                                    cb.cid ASC
+                       ) AS rn
+                FROM csub c JOIN cb ON cb.s = c.s
+            ) WHERE rn = 1
+        ),
+        qsub AS (
+            SELECT vec_id AS q_id, s, qv FROM csub WHERE vec_id < 10
+        ),
+        cand AS (
+            SELECT jp.q_id, ca.vec_id
+            FROM qprobe jp
+            JOIN cass ca USING (cid)
+            WHERE ca.vec_id <> jp.q_id
+        ),
+        terms AS (
+            SELECT c.q_id, c.vec_id,
+                   floor(1024.0 * list_dot_product(q.qv, e.sumv)
+                         / e.cnt) AS term
+            FROM cand c
+            JOIN qsub q ON q.q_id = c.q_id
+            JOIN enc e ON e.vec_id = c.vec_id AND e.s = q.s
+        ),
+        shortlist AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY q_id
+                           ORDER BY SUM(term) DESC, vec_id
+                       ) AS crank
+                FROM terms GROUP BY q_id, vec_id
+            ) WHERE crank <= 100
+        ),
+        qfull AS (
+            SELECT vec_id,
+                   list_transform(emb, x -> floor(x * 10000.0)) AS qv
+            FROM corp
+        ),
+        refined AS (
+            SELECT s.q_id, s.vec_id,
+                   list_dot_product(qa.qv, qb.qv) AS xdot
+            FROM shortlist s
+            JOIN qfull qa ON qa.vec_id = s.q_id
+            JOIN qfull qb ON qb.vec_id = s.vec_id
+        ),
+        r AS (
+            SELECT q_id, vec_id,
+                   ROUND(xdot / 100000000.0, 6) AS score,
+                   row_number() OVER (
+                       PARTITION BY q_id
+                       ORDER BY xdot DESC, vec_id
+                   ) AS rank
+            FROM refined
+        )
+        SELECT q_id, vec_id, score, rank FROM r WHERE rank <= 10
+        ORDER BY q_id, rank
+    """,
+)
+def qf0(spark, sf_dir):
+    """IVF×PQ composed ANN (operators/similarity.py ivfpq_knn) — the
+    production 100 TB path qa2's and qe2's docstrings both advertise
+    ("compose with qa2's IVF lists when the code scan itself becomes
+    the bound"), now a first-class operator: the corpus lives in 16
+    trained inverted lists AND collapses to 16 PQ codes per vector, a
+    query ADC-scans only its 8 probed lists (half the corpus here;
+    nprobe/n_coarse of it in general), the top-100 ADC candidates per
+    query get an exact integer dot, and the final top-10 ranks on it.
+    Codes encode raw vectors, not coarse residuals (FAISS
+    by_residual=False) — the price of a bit-for-bit SQL-replayable
+    training/encoding/probe/ADC/refine chain, and the refined recall is
+    bounded by the coarse probe, not the codes (measured 0.89/0.81 at
+    sf0.001/sf0.01 vs qa2's nprobe-8 IVF 0.91/0.85; gated in
+    tests/test_similarity.py).
+
+    Scale shape: both quantizers train on the bounded id-pruned sample;
+    ONE corpus projection emits (cid, codes) — encode-at-ingest, no
+    shuffle, ~25× fewer bytes than float32 once persisted; the probe
+    join broadcasts the exploded (q_id, cid) list so the corpus never
+    shuffles (bucket by cid on disk and repeat queries are
+    shuffle-free); ADC is m integer LUT lookups per TOUCHED row only;
+    the refine join fetches 100 rows per query regardless of corpus
+    size. The reference has no ANN surface; this composes the repo's
+    own qa2/qe2 primitives."""
+    from rastercube_spark.operators.similarity import ivfpq_knn
+
+    e = load(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivfpq_knn(
+        qs, e, dim=EMB_DIM, k=10, n_coarse=16, nprobe=8, rerank=100
+    ).orderBy("q_id", "rank")

@@ -40,93 +40,87 @@ _ORACLES: dict[str, str] = {}
 # baseline with tests/make_attest.py IN THE SAME COMMIT that rotates
 # these lists; make_attest refuses to run while the rule is violated.
 #
-# Round 11 changed set — eight entries, the exact diff of
-# rastercube_spark.attest.all_hashes() vs the r10 baseline. Seven are
-# NEW queries (a NEW query must be attested the round it lands):
-# qe2_pq_knn (product-quantized ANN: deterministic per-subspace
-# codebooks + integer-LUT ADC shortlist + exact refine),
-# qe1_containment_audit (doc-level cross-snapshot containment, the
-# per-document drill-down of qd8 — qd6's shingle-keyed topology),
-# qe0_embedding_drift (per-label centroid-cosine drift between
-# vec_id-parity snapshots: quantized exact-integer components, one
-# Summarizer.sum groupBy — the first pyspark.ml vector-aggregation
-# user), qe3_source_overlap (cross-source passage-overlap matrix —
-# provenance contamination), qe4_embedding_outliers (per-label
-# cosine-to-centroid bottom-k — the mislabel audit),
-# qe5_bm25_topk (lexical BM25 top-k, linear-idf determinism variant)
-# and q77_dedup_within_watermark (time-bounded streaming dedup, batch
-# replay of dropDuplicatesWithinWatermark with a recursive-CTE
-# oracle). qd8_snapshot_overlap's closure changed because
-# corpus_overlap now VALIDATES anchor_rate instead of silently
-# clamping (ADVICE r10; the registered query pins anchor='full' so its
-# values are unchanged). The bench/CLI work (compact-line overflow
-# guard, guest-CPU fix, corpus-overlap verb) touches no closure.
+# Round 12 changed set — three entries, the exact diff of
+# rastercube_spark.attest.all_hashes() vs the r11 baseline:
+# qf0_ivfpq_knn is NEW (the IVF×PQ composed ANN both qa2's and qe2's
+# docstrings advertised as the 100 TB path — VERDICT r11 "Next round"
+# #3; a NEW query must be attested the round it lands);
+# qe5_bm25_topk's closure changed because bm25_topk now dedups the
+# terms tuple (ADVICE r11 — a repeated term used to score twice) and
+# grew an off-by-default log_idf mode + the summed-score rank caveat
+# (VERDICT r11 #5; the registered query passes distinct terms and the
+# default linear form, so emitted values are unchanged);
+# qe4_embedding_outliers' closure changed because
+# label_centroid_outliers now ENFORCES its dim parameter via
+# assert_true instead of silently ignoring it (ADVICE r11; all fixture
+# vectors are dim-64, values unchanged). The bench repeat-median work
+# and the GeoTIFF export type hints touch no closure (verified: the
+# hash diff is exactly these three).
 ATTEST_CHANGED: tuple[str, ...] = (
-    "qe2_pq_knn",
-    "qe1_containment_audit",
-    "qe0_embedding_drift",
-    "qe3_source_overlap",
+    "qf0_ivfpq_knn",
     "qe4_embedding_outliers",
     "qe5_bm25_topk",
-    "q77_dedup_within_watermark",
-    "qd8_snapshot_overlap",
 )
 
-# The 42 remaining window slots go oldest-first per tools/
+# The 47 remaining window slots go oldest-first per tools/
 # rotate_window.py's ground-truth reading of the CORRECTNESS_r*
-# artifacts: FIRST the ten r8-stale queries at the window's stated
-# 2-round maximum (qb3, qb4, qd4, qd6, qd7, qr01, qr03-qr05, qr09 —
-# queued "first for r11" last round and honored here, VERDICT r10
-# "Next round" #1), then the r9 cohort in the planner's (alphabetical)
-# order through q81. Thirteen r9 queries (qb5, qb6, qb7, qb8, qb9,
-# qd3, qr02, qr06-qr08, and — displaced when this session's four new
-# queries grew ATTEST_CHANGED from 4 to 8 slots — q96, qa9, qb0)
-# don't fit and stay frozen at ≤2 rounds old, first in line for r12 —
-# with ~4-8 changed + ~42 stale slots over 112 queries the steady
-# state keeps every query ≤2 rounds from its last driver attestation.
+# artifacts: FIRST the thirteen r9-stale queries at the window's
+# stated 2-round maximum (qb5-qb9, qd3, qr02, qr06-qr08, q96, qa9,
+# qb0 — queued "first for r12" last round and honored here, VERDICT
+# r11 "Next round" #1), then the r10 cohort in the planner's
+# (alphabetical) order through qa0. The r10 tail (qa1-qa8, qb1, qb2,
+# qc0, qd1, qd2, qd5, qd8, qd9 and the r11 cohort) doesn't fit and
+# stays frozen at ≤2 rounds old, first in line for r13 — with ~3-8
+# changed + ~47 stale slots over 113 queries the steady state keeps
+# every query ≤2 rounds from its last driver attestation.
 ATTEST_STALE: tuple[str, ...] = (
-    "qb3_mixture_sample",
-    "qb4_passage_dedup",
-    "qd4_neardup_decontaminate",
-    "qd6_ngram_novelty",
-    "qd7_split_assign",
-    "qr01_windowed_read_fill",
-    "qr03_availability_semi_join",
-    "qr04_incremental_anti_join",
-    "qr05_date_coverage",
-    "qr09_chunk_checksum",
-    "q01_scan_count",
-    "q02_project_filter",
-    "q03_in_null_predicates",
-    "q17_asof_join",
-    "q20_tpch_q1_agg",
-    "q22_rollup",
-    "q2a_approx_count_distinct",
-    "q2b_approx_quantiles",
-    "q30_ranking",
-    "q31_lag_lead_gapfill",
-    "q32_moving_average",
-    "q33_running_total",
-    "q40_global_topk",
-    "q41_per_group_topk",
-    "q50_union_all",
-    "q51_union_distinct",
-    "q52_intersect",
-    "q53_except",
-    "q60_string_funcs",
-    "q61_date_funcs",
-    "q62_math_funcs",
-    "q64_nodata_case",
-    "q66_array_json",
-    "q67_categorical_legend",
-    "q68_type_reinterpret",
-    "q69_landsat_qa",
-    "q70_tumbling_window",
-    "q71_sliding_window",
-    "q72_session_window",
-    "q73_watermark_late_data",
-    "q74_stateful_dedup",
-    "q81_grouped_map_udf",
+    "q96_knn_bruteforce",
+    "qa9_media_knn",
+    "qb0_cosine_pairs_lsh",
+    "qb5_quality_rules",
+    "qb6_quantized_knn",
+    "qb7_group_sample",
+    "qb8_mixture_upsample",
+    "qb9_dataset_report",
+    "qd3_knn_label_consistency",
+    "qr02_polygon_mask",
+    "qr06_cube_window_agg",
+    "qr07_resample_downsample",
+    "qr08_reproject_nearest",
+    "q10_inner_equi",
+    "q11_broadcast_join",
+    "q12_sort_merge_join",
+    "q13_left_outer_null",
+    "q14_left_semi",
+    "q15_left_anti",
+    "q16_theta_join",
+    "q18_copartitioned_zip",
+    "q19_range_join",
+    "q21_count_distinct",
+    "q23_cube",
+    "q24_grouping_sets",
+    "q25_having",
+    "q26_zonal_stats",
+    "q27_argmax_gather",
+    "q28_zonal_percentile",
+    "q29_salted_agg",
+    "q63_qa_bitops",
+    "q65_affine_transform",
+    "q75_stream_static_join",
+    "q76_stream_stream_join",
+    "q80_scalar_pandas_udf",
+    "q82_grouped_agg_udf",
+    "q83_chunk_udtf",
+    "q90_text_metrics",
+    "q91_exact_dedup",
+    "q92_minhash_lsh_pairs",
+    "q93_lsh_jaccard",
+    "q94_ngram_jaccard_topk",
+    "q95_simhash",
+    "q97_lsh_knn",
+    "q98_cosine_pairs_topk",
+    "q99_winnow_fingerprint",
+    "qa0_multimodal_decode",
 )
 
 ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE

@@ -60,3 +60,40 @@ def test_multi_term_and_partition_invariance(spark):
         for r in bm25_topk(docs.repartition(5), terms=("alpha", "beta")).collect()
     ]
     assert a == b
+
+
+def test_duplicated_terms_score_once(spark):
+    """A repeated query term contributes exactly once (ADVICE r11: the
+    fixed-order addition chain would otherwise silently double it —
+    only the CLI used to dedup before calling)."""
+    filler = " ".join(f"f{i}" for i in range(10))
+    rows = [(i, f"hay {filler}") for i in range(5)]
+    once = _scores(bm25_topk(_corpus(spark, rows), terms=("hay",), k=5))
+    twice = _scores(
+        bm25_topk(_corpus(spark, rows), terms=("hay", "hay"), k=5)
+    )
+    assert once == twice
+
+
+def test_log_idf_mode_matches_textbook_and_linear_single_term(spark):
+    """log_idf=True computes ln((N-df+0.5)/(df+0.5)) (tolerance vs
+    python's libm — the documented reason it is NOT the oracle-gated
+    form), and single-term rankings agree with the linear variant
+    (monotone transform)."""
+    import math
+
+    filler = " ".join(f"f{i}" for i in range(10))
+    rows = [(i, f"hay {filler}") for i in range(9)]
+    rows.append((9, f"needle {filler}"))
+    corpus = _corpus(spark, rows)
+    lin = bm25_topk(corpus, terms=("needle",), k=10)
+    log = bm25_topk(corpus, terms=("needle",), k=10, log_idf=True)
+    s_lin, s_log = _scores(lin), _scores(log)
+    # same hit set and same (single-term) ranking
+    assert list(s_lin) == list(s_log) == [9]
+    # the two scores differ exactly by idf -> ln(idf) on the rarity
+    # factor: reconstruct and compare within libm tolerance
+    n_docs, df = 10.0, 1.0
+    ratio = (n_docs - df + 0.5) / (df + 0.5)
+    assert s_log[9][1] > 0
+    assert abs(s_log[9][1] / s_lin[9][1] - math.log(ratio) / ratio) < 1e-6

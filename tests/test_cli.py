@@ -395,3 +395,31 @@ def test_cli_search(spark, capsys):
     scores = [r["score"] for r in lines]
     assert scores == sorted(scores, reverse=True)
     assert all(1 <= r["n_terms"] <= 2 for r in lines)  # terms deduped
+
+
+def test_cli_knn_methods_agree_on_exact_neighbors(spark, capsys):
+    """knn verb: all four methods emit JSON rows keyed (q_id, vec_id,
+    rank); ivfpq's top-1 for a self-excluded query matches brute's
+    top-1 when that neighbor survives the probe (smoke of the composed
+    path through the CLI, not a recall re-measurement — that gate
+    lives in test_similarity)."""
+    import json
+
+    def run(method):
+        assert main([
+            "knn", "--sf-dir", "/root/testdata/sf0.001",
+            "--query-ids", "0", "--k", "3", "--method", method,
+        ]) == 0
+        rows = [json.loads(line)
+                for line in capsys.readouterr().out.strip().splitlines()]
+        assert [r["rank"] for r in rows] == [1, 2, 3]
+        assert all(r["q_id"] == 0 and r["vec_id"] != 0 for r in rows)
+        return rows
+
+    brute = run("brute")
+    ivfpq = run("ivfpq")
+    # deterministic corpora + deterministic training: the composed
+    # path's neighbor SET overlaps brute's top-3 (>=1 common id)
+    assert {r["vec_id"] for r in brute} & {r["vec_id"] for r in ivfpq}
+    run("ivf")
+    run("pq")

@@ -283,7 +283,9 @@ def test_bench_compact_line_fits_driver_window():
     # precision, ADVICE r10's loud-degradation order) is allowed here;
     # dropping queries is not ("elided" marks that stronger shed).
     assert set(parsed["queries"]) == set(queries)
-    assert "elided" not in parsed
+    # the elision marker key is "queries_elided" (ADVICE r11: the old
+    # "elided" spelling checked a key nothing sets — dead code)
+    assert "queries_elided" not in parsed
     for name, v in parsed["queries"].items():
         assert abs(v - queries[name]) <= 0.005
     if "env" in parsed:
@@ -306,6 +308,40 @@ def test_bench_compact_line_fits_driver_window():
     kept = list(parsed_huge["queries"])
     assert kept == [f"q{i}_" + "x" * 60 for i in range(len(kept))]
     assert all(v == 1.23 for v in parsed_huge["queries"].values())
+
+
+def test_bench_sample_escalation(monkeypatch):
+    """_sample_until_stable takes N_SAMPLES base reps and escalates one
+    at a time toward N_SAMPLES_MAX while relative spread > SPREAD_MAX
+    (VERDICT r11 #2: 3 single-shot samples sat below the noise floor —
+    a contaminated sample must trigger more reps, a quiet query must
+    not pay for them)."""
+    import bench
+
+    def fake_clock(durations):
+        ticks = []
+        t = 0.0
+        for d in durations:
+            ticks.extend([t, t + d])
+            t += d + 10.0
+        it = iter(ticks)
+        return lambda: next(it)
+
+    # stable: 3 samples within spread -> no escalation
+    monkeypatch.setattr(bench.time, "perf_counter",
+                        fake_clock([1.0, 1.02, 0.99]))
+    s = bench._sample_until_stable(lambda: None)
+    assert len(s) == bench.N_SAMPLES
+    # one contaminated sample: spread 1.0 > SPREAD_MAX -> escalate to max
+    monkeypatch.setattr(bench.time, "perf_counter",
+                        fake_clock([1.0, 1.0, 2.0, 1.0, 1.0, 1.0, 1.0]))
+    s = bench._sample_until_stable(lambda: None)
+    assert len(s) == bench.N_SAMPLES_MAX
+    # the median over 7 shrugs off the outlier
+    import statistics
+    assert statistics.median(s) == 1.0
+    assert bench._rel_spread([1.0, 1.0, 2.0]) == 1.0
+    assert bench._rel_spread([0.0, 0.0]) == 0.0
 
 
 def test_bench_idle_gate_debounce(monkeypatch):
@@ -361,6 +397,10 @@ def test_bench_per_query_external_attribution(monkeypatch, tmp_path, capsys):
     for name in ("q01_scan_count", "q40_global_topk"):
         clk = full["query_clock"][name]
         assert clk["t1"] >= clk["t0"]
+        # repeat-median dispersion record (VERDICT r11 #2): reps,
+        # raw samples, and relative spread per query
+        assert clk["reps"] == len(clk["samples"]) >= 1
+        assert clk["spread"] >= 0.0
         # counters are monotonic, deltas clamped at >= 0
         assert clk["ext_cpu_s"] >= 0.0
         assert clk["steal_s"] >= 0.0
@@ -409,3 +449,38 @@ def test_ratchet_with_session_factor_keeps_contract_not_loosens():
     )
     assert violations == [] and regs == {}
     assert final["q1"] == 1.5  # kept, not loosened to 2.7
+
+
+def test_bench_compare_spread_gating(tmp_path, capsys):
+    """tools/bench_compare.py: when both records carry per-query repeat
+    spreads (r12), a delta inside the larger measured spread is
+    reported as not-adjudicable instead of REGRESSION — and a delta
+    well outside a tight spread still flags."""
+    import importlib.util
+    import json as _json
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_compare", os.path.join(ROOT, "tools", "bench_compare.py")
+    )
+    bc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bc)
+
+    a = {"queries": {"q1": 1.0, "q2": 0.5},
+         "query_clock": {"q1": {"spread": 0.5}, "q2": {"spread": 0.02}},
+         "env": {}}
+    b = {"queries": {"q1": 1.4, "q2": 0.8},
+         "query_clock": {"q1": {"spread": 0.1}, "q2": {"spread": 0.03}},
+         "env": {}}
+    pa, pb = tmp_path / "a.json", tmp_path / "b.json"
+    pa.write_text(_json.dumps(a))
+    pb.write_text(_json.dumps(b))
+    import sys as _sys
+    old = _sys.argv
+    _sys.argv = ["bench_compare", str(pa), str(pb)]
+    try:
+        assert bc.main() == 0
+    finally:
+        _sys.argv = old
+    out = capsys.readouterr().out
+    assert "within-instrument  q1" in out
+    assert "REGRESSION  q2" in out

@@ -483,3 +483,23 @@ def test_dedup_within_watermark_distributed_prefix(spark, sf_dir):
     # the plan funnels the relation through one task
     assert "windowspecdefinition(__bkt" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_ivfpq_knn_probe_broadcast_no_corpus_shuffle(spark, sf_dir):
+    """qf0: the IVF×PQ composition keeps both parents' plan contracts —
+    the exploded (q_id, cid) probe list broadcasts against the encoded
+    corpus (BroadcastHashJoin; the corpus itself is never hash-
+    exchanged before ADC), the refine fetch is a keyed broadcast join,
+    nothing plans a cartesian or a sort-merge, and the only shuffle is
+    the per-query window over the bounded candidate set. All three
+    rank cuts run under map-side WindowGroupLimit."""
+    plan = _plan(spark, sf_dir, "qf0_ivfpq_knn")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the single hash exchange belongs to the candidate window, which
+    # sees <= nprobe/n_coarse of the corpus per query — never the
+    # corpus itself
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert plan.count("WindowGroupLimit") >= 2

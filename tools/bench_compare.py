@@ -5,11 +5,18 @@ not code):
     python tools/bench_compare.py BENCH_r06.json BENCH_r07.json
 
 Reads either the driver's recorded shape ({"parsed": {...}}) or
-bench.py's raw JSON line. Classifies each common query as noise / real
-by BOTH a relative band and an absolute floor (a 0.05 s jitter on a
-0.2 s query is 25% but means nothing), flags load-contaminated runs
-from their recorded env notes, and prints the common-subset totals the
-verdicts have converged on quoting.
+bench.py's raw JSON line or a BENCH_DETAIL.json. Classifies each common
+query as noise / real by BOTH a relative band and an absolute floor (a
+0.05 s jitter on a 0.2 s query is 25% but means nothing), flags
+load-contaminated runs from their recorded env notes, and prints the
+common-subset totals the verdicts have converged on quoting.
+
+When BOTH inputs carry per-query repeat dispersion (BENCH_DETAIL.json
+query_clock.spread — recorded since r12, VERDICT r11 #2), a delta must
+ALSO exceed the larger run's own observed spread to count as real:
+the instrument's measured noise floor beats the static 30% band, in
+both directions (a 10% delta on a query whose samples spread 3% IS
+real; a 40% delta on one that spreads 50% is not adjudicable).
 """
 
 from __future__ import annotations
@@ -71,14 +78,32 @@ def main() -> int:
     ta, tb = sum(qa[k] for k in common), sum(qb[k] for k in common)
     print(f"common-{len(common)} total: {ta:.2f}s -> {tb:.2f}s "
           f"({(tb - ta) / ta:+.1%})")
+    spr_a = {k: v.get("spread") for k, v in a.get("query_clock", {}).items()}
+    spr_b = {k: v.get("spread") for k, v in b.get("query_clock", {}).items()}
+    have_spread = any(v is not None for v in spr_a.values()) and any(
+        v is not None for v in spr_b.values()
+    )
+    if have_spread:
+        print("per-query repeat spreads present in both records: deltas "
+              "are additionally gated on each query's measured "
+              "dispersion")
     real = []
     for k in common:
         d = qb[k] - qa[k]
-        if abs(d) > ABS_FLOOR_S and abs(d) > REL_BAND * qa[k]:
-            real.append((d, k))
+        if abs(d) <= ABS_FLOOR_S or abs(d) <= REL_BAND * qa[k]:
+            continue
+        if have_spread and spr_a.get(k) is not None and spr_b.get(k) is not None:
+            floor = max(spr_a[k] * qa[k], spr_b[k] * qb[k])
+            if abs(d) <= floor:
+                print(f"  within-instrument  {k}: {qa[k]:.2f} -> "
+                      f"{qb[k]:.2f} ({d:+.2f}s) inside measured spread "
+                      f"{floor:.2f}s — not adjudicable")
+                continue
+        real.append((d, k))
     if not real:
         print(f"no per-query delta outside the noise band "
-              f"(>{REL_BAND:.0%} and >{ABS_FLOOR_S}s)")
+              f"(>{REL_BAND:.0%} and >{ABS_FLOOR_S}s"
+              + (", and measured spread" if have_spread else "") + ")")
     for d, k in sorted(real):
         print(f"  {'REGRESSION' if d > 0 else 'improvement'}  {k}: "
               f"{qa[k]:.2f} -> {qb[k]:.2f} ({d:+.2f}s)")

@@ -224,6 +224,7 @@ def main(argv: list[str] | None = None) -> int:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     parsed = None
     medians: dict[str, float] = {}
+    envs: list[dict] = []
     for _ in range(max(1, args.sessions)):
         if not _wait_for_idle():
             return 1
@@ -239,6 +240,7 @@ def main(argv: list[str] | None = None) -> int:
             print(proc.stderr[-3000:], file=sys.stderr)
             return 1
         parsed = json.loads(proc.stdout.strip().splitlines()[-1])
+        envs.append(parsed.get("env", {}))
         for q, t in parsed["queries"].items():
             medians[q] = min(t, medians.get(q, t))
     factor = session_factor((old or {}).get("medians", {}), medians)
@@ -283,6 +285,11 @@ def main(argv: list[str] | None = None) -> int:
                 "drift is not a plan regression — outliers beyond the "
                 "factor still refuse)",
         "generated_env": parsed.get("env", {}),
+        # every session's env/idle/clean evidence, in run order — with
+        # --sessions N the min-medians may come from ANY session, so
+        # recording only the last one left the winners' admissibility
+        # evidence unrecorded (ADVICE r11)
+        "generated_envs": envs,
         "session_factor": factor,
         "sessions": max(1, args.sessions),
         "baseline_total": (

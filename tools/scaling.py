@@ -78,7 +78,20 @@ SIZES = [5_000, 20_000, 80_000]
 # 16×, so the 100 TB story extrapolated from 16×. The cheapest dedup
 # audits get one 320k point each to pin the exponent further out.
 EXT_SIZE = 320_000
-EXT64_OPS = ("q92_minhash_lsh_pairs", "qd8_sampled_anchor")
+EXT64_OPS = (
+    "q92_minhash_lsh_pairs",
+    "qd8_sampled_anchor",
+    # r12 (VERDICT r11 "Next round" #4): the two steepest 16× growth
+    # rows among the doc/emb ops (qd3 5.81×, qd6 5.39×) get their
+    # exponent pinned at 64× like q92/qd8 were in r11.
+    "qd3_label_consistency",
+    "qd6_ngram_novelty",
+)
+# Raster analog of EXT64_OPS: qr08 was the third-steepest 16× row
+# (3.66×); its legs scale AREA, so the 64× point is scale=64
+# (2048² px × 4 dates ≈ 16.8M px, upsampled 2× to a 4096² target).
+RASTER_EXT64_OPS = ("qr08_gather_nearest",)
+RASTER_EXT_SIZE = 64
 N_SAMPLES = 3
 QUADRATIC_GROWTH = 256.0  # 16× data, squared (64× legs gate on 4096/4)
 
@@ -156,8 +169,14 @@ def synth_docs(spark: SparkSession, n: int, n_tokens: int = 40) -> DataFrame:
 def synth_events(spark: SparkSession, n: int) -> DataFrame:
     """Deterministic arrival log: event_id = arrival order, event time
     mostly monotone (one event / 10 s) with a planted late row every 7th
-    event (−25 min), 500 users × 4 types — enough per-key density that
-    the 30-minute dedup horizon drops a real share at every n."""
+    event (−25 min), user_id = id%500 and type = id%4 — since 4 divides
+    500 the (user, type) pair collapses to exactly 500 distinct keys
+    (NOT 500×4: the type is determined by the user id's residue), giving
+    4× the per-key density a 2000-key read would imply (ADVICE r11) —
+    still ample that the 30-minute dedup horizon drops a real share at
+    every n. Kept as-is rather than switching to coprime moduli: the
+    committed SCALING.json legs were measured on this exact key
+    topology and must stay comparable round-over-round."""
     late = F.when(F.col("id") % 7 == 3, F.lit(-1500)).otherwise(F.lit(0))
     ts = F.timestamp_seconds(
         F.lit(1_700_000_000) + F.col("id") * 10 + late
@@ -374,6 +393,7 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
     from rastercube_spark.operators.sampling import group_sample
     from rastercube_spark.operators.similarity import (
         embedding_drift,
+        ivfpq_knn,
         label_centroid_outliers,
         lsh_cosine_pairs,
         lsh_knn,
@@ -524,6 +544,16 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
         # code scan + the fixed-100-rows-per-query refine join.
         "qe2_pq_knn": (
             lambda: pq_knn(queries, emb, dim=DIM, k=10),
+            True,
+        ),
+        # r12: the IVF×PQ composition — both quantizers train at
+        # construction (loop-inclusive, qe2's meter); the timed region
+        # adds the coarse assign/probe to qe2's chain but the ADC scan
+        # touches only nprobe/n_coarse of the corpus, so the curve
+        # should sit BELOW qe2's at large n (that crossover is the
+        # operator's whole reason to exist).
+        "qf0_ivfpq_knn": (
+            lambda: ivfpq_knn(queries, emb, dim=DIM, k=10),
             True,
         ),
         # r11 session 2: cross-source passage overlap — passage relation
@@ -782,10 +812,12 @@ def main() -> int:
                      "qd9_keep_best", "qe0_embedding_drift",
                      "qe2_pq_knn", "qe3_source_overlap",
                      "qe4_embedding_outliers", "qe5_bm25_topk",
-                     "q77_dedup_within_wm")
+                     "q77_dedup_within_wm", "qf0_ivfpq_knn")
     ] + [
         (name, EXT_SIZE) for name in EXT64_OPS
     ] + [(name, s) for s in RASTER_SIZES for name in RASTER_OPS] + [
+        (name, RASTER_EXT_SIZE) for name in RASTER_EXT64_OPS
+    ] + [
         (name, n) for n in CC_FINISH_SIZES for name in CC_FINISH_OPS
     ]
     for name, n in legs:
@@ -836,10 +868,14 @@ def main() -> int:
         "ext64": {
             "size": EXT_SIZE,
             "ops": list(EXT64_OPS),
-            "note": "64x legs (VERDICT r10 #5): these ops carry a 320k "
-                    "point so their exponent is pinned past the 16x the "
-                    "rest of the sweep stops at; growth_hi_over_lo and "
-                    "the quadratic gate use each op's own recorded span",
+            "raster_ops": list(RASTER_EXT64_OPS),
+            "raster_size": RASTER_EXT_SIZE,
+            "note": "64x legs (VERDICT r10 #5; qd3/qd6/qr08 added r12 "
+                    "per VERDICT r11 #4): these ops carry a 320k point "
+                    "(raster: scale-64 area) so their exponent is "
+                    "pinned past the 16x the rest of the sweep stops "
+                    "at; growth_hi_over_lo and the quadratic gate use "
+                    "each op's own recorded span",
         },
         "samples": N_SAMPLES,
         "stat": "median",
