@@ -181,9 +181,14 @@ HEADLINE = [
     "qe4_embedding_outliers",
     "qe5_bm25_topk",
     "q77_dedup_within_watermark",
-    # round 12 addition: IVF×PQ composed ANN (loop-inclusive below:
-    # both quantizers train at construction)
+    # round 12 additions: IVF×PQ composed ANN (loop-inclusive below:
+    # both quantizers train at construction), per-dimension embedding
+    # diagnostics, corpus-relative unigram typicality, and the
+    # sequence-length histogram
     "qf0_ivfpq_knn",
+    "qf1_embedding_dim_stats",
+    "qf2_token_surprisal",
+    "qf3_length_histogram",
 ]
 
 # Driver-iterative queries: the query function itself executes work
@@ -274,6 +279,19 @@ DETAIL_PATH = os.path.join(
 )
 
 
+def _short_keys(queries: dict) -> dict | None:
+    """Map each query name to its unique id prefix (the part before the
+    first underscore: q01_scan_count → q01). Returns None if two names
+    share a prefix — the caller must then keep full names."""
+    out = {}
+    for k, v in queries.items():
+        p = k.split("_", 1)[0]
+        if p in out:
+            return None
+        out[p] = v
+    return out
+
+
 def _compact_line(full: dict) -> str:
     """The one stdout line, bounded under LINE_BUDGET: metric, value,
     queries, sf, plus two admissibility booleans and the detail-file
@@ -300,19 +318,28 @@ def _compact_line(full: dict) -> str:
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > LINE_BUDGET:
-        # Degrade order (r12 — the 65-query line crossed the budget and
-        # the OLD order shed env first, losing the idle_ok/clean_end
-        # admissibility booleans while keeping a third decimal nobody
-        # adjudicates on): (1) coarser per-query precision, (2) shed the
-        # detail pointer and env booleans, (3) drop whole query entries
-        # from the END, recording how many were elided so the loss is
-        # loud, never silent (ADVICE r10 — without this the line would
-        # truncate from the FRONT again, the exact r9 failure). The
-        # full-precision record is always in BENCH_DETAIL.json.
+        # Degrade order (r12 — at 69 queries even 2-dp full names
+        # saturate the window, and the OLD order shed the env
+        # admissibility booleans first while keeping a third decimal
+        # nobody adjudicates on): (1) coarser per-query precision,
+        # (2) shorten query keys to their unique id prefix
+        # (q01_scan_count → q01; marked with "keys":"id" so the loss
+        # is loud — full names live in BENCH_DETAIL.json, and
+        # tools/bench_compare.py normalizes both sides), (3) shed the
+        # detail pointer and env booleans, (4) drop whole query entries
+        # from the END, recording how many were elided (ADVICE r10 —
+        # without this the line would truncate from the FRONT again,
+        # the exact r9 failure).
         compact["queries"] = {
             k: round(v, 2) for k, v in compact["queries"].items()
         }
         line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > LINE_BUDGET:
+        short = _short_keys(compact["queries"])
+        if short is not None:
+            compact["queries"] = short
+            compact["keys"] = "id"
+            line = json.dumps(compact, separators=(",", ":"))
     if len(line) > LINE_BUDGET:
         compact.pop("detail", None)
         compact.pop("env", None)

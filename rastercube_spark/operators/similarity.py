@@ -1529,3 +1529,84 @@ def ivfpq_knn(
             "rank",
         )
     )
+
+
+def embedding_dim_stats(
+    emb: DataFrame,
+    dim: int,
+    var_floor: float = 1e-4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension embedding diagnostics: quantized mean and variance
+    for each of the ``dim`` components, plus a ``low_variance`` flag —
+    the collapsed-dimension audit run before trusting an embedding
+    column for ANN (q96/q97/qa2/qe2/qf0) or semantic dedup (qb2). A
+    dimension whose variance is ~0 carries no information (dead
+    encoder unit, truncation bug, wrong slice) and silently degrades
+    every cosine downstream; a mean far from 0 signals an uncentered
+    encoder. Returns (dim_idx, mean_q, var_q, low_variance), one row
+    per dimension, ordered by dim_idx.
+
+    Determinism is qe0's recipe extended to second moments: components
+    quantize to exact integers (floor(x·10⁴)), and ONE
+    ``Summarizer.sum`` groupBy over the vectorized (qv, qv⊙qv) pair
+    yields Σx and Σx² per dimension as exact integer-valued doubles
+    (every partial < 2⁵³ on fixture scales: |q| ≤ 10⁴, q² ≤ 10⁸, so
+    Σx² stays exact up to ~10⁷ rows — at larger n the sums remain
+    deterministic per partitioning only if kept exact, which is why
+    the quantization scale, not the row count, is the knob to turn
+    down at extreme scale). mean = Σx/n and
+    var = (n·Σx² − (Σx)²)/n² are single IEEE divisions of exact
+    integers — engine-identical — rounded to 6 dp. Values are in
+    QUANTIZED units (mean_q ≈ 10⁴·mean; var_q ≈ 10⁸·var): exact
+    cross-engine hashability is the point, absolute units are not.
+
+    Scale shape: one corpus scan, one shuffle of TWO dim-length
+    partial summaries per task (map-side combinable ObjectHashAggregate
+    — the corpus is never exploded dim-fold); the posexplode that
+    emits per-dimension rows runs on the single aggregated row. Result
+    is dim rows regardless of corpus size.
+    """
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
+
+    q = emb.select(quantize_vec(F.col(vec_col)).alias("qv"))
+    agg = (
+        q.select(
+            array_to_vector(F.col("qv")).alias("v"),
+            array_to_vector(
+                F.transform("qv", lambda x: x * x)
+            ).alias("v2"),
+        )
+        .agg(
+            Summarizer.sum(F.col("v")).alias("s"),
+            Summarizer.sum(F.col("v2")).alias("q2"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+        )
+    )
+    z = agg.select(
+        "n",
+        F.posexplode(
+            F.arrays_zip(
+                vector_to_array(F.col("s")).alias("s_i"),
+                vector_to_array(F.col("q2")).alias("q2_i"),
+            )
+        ).alias("i", "z"),
+    ).select(
+        F.col("i").cast("bigint").alias("dim_idx"),
+        F.round(F.col("z.s_i") / F.col("n"), 6).alias("mean_q"),
+        F.round(
+            (F.col("n") * F.col("z.q2_i") - F.col("z.s_i") * F.col("z.s_i"))
+            / (F.col("n") * F.col("n")),
+            6,
+        ).alias("var_q"),
+    )
+    # var_floor is in RAW units; quantized variance scales by QUANT²
+    return z.select(
+        "dim_idx",
+        "mean_q",
+        "var_q",
+        (F.col("var_q") < F.lit(var_floor * QUANT * QUANT)).alias(
+            "low_variance"
+        ),
+    ).orderBy("dim_idx")

@@ -195,3 +195,122 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(k)
     )
+
+
+def token_surprisal(
+    docs,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document unigram typicality audit (the deterministic cousin
+    of CCNet's LM-perplexity filter): score each document by the mean
+    CORPUS frequency of its own tokens and return the ``k`` most
+    unusual (lowest-scoring) documents. A low score means the document
+    is built from tokens the corpus rarely uses — gibberish, foreign
+    text in a monolingual corpus, encoding damage, or markup — exactly
+    the tail an LM-perplexity filter flags, without a model artifact
+    or libm call. Returns (doc_id, n_tokens, score), score ascending.
+
+    Determinism: corpus token counts and document lengths are exact
+    bigints; a document's raw score is Σ over its token OCCURRENCES of
+    corpus_count(token) — an integer SUM (order-free) — and the final
+    score divides ONCE by (dl · N_total_tokens), one IEEE division of
+    exact integers, rounded to 6 dp before the ordering with a doc_id
+    tie-break. (The per-token quotient is never materialized: summing
+    quotients would reassociate float error across engines.)
+
+    Scale shape (qa1's topology): one explode feeds a map-side-
+    combinable groupBy(token) count; the per-occurrence join back is
+    keyed on the token (both sides shuffle on the bounded vocabulary
+    key, never on pairs); the total-token scalar broadcasts; the
+    global bottom-k is orderBy+limit → TakeOrdered. No reference
+    analog — this is LLM-pipeline surface (builder brief)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("tok"),
+    )
+    cnt = toks.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    # N_total = total token occurrences — computed MAP-ONLY from
+    # size(split()) rather than re-aggregating cnt, which would replay
+    # the explode a third time (same exact integer either way)
+    total = docs.select(
+        F.size(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).cast("bigint").alias("dl")
+    ).agg(F.sum("dl").cast("double").alias("n_total"))
+    return (
+        toks.join(cnt, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("c").cast("double").alias("c_sum"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("c_sum")
+                / (F.col("n_tokens").cast("double") * F.col("n_total")),
+                6,
+            ).alias("score"),
+        )
+        .orderBy("score", "doc_id")
+        .limit(k)
+    )
+
+
+def length_histogram(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Sequence-length distribution: documents and tokens per power-of-
+    two token-count bucket — the planning query a packing stage (qa6)
+    or a context-length decision reads first ("how much of the corpus
+    exceeds 4k tokens?"). Returns (bucket_lo, n_docs, n_tokens,
+    max_len), one row per occupied bucket, ordered by bucket_lo; a
+    document with ``dl`` whitespace tokens lands in the bucket
+    [2^floor(log2(dl)), 2^(floor+1)) — computed with bit-shift integer
+    arithmetic (no log(), which is libm-dependent), empty docs in
+    bucket 0.
+
+    Scale shape: token counts come from size(split(...)) — map-only,
+    no explode anywhere — and the histogram is one map-side-combinable
+    groupBy over at most ~40 buckets. One scan, one ~40-row shuffle.
+    No reference analog — LLM-pipeline surface (builder brief)."""
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).cast("bigint").alias("dl"),
+    )
+    # bucket_lo = largest power of two <= dl, computed with pure
+    # integer comparisons (no log(), which is libm-dependent): a fixed
+    # 40-probe GREATEST chain of CASE WHEN dl >= 2^i THEN 2^i END —
+    # engine-identical arithmetic, codegen-friendly, covers dl < 2^40.
+    probes = [
+        F.when(F.col("dl") >= F.lit(1 << i), F.lit(1 << i).cast("bigint"))
+        for i in range(40)
+    ]
+    bucketed = dl.select(
+        "doc_id",
+        "dl",
+        F.coalesce(F.greatest(*probes), F.lit(0))
+        .cast("bigint")
+        .alias("bucket_lo"),
+    )
+    return (
+        bucketed.groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("n_tokens"),
+            F.max("dl").cast("bigint").alias("max_len"),
+        )
+        .orderBy("bucket_lo")
+    )

@@ -3258,3 +3258,141 @@ def qf0(spark, sf_dir):
     return ivfpq_knn(
         qs, e, dim=EMB_DIM, k=10, n_coarse=16, nprobe=8, rerank=100
     ).orderBy("q_id", "rank")
+
+
+@query(
+    "qf1_embedding_dim_stats",
+    oracle=f"""
+        WITH q AS (
+            SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> floor(x * 10000.0)) AS qv
+            FROM embeddings
+        ),
+        comp AS (
+            SELECT ix.i - 1 AS dim_idx,
+                   SUM(qv[ix.i]) AS s,
+                   SUM(qv[ix.i] * qv[ix.i]) AS q2,
+                   CAST(COUNT(*) AS DOUBLE) AS n
+            FROM q
+            CROSS JOIN (SELECT UNNEST(range(1, {EMB_DIM + 1})) AS i) ix
+            GROUP BY ix.i
+        )
+        SELECT dim_idx,
+               ROUND(s / n, 6) AS mean_q,
+               ROUND((n * q2 - s * s) / (n * n), 6) AS var_q,
+               ROUND((n * q2 - s * s) / (n * n), 6) < 10000.0
+                   AS low_variance
+        FROM comp ORDER BY dim_idx
+    """,
+)
+def qf1(spark, sf_dir):
+    """Per-dimension embedding diagnostics (operators/similarity.py
+    embedding_dim_stats): quantized mean + variance per component with
+    a low-variance flag — the collapsed-dimension audit run before
+    trusting an embedding column for ANN (q96/q97/qa2/qe2/qf0) or
+    semantic dedup (qb2). qe0's Summarizer machinery extended to
+    second moments: ONE vector groupBy computes Σx and Σx² per
+    dimension with no corpus explode (the oracle's unnest DOES explode
+    — that is the oracle's cost, not the engine's); mean and variance
+    are single IEEE divisions of exact integers, engine-identical.
+
+    100 TB shape: one scan, one shuffle of two dim-length partial
+    summaries per task, a 64-row result regardless of corpus size.
+    No reference analog — LLM-pipeline surface (builder brief)."""
+    from rastercube_spark.operators.similarity import embedding_dim_stats
+
+    return embedding_dim_stats(
+        load(spark, sf_dir, "embeddings"), dim=EMB_DIM
+    )
+
+
+@query(
+    "qf2_token_surprisal",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   UNNEST(regexp_split_to_array(trim(lower(text)),
+                                                '\\s+')) AS tok
+            FROM documents
+        ),
+        cnt AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY tok
+        ),
+        tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM cnt),
+        agg AS (
+            SELECT t.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(c.c) AS DOUBLE) AS c_sum
+            FROM toks t JOIN cnt c USING (tok)
+            GROUP BY t.doc_id
+        )
+        SELECT doc_id, n_tokens,
+               ROUND(c_sum / (CAST(n_tokens AS DOUBLE) * tot.n_total), 6)
+                   AS score
+        FROM agg CROSS JOIN tot
+        ORDER BY score, doc_id
+        LIMIT 20
+    """,
+)
+def qf2(spark, sf_dir):
+    """Per-document unigram typicality audit (operators/text.py
+    token_surprisal) — the deterministic cousin of CCNet's
+    LM-perplexity quality filter: the 20 documents whose tokens the
+    corpus uses least (gibberish, wrong-language, encoding damage,
+    markup). Complements qa5's repetition rules and qb5's Gopher gate
+    with a CORPUS-RELATIVE signal: a document can pass every local
+    rule and still be built from tokens nothing else uses.
+
+    Determinism: the raw score is an integer SUM of corpus counts over
+    the doc's token occurrences (order-free), divided ONCE by
+    (dl · N_total) — one IEEE division, 6-dp rounded, doc_id
+    tie-break. 100 TB shape: map-side-combinable groupBy(token), join
+    back keyed on the bounded vocabulary, broadcast scalar total,
+    TakeOrdered bottom-k. No reference analog."""
+    from rastercube_spark.operators.text import token_surprisal
+
+    return token_surprisal(_docs(spark, sf_dir), k=20)
+
+
+@query(
+    "qf3_length_histogram",
+    oracle="""
+        WITH dl AS (
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(lower(text)),
+                                                  '\\s+')) AS BIGINT)
+                       AS dl
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id, dl,
+                   CASE WHEN dl <= 0 THEN 0
+                        ELSE CAST(power(2, floor(log2(dl))) AS BIGINT)
+                   END AS bucket_lo
+            FROM dl
+        )
+        SELECT bucket_lo,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS n_tokens,
+               CAST(MAX(dl) AS BIGINT) AS max_len
+        FROM b GROUP BY bucket_lo ORDER BY bucket_lo
+    """,
+)
+def qf3(spark, sf_dir):
+    """Sequence-length distribution (operators/text.py
+    length_histogram): docs/tokens/max per power-of-two token-count
+    bucket — what a packing stage (qa6) or a context-length decision
+    reads first. The engine computes floor-log2 with pure integer
+    comparisons (a 40-probe GREATEST chain — no log(), which is
+    libm-dependent); the oracle's log2 lands on exact powers of two
+    where floor(log2) is exact in every IEEE libm, so the two
+    formulations agree bit-for-bit on integer inputs. All aggregates
+    exact bigints.
+
+    100 TB shape: map-only token counts (size(split()), no explode),
+    one ~40-row map-side-combinable groupBy. One scan, one tiny
+    shuffle. No reference analog."""
+    from rastercube_spark.operators.text import length_histogram
+
+    return length_histogram(_docs(spark, sf_dir))

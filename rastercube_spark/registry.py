@@ -40,11 +40,15 @@ _ORACLES: dict[str, str] = {}
 # baseline with tests/make_attest.py IN THE SAME COMMIT that rotates
 # these lists; make_attest refuses to run while the rule is violated.
 #
-# Round 12 changed set — three entries, the exact diff of
+# Round 12 changed set — six entries, the exact diff of
 # rastercube_spark.attest.all_hashes() vs the r11 baseline:
 # qf0_ivfpq_knn is NEW (the IVF×PQ composed ANN both qa2's and qe2's
 # docstrings advertised as the 100 TB path — VERDICT r11 "Next round"
 # #3; a NEW query must be attested the round it lands);
+# qf1_embedding_dim_stats, qf2_token_surprisal and qf3_length_histogram
+# are NEW (collapsed-dimension audit, corpus-relative unigram
+# typicality filter, and packing-planning length distribution —
+# LLM-pipeline surface);
 # qe5_bm25_topk's closure changed because bm25_topk now dedups the
 # terms tuple (ADVICE r11 — a repeated term used to score twice) and
 # grew an off-by-default log_idf mode + the summed-score rank caveat
@@ -58,20 +62,23 @@ _ORACLES: dict[str, str] = {}
 # hash diff is exactly these three).
 ATTEST_CHANGED: tuple[str, ...] = (
     "qf0_ivfpq_knn",
+    "qf1_embedding_dim_stats",
+    "qf2_token_surprisal",
+    "qf3_length_histogram",
     "qe4_embedding_outliers",
     "qe5_bm25_topk",
 )
 
-# The 47 remaining window slots go oldest-first per tools/
+# The 44 remaining window slots go oldest-first per tools/
 # rotate_window.py's ground-truth reading of the CORRECTNESS_r*
 # artifacts: FIRST the thirteen r9-stale queries at the window's
 # stated 2-round maximum (qb5-qb9, qd3, qr02, qr06-qr08, q96, qa9,
 # qb0 — queued "first for r12" last round and honored here, VERDICT
 # r11 "Next round" #1), then the r10 cohort in the planner's
-# (alphabetical) order through qa0. The r10 tail (qa1-qa8, qb1, qb2,
+# (alphabetical) order through q97. The r10 tail (q98-qa8, qb1, qb2,
 # qc0, qd1, qd2, qd5, qd8, qd9 and the r11 cohort) doesn't fit and
 # stays frozen at ≤2 rounds old, first in line for r13 — with ~3-8
-# changed + ~47 stale slots over 113 queries the steady state keeps
+# changed + ~44 stale slots over 116 queries the steady state keeps
 # every query ≤2 rounds from its last driver attestation.
 ATTEST_STALE: tuple[str, ...] = (
     "q96_knn_bruteforce",
@@ -118,9 +125,6 @@ ATTEST_STALE: tuple[str, ...] = (
     "q94_ngram_jaccard_topk",
     "q95_simhash",
     "q97_lsh_knn",
-    "q98_cosine_pairs_topk",
-    "q99_winnow_fingerprint",
-    "qa0_multimodal_decode",
 )
 
 ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE

@@ -97,3 +97,44 @@ def test_log_idf_mode_matches_textbook_and_linear_single_term(spark):
     ratio = (n_docs - df + 0.5) / (df + 0.5)
     assert s_log[9][1] > 0
     assert abs(s_log[9][1] / s_lin[9][1] - math.log(ratio) / ratio) < 1e-6
+
+
+def test_token_surprisal_ranks_rare_token_docs_lowest(spark):
+    """qf2's operator (token_surprisal): a document of corpus-unique
+    gibberish must rank more unusual (lower score) than one built from
+    the corpus's common tokens; ties break on doc_id; scores invariant
+    under repartition."""
+    from rastercube_spark.operators.text import token_surprisal
+
+    common = " ".join(["the cat sat"] * 5)
+    rows = [(i, common) for i in range(8)]
+    rows.append((8, "zxqv jkwp mmro xxyz aabb ccdd eeff gghh iijj kkll"
+                     " mmnn oopp"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = token_surprisal(docs, k=9).collect()
+    assert out[0]["doc_id"] == 8  # gibberish = most unusual
+    assert out[0]["score"] < out[1]["score"]
+    out2 = token_surprisal(docs.repartition(5), k=9).collect()
+    assert [(r["doc_id"], r["score"]) for r in out] == [
+        (r["doc_id"], r["score"]) for r in out2
+    ]
+
+
+def test_length_histogram_buckets_and_totals(spark):
+    """qf3's operator (length_histogram): documents land in the
+    [2^k, 2^(k+1)) bucket of their whitespace token count; totals and
+    maxima are exact; bucket set covers exactly the occupied powers."""
+    from rastercube_spark.operators.text import length_histogram
+
+    def doc(n):  # n whitespace tokens
+        return " ".join(f"w{j}" for j in range(n))
+
+    rows = [(0, doc(1)), (1, doc(2)), (2, doc(3)), (3, doc(4)),
+            (4, doc(7)), (5, doc(8)), (6, doc(1023)), (7, doc(1024))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["bucket_lo"]: r for r in length_histogram(docs).collect()}
+    assert set(out) == {1, 2, 4, 8, 512, 1024}
+    assert out[2]["n_docs"] == 2 and out[2]["n_tokens"] == 5
+    assert out[4]["n_docs"] == 2 and out[4]["max_len"] == 7
+    assert out[512]["n_docs"] == 1 and out[512]["max_len"] == 1023
+    assert out[1024]["n_docs"] == 1 and out[1024]["n_tokens"] == 1024

@@ -79,7 +79,10 @@ def test_perf_budget_gate():
         timeout=3600,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
-    parsed = json.loads(proc.stdout.strip().splitlines()[-1])
+    # full names + full precision live in the detail artifact; the
+    # compact stdout line may have degraded to id-prefix keys (r12)
+    with open(os.path.join(ROOT, "BENCH_DETAIL.json")) as f:
+        parsed = json.load(f)
     got = parsed["queries"]
 
     # a budgeted query must still exist — a rename/retire must be a
@@ -277,36 +280,45 @@ def test_bench_compact_line_fits_driver_window():
     line = bench._compact_line(full)
     assert len(line) <= bench.LINE_BUDGET
     parsed = json.loads(line)
-    # Every query must survive at 2-dp-or-better precision — the 65-query
-    # headline (r11 session 2) crossed the threshold where full 3-dp
-    # synthetic values no longer fit, so the FIRST degrade step (coarser
-    # precision, ADVICE r10's loud-degradation order) is allowed here;
-    # dropping queries is not ("elided" marks that stronger shed).
-    assert set(parsed["queries"]) == set(queries)
-    # the elision marker key is "queries_elided" (ADVICE r11: the old
-    # "elided" spelling checked a key nothing sets — dead code)
+    # Every query must survive at 2-dp-or-better precision — the 69-query
+    # headline (r12) saturated even 2-dp full names, so the first TWO
+    # degrade steps (coarser precision, then unique-id-prefix keys
+    # marked "keys":"id") are allowed here; dropping queries is not
+    # ("queries_elided" marks that stronger shed — ADVICE r11: the old
+    # "elided" spelling checked a key nothing sets).
+    if parsed.get("keys") == "id":
+        expect = {k.split("_", 1)[0]: v for k, v in queries.items()}
+    else:
+        expect = queries
+    assert set(parsed["queries"]) == set(expect)
     assert "queries_elided" not in parsed
     for name, v in parsed["queries"].items():
-        assert abs(v - queries[name]) <= 0.005
-    if "env" in parsed:
-        assert parsed["env"] == {"idle_ok": True, "clean_end": True}
-    # shedding path: absurdly long query names force the fallback,
-    # which must keep the queries dict and drop only summary fields
+        assert abs(v - expect[name]) <= 0.005
+    # the id-prefix step must preserve the env admissibility booleans
+    # (that is its whole point versus the old shed-env-first order)
+    assert parsed["env"] == {"idle_ok": True, "clean_end": True}
+    # long names with unique prefixes: the id-prefix step rescues the
+    # full dict AND the env booleans
     big = dict(full, queries={f"q{i}_" + "x" * 60: 1.0 for i in range(40)})
     parsed_big = json.loads(bench._compact_line(big))
-    assert "queries" in parsed_big and "env" not in parsed_big
-    # final guard (ADVICE r10): when the queries dict ALONE outgrows the
-    # budget, the line must still fit — coarser precision first, then
-    # whole entries elided LOUDLY from the end, never a silent
-    # front-truncation
-    huge = dict(full, queries={f"q{i}_" + "x" * 60: 1.2345 for i in range(60)})
+    assert parsed_big["keys"] == "id"
+    assert set(parsed_big["queries"]) == {f"q{i}" for i in range(40)}
+    assert parsed_big["env"] == {"idle_ok": True, "clean_end": True}
+    # final guard (ADVICE r10): COLLIDING prefixes disable the key
+    # shortening, so when the queries dict alone outgrows the budget the
+    # line still fits — env shed, then whole entries elided LOUDLY from
+    # the end, never a silent front-truncation
+    huge = dict(
+        full, queries={"qx_" + "x" * 60 + f"_{i}": 1.2345 for i in range(60)}
+    )
     line_huge = bench._compact_line(huge)
     assert len(line_huge) <= bench.LINE_BUDGET
     parsed_huge = json.loads(line_huge)
+    assert "keys" not in parsed_huge  # collision -> full names kept
     assert parsed_huge["queries_elided"] >= 1
     assert parsed_huge["detail"] == "BENCH_DETAIL.json"
     kept = list(parsed_huge["queries"])
-    assert kept == [f"q{i}_" + "x" * 60 for i in range(len(kept))]
+    assert kept == ["qx_" + "x" * 60 + f"_{i}" for i in range(len(kept))]
     assert all(v == 1.23 for v in parsed_huge["queries"].values())
 
 
@@ -484,3 +496,33 @@ def test_bench_compare_spread_gating(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "within-instrument  q1" in out
     assert "REGRESSION  q2" in out
+
+
+def test_bench_compare_normalizes_id_prefix_records(tmp_path, capsys):
+    """A record whose compact line degraded to id-prefix keys
+    ("keys":"id") still diffs against a full-name record: both sides
+    normalize to prefixes and the common subset survives."""
+    import importlib.util
+    import json as _json
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_compare", os.path.join(ROOT, "tools", "bench_compare.py")
+    )
+    bc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bc)
+
+    a = {"queries": {"q01_scan_count": 1.0, "q40_global_topk": 0.5},
+         "env": {}}
+    b = {"queries": {"q01": 1.05, "q40": 0.52}, "keys": "id", "env": {}}
+    pa, pb = tmp_path / "a.json", tmp_path / "b.json"
+    pa.write_text(_json.dumps(a))
+    pb.write_text(_json.dumps(b))
+    import sys as _sys
+    old = _sys.argv
+    _sys.argv = ["bench_compare", str(pa), str(pb)]
+    try:
+        assert bc.main() == 0
+    finally:
+        _sys.argv = old
+    out = capsys.readouterr().out
+    assert "common-2 total" in out

@@ -503,3 +503,37 @@ def test_ivfpq_knn_probe_broadcast_no_corpus_shuffle(spark, sf_dir):
     # corpus itself
     assert plan.count("Exchange hashpartitioning") <= 1
     assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_embedding_dim_stats_no_corpus_explode(spark, sf_dir):
+    """qf1: the corpus is never inflated dim-fold — the only Generate
+    is the posexplode of the ONE aggregated row; both moment sums run
+    as partial+final Summarizer ObjectHashAggregates; no join of any
+    kind."""
+    plan = _plan(spark, sf_dir, "qf1_embedding_dim_stats")
+    assert plan.count("Generate") == 1
+    assert plan.count("ObjectHashAggregate") >= 2
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_token_surprisal_vocab_keyed_takeordered(spark, sf_dir):
+    """qf2: every shuffle is keyed on the bounded vocabulary or doc id
+    (never pairs), the scalar total is the sanctioned 1-row broadcast
+    nested loop, the N_total side is map-only (no third explode), and
+    the bottom-k is TakeOrdered, not a full sort."""
+    plan = _plan(spark, sf_dir, "qf2_token_surprisal")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert plan.count("Generate") <= 2
+
+
+def test_length_histogram_map_only_tiny_shuffle(spark, sf_dir):
+    """qf3: no explode anywhere (token counts from size(split())), no
+    joins, exactly one exchange — the ~40-bucket groupBy with map-side
+    partials."""
+    plan = _plan(spark, sf_dir, "qf3_length_histogram")
+    assert "Generate" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

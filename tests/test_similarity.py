@@ -505,3 +505,28 @@ def test_ivfpq_knn_refined_recall_and_exact_scores(spark, sf_dir):
             expect = float(Qv[ids == v][0] @ Qv[q]) / 1e8
             assert abs(got[q][v] - expect) <= 1e-6
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_embedding_dim_stats_flags_planted_dead_dim(spark):
+    """qf1's operator contract: a planted constant dimension must flag
+    low_variance (and only it); mean_q is exact for a constructed
+    column; result invariant under repartition."""
+    from rastercube_spark.operators.similarity import embedding_dim_stats
+
+    rows = [
+        (i, [0.5] + [((i * 7 + d) % 11 - 5) / 10.0 for d in range(3)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = {r["dim_idx"]: r for r in
+           embedding_dim_stats(emb, dim=4).collect()}
+    assert out[0]["low_variance"] and out[0]["var_q"] == 0.0
+    assert out[0]["mean_q"] == 5000.0  # floor(0.5 * 10^4)
+    assert not any(out[d]["low_variance"] for d in (1, 2, 3))
+    out2 = {r["dim_idx"]: r for r in
+            embedding_dim_stats(emb.repartition(7), dim=4).collect()}
+    assert {d: (v["mean_q"], v["var_q"]) for d, v in out.items()} == {
+        d: (v["mean_q"], v["var_q"]) for d, v in out2.items()
+    }

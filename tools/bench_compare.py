@@ -63,11 +63,36 @@ def load(path: str) -> dict:
     return parsed
 
 
+def _normalize_keys(parsed: dict) -> dict:
+    """Map query names to their unique id prefix (q01_scan_count → q01)
+    so a record whose compact line degraded to short keys
+    ("keys":"id", bench.py r12) compares against full-name records.
+    No-op if any prefix collides (then full names were kept
+    everywhere)."""
+    out = dict(parsed)
+    for field in ("queries", "query_clock"):
+        d = parsed.get(field)
+        if not d:
+            continue
+        short = {}
+        for k, v in d.items():
+            p = k.split("_", 1)[0]
+            if p in short:
+                return parsed  # collision: keep full names as-is
+            short[p] = v
+        out[field] = short
+    return out
+
+
 def main() -> int:
     if len(sys.argv) != 3:
         print(__doc__)
         return 2
     a, b = load(sys.argv[1]), load(sys.argv[2])
+    if a.get("keys") != b.get("keys"):
+        # one record degraded to id-prefix keys, the other didn't:
+        # normalize BOTH so the common subset survives the format change
+        a, b = _normalize_keys(a), _normalize_keys(b)
     qa, qb = a["queries"], b["queries"]
     common = sorted(set(qa) & set(qb))
     for side, d in (("A", a), ("B", b)):

@@ -239,7 +239,14 @@ def main(argv: list[str] | None = None) -> int:
         if proc.returncode != 0:
             print(proc.stderr[-3000:], file=sys.stderr)
             return 1
-        parsed = json.loads(proc.stdout.strip().splitlines()[-1])
+        # Read the DETAIL artifact, not the compact stdout line: at 69+
+        # headline queries the line degrades to id-prefix keys
+        # ("keys":"id", bench.py r12) and would hand the budget file
+        # prefix-keyed entries that never match the committed full
+        # names. BENCH_DETAIL.json always carries full names, full
+        # precision, and the full env note.
+        with open(os.path.join(ROOT, "BENCH_DETAIL.json")) as f:
+            parsed = json.load(f)
         envs.append(parsed.get("env", {}))
         for q, t in parsed["queries"].items():
             medians[q] = min(t, medians.get(q, t))

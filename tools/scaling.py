@@ -392,6 +392,7 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
     from rastercube_spark.operators.prefix import running_sum_exclusive
     from rastercube_spark.operators.sampling import group_sample
     from rastercube_spark.operators.similarity import (
+        embedding_dim_stats,
         embedding_drift,
         ivfpq_knn,
         label_centroid_outliers,
@@ -400,7 +401,12 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
         pq_knn,
         quantized_knn,
     )
-    from rastercube_spark.operators.text import bm25_topk, token_count
+    from rastercube_spark.operators.text import (
+        bm25_topk,
+        length_histogram,
+        token_count,
+        token_surprisal,
+    )
     from rastercube_spark.streaming.stateful import dedup_within_watermark
 
     emb = synth_embeddings(spark, n)
@@ -555,6 +561,26 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
         "qf0_ivfpq_knn": (
             lambda: ivfpq_knn(queries, emb, dim=DIM, k=10),
             True,
+        ),
+        # r12: per-dimension moment sums — qe0's Summarizer shape with
+        # a second (squared) vector; expected ~linear scan-bound, the
+        # reduce side is dim rows regardless of n.
+        "qf1_embedding_dim_stats": (
+            lambda: embedding_dim_stats(emb, dim=DIM),
+            False,
+        ),
+        # r12: corpus-relative unigram typicality — qa1's topology
+        # (vocab-keyed groupBy + join back + per-doc agg + TakeOrdered);
+        # expected ~linear.
+        "qf2_token_surprisal": (
+            lambda: token_surprisal(docs, k=20),
+            False,
+        ),
+        # r12: map-only length histogram, one ~40-row groupBy —
+        # expected ~linear scan-bound.
+        "qf3_length_histogram": (
+            lambda: length_histogram(docs),
+            False,
         ),
         # r11 session 2: cross-source passage overlap — passage relation
         # is linear in corpus tokens, the self-join fan-out is bounded
@@ -812,7 +838,9 @@ def main() -> int:
                      "qd9_keep_best", "qe0_embedding_drift",
                      "qe2_pq_knn", "qe3_source_overlap",
                      "qe4_embedding_outliers", "qe5_bm25_topk",
-                     "q77_dedup_within_wm", "qf0_ivfpq_knn")
+                     "q77_dedup_within_wm", "qf0_ivfpq_knn",
+                     "qf1_embedding_dim_stats", "qf2_token_surprisal",
+                     "qf3_length_histogram")
     ] + [
         (name, EXT_SIZE) for name in EXT64_OPS
     ] + [(name, s) for s in RASTER_SIZES for name in RASTER_OPS] + [
