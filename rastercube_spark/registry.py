@@ -40,8 +40,13 @@ _ORACLES: dict[str, str] = {}
 # baseline with tests/make_attest.py IN THE SAME COMMIT that rotates
 # these lists; make_attest refuses to run while the rule is violated.
 #
-# Round 12 changed set — six entries, the exact diff of
+# Round 12 changed set — eight entries, the exact diff of
 # rastercube_spark.attest.all_hashes() vs the r11 baseline:
+# qa2_ivf_knn and qe2_pq_knn changed because quantizer TRAINING now
+# runs driver-side for bounded samples (train_ivf_centroids /
+# train_pq_codebooks driver_train_below — bit-identical results,
+# asserted; skips per-iteration job latency: qe2's loop-inclusive
+# median halved);
 # qf0_ivfpq_knn is NEW (the IVF×PQ composed ANN both qa2's and qe2's
 # docstrings advertised as the 100 TB path — VERDICT r11 "Next round"
 # #3; a NEW query must be attested the round it lands);
@@ -67,19 +72,22 @@ ATTEST_CHANGED: tuple[str, ...] = (
     "qf3_length_histogram",
     "qe4_embedding_outliers",
     "qe5_bm25_topk",
+    "qa2_ivf_knn",
+    "qe2_pq_knn",
 )
 
-# The 44 remaining window slots go oldest-first per tools/
+# The 42 remaining window slots go oldest-first per tools/
 # rotate_window.py's ground-truth reading of the CORRECTNESS_r*
 # artifacts: FIRST the thirteen r9-stale queries at the window's
 # stated 2-round maximum (qb5-qb9, qd3, qr02, qr06-qr08, q96, qa9,
 # qb0 — queued "first for r12" last round and honored here, VERDICT
 # r11 "Next round" #1), then the r10 cohort in the planner's
-# (alphabetical) order through q97. The r10 tail (q98-qa8, qb1, qb2,
-# qc0, qd1, qd2, qd5, qd8, qd9 and the r11 cohort) doesn't fit and
-# stays frozen at ≤2 rounds old, first in line for r13 — with ~3-8
-# changed + ~44 stale slots over 116 queries the steady state keeps
-# every query ≤2 rounds from its last driver attestation.
+# (alphabetical) order through q94. The r10 tail (q95-qa8 minus the
+# changed qa2, qb1, qb2, qc0, qd1, qd2, qd5, qd8, qd9 and the r11
+# cohort) doesn't fit and stays frozen at ≤2 rounds old, first in line
+# for r13 — with ~3-8 changed + ~42 stale slots over 116 queries the
+# steady state keeps every query ≤2 rounds from its last driver
+# attestation.
 ATTEST_STALE: tuple[str, ...] = (
     "q96_knn_bruteforce",
     "qa9_media_knn",
@@ -123,8 +131,6 @@ ATTEST_STALE: tuple[str, ...] = (
     "q92_minhash_lsh_pairs",
     "q93_lsh_jaccard",
     "q94_ngram_jaccard_topk",
-    "q95_simhash",
-    "q97_lsh_knn",
 )
 
 ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE

@@ -530,3 +530,29 @@ def test_embedding_dim_stats_flags_planted_dead_dim(spark):
     assert {d: (v["mean_q"], v["var_q"]) for d, v in out.items()} == {
         d: (v["mean_q"], v["var_q"]) for d, v in out2.items()
     }
+
+
+def test_driver_and_distributed_training_bit_identical(spark, sf_dir):
+    """The driver-side Lloyd's path (default for bounded samples, r12)
+    must return BIT-identical centroids/codebooks to the distributed
+    posexplode/groupBy path (forced via driver_train_below=0) — same
+    exact-integer arithmetic, so any difference is a bug, not noise."""
+    import numpy as np
+
+    from rastercube_spark.operators.similarity import (
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    drv = train_ivf_centroids(e, dim=64, n_cents=16, n_iters=3)
+    dist = train_ivf_centroids(
+        e, dim=64, n_cents=16, n_iters=3, driver_train_below=0
+    )
+    assert drv == dist  # exact float equality, not approx
+    s_drv, c_drv = train_pq_codebooks(e, dim=64, m=16, n_cents=32)
+    s_dist, c_dist = train_pq_codebooks(
+        e, dim=64, m=16, n_cents=32, driver_train_below=0
+    )
+    assert np.array_equal(s_drv, s_dist)
+    assert np.array_equal(c_drv, c_dist)
