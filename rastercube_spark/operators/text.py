@@ -284,11 +284,19 @@ def length_histogram(
     no explode anywhere — and the histogram is one map-side-combinable
     groupBy over at most ~40 buckets. One scan, one ~40-row shuffle.
     No reference analog — LLM-pipeline surface (builder brief)."""
+    # NULL text counts as 0 tokens — bucket 0, contributing 0 to the
+    # sums — pinned EXPLICITLY on both sides (the edge-corpus harness
+    # caught the implicit forms diverging: Spark's NULL-propagating
+    # greatest() fell to the coalesce-0 bucket while DuckDB's CASE fell
+    # through to a NULL bucket).
     dl = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-        ).cast("bigint").alias("dl"),
+        F.coalesce(
+            F.size(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ).alias("dl"),
     )
     # bucket_lo = largest power of two <= dl, computed with pure
     # integer comparisons (no log(), which is libm-dependent): a fixed

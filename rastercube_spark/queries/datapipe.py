@@ -3360,9 +3360,10 @@ def qf2(spark, sf_dir):
     oracle="""
         WITH dl AS (
             SELECT doc_id,
-                   CAST(len(regexp_split_to_array(trim(lower(text)),
-                                                  '\\s+')) AS BIGINT)
-                       AS dl
+                   COALESCE(
+                       CAST(len(regexp_split_to_array(trim(lower(text)),
+                                                      '\\s+')) AS BIGINT),
+                       0) AS dl
             FROM documents
         ),
         b AS (

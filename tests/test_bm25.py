@@ -130,10 +130,14 @@ def test_length_histogram_buckets_and_totals(spark):
         return " ".join(f"w{j}" for j in range(n))
 
     rows = [(0, doc(1)), (1, doc(2)), (2, doc(3)), (3, doc(4)),
-            (4, doc(7)), (5, doc(8)), (6, doc(1023)), (7, doc(1024))]
+            (4, doc(7)), (5, doc(8)), (6, doc(1023)), (7, doc(1024)),
+            (8, None)]  # NULL text -> 0 tokens, bucket 0 (edge-harness
+            #             catch: the implicit NULL paths diverged)
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["bucket_lo"]: r for r in length_histogram(docs).collect()}
-    assert set(out) == {1, 2, 4, 8, 512, 1024}
+    assert set(out) == {0, 1, 2, 4, 8, 512, 1024}
+    assert out[0]["n_docs"] == 1 and out[0]["n_tokens"] == 0
+    assert out[0]["max_len"] == 0
     assert out[2]["n_docs"] == 2 and out[2]["n_tokens"] == 5
     assert out[4]["n_docs"] == 2 and out[4]["max_len"] == 7
     assert out[512]["n_docs"] == 1 and out[512]["max_len"] == 1023

@@ -66,6 +66,8 @@ QUERIES = [
     "qb9_dataset_report",
     "qe3_source_overlap",
     "qe5_bm25_topk",
+    "qf2_token_surprisal",
+    "qf3_length_histogram",
 ]
 
 
