@@ -189,13 +189,19 @@ HEADLINE = [
     "qf1_embedding_dim_stats",
     "qf2_token_surprisal",
     "qf3_length_histogram",
+    # r12 session 2: hybrid BM25+cosine RRF, boilerplate n-gram share,
+    # and the ANN index-build audit (loop-inclusive below: both
+    # quantizers train at construction)
+    "qf4_hybrid_rrf",
+    "qf5_boilerplate_ngrams",
+    "qf6_ann_index_audit",
 ]
 
 # Driver-iterative queries: the query function itself executes work
 # (eager localCheckpoint loop), so each timed sample must include the
 # function call, not just the noop sink of the returned plan.
 LOOP_INCLUSIVE = {"qb2_semantic_dedup", "qc0_balanced_sample",
-                  "qe2_pq_knn", "qf0_ivfpq_knn"}
+                  "qe2_pq_knn", "qf0_ivfpq_knn", "qf6_ann_index_audit"}
 
 
 def _env_note() -> dict:

@@ -1,0 +1,198 @@
+"""Hybrid retrieval rank fusion: a BM25 lexical leg and an exact-cosine
+embedding leg over the same corpus, fused by reciprocal-rank fusion
+(RRF, Cormack/Clarke/Buettcher SIGIR'09): rrf(d) = Σ_legs 1/(k + rank).
+
+No reference analog (the reference has no retrieval surface at all) —
+LLM-pipeline operator: curation and contamination audits routinely ask
+for "documents matching THESE terms OR near THIS embedding", and RRF is
+the standard scoreless fusion — it needs only each leg's rank, so the
+legs' incomparable score scales never meet.
+
+Cross-engine determinism (the qe5/qa2 playbook):
+- each leg ranks on its 6-dp-rounded score with a doc-id tie-break;
+- the BM25 score uses the linear-idf form and a FIXED-ORDER per-term
+  addition chain (term index order — never a float SUM);
+- the fused score is 1/(k+lex_rank) + 1/(k+vec_rank) in that fixed
+  order — two correctly-rounded IEEE divisions of exact integers and
+  one add — rounded to 6 dp before the final ranking, doc-id tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rastercube_spark.operators.similarity import cosine
+
+# (q_id, terms, query-vector id) — the unit of one hybrid query
+Spec = tuple[int, tuple[str, ...], int]
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    specs: tuple[Spec, ...],
+    k_leg: int = 50,
+    k_out: int = 10,
+    rrf_k: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query fused top-``k_out`` over the corpus of documents that
+    have BOTH text and an embedding (inner id-join of ``docs`` and
+    ``emb``): (q_id, doc_id, rrf, rank, lex_rank, vec_rank). A query's
+    own document (doc_id == q_id) is excluded from BOTH legs, so the
+    fusion never rewards the trivial self-match. ``lex_rank`` /
+    ``vec_rank`` are NULL when the document only surfaced on the other
+    leg (RRF's missing-leg contribution is 0).
+
+    Scale shape: the corpus id-join is one keyed equi-join (both sides
+    prune to two columns); the lexical leg is qe5's — map-only dl from
+    size(split()), the explode feeds ONLY the term IN-filter, df and
+    the per-(q, term-index) map broadcast; the embedding leg broadcasts
+    the |specs|-row query side over one corpus pass (brute-force cosine
+    is the recall-1.0 baseline — swap in qa2/qe2/qf0's index legs when
+    the scan becomes the bound); each leg's per-query top-``k_leg`` is
+    a WindowGroupLimit (map-side partial + final — never a whole-leg
+    sort in one task, asserted in tests/test_plans.py); the fusion
+    itself touches ≤ |specs| × k_leg rows per leg regardless of corpus
+    size."""
+    spark = docs.sparkSession
+    # one corpus: documents that carry both text and an embedding
+    corpus = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)).join(
+        emb.select(
+            F.col(vec_id_col).alias("doc_id"), F.col(vec_col).alias("_v")
+        ),
+        "doc_id",
+    )
+
+    # --- lexical leg: multi-query BM25 (linear idf, the qe5 contract) ---
+    qterm_rows = [
+        (q_id, ti, tok)
+        for q_id, terms, _ in specs
+        for ti, tok in enumerate(dict.fromkeys(terms))
+    ]
+    max_ti = max(ti for _, ti, _ in qterm_rows)
+    all_terms = tuple(dict.fromkeys(tok for _, _, tok in qterm_rows))
+    qterms = spark.createDataFrame(qterm_rows, "q_id int, ti int, tok string")
+
+    toks = corpus.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__tk"),
+    )
+    dl = toks.select("doc_id", F.size("__tk").alias("dl"))
+    st = dl.agg(
+        (F.sum("dl").cast("double") / F.count("dl").cast("double")).alias(
+            "avgdl"
+        ),
+        F.count("dl").cast("double").alias("n_docs"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("__tk").alias("tok"))
+        .where(F.col("tok").isin(*all_terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
+    sc_expr = (
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (
+                F.lit(1.0)
+                - F.lit(b)
+                + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
+            )
+        )
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .join(F.broadcast(qterms), "tok")
+        .where(F.col("doc_id") != F.col("q_id"))
+        .select("q_id", "ti", "doc_id", sc_expr.alias("sc"))
+    )
+    total = None
+    for i in range(max_ti + 1):
+        part = F.coalesce(
+            F.max(F.when(F.col("ti") == i, F.col("sc"))), F.lit(0.0)
+        )
+        total = part if total is None else total + part
+    lex_scored = per_term.groupBy("q_id", "doc_id").agg(
+        F.round(total, 6).alias("lex_score")
+    )
+    w_lex = Window.partitionBy("q_id").orderBy(
+        F.col("lex_score").desc(), F.col("doc_id")
+    )
+    lexr = (
+        lex_scored.withColumn("lex_rank", F.row_number().over(w_lex))
+        .where(F.col("lex_rank") <= k_leg)
+        .select("q_id", "doc_id", "lex_rank")
+    )
+
+    # --- embedding leg: exact cosine, broadcast query side -------------
+    qmap = spark.createDataFrame(
+        [(q_id, qvec) for q_id, _, qvec in specs], "q_id int, qvec_id bigint"
+    )
+    qside = qmap.join(
+        emb.select(
+            F.col(vec_id_col).alias("qvec_id"), F.col(vec_col).alias("_qv")
+        ),
+        "qvec_id",
+    ).select("q_id", "_qv")
+    vec_scored = (
+        corpus.select("doc_id", "_v")
+        .join(F.broadcast(qside))
+        .where(F.col("doc_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "doc_id",
+            F.round(cosine(F.col("_qv"), F.col("_v")), 6).alias("cos"),
+        )
+    )
+    w_vec = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("doc_id")
+    )
+    vecr = (
+        vec_scored.withColumn("vec_rank", F.row_number().over(w_vec))
+        .where(F.col("vec_rank") <= k_leg)
+        .select("q_id", "doc_id", "vec_rank")
+    )
+
+    # --- fuse: rrf = 1/(k+lex_rank) + 1/(k+vec_rank), fixed order ------
+    fused = lexr.join(vecr, ["q_id", "doc_id"], "full_outer").select(
+        "q_id",
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        F.round(
+            F.coalesce(
+                F.lit(1.0)
+                / (F.lit(rrf_k).cast("double") + F.col("lex_rank").cast("double")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0)
+                / (F.lit(rrf_k).cast("double") + F.col("vec_rank").cast("double")),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("rrf"),
+    )
+    w_out = Window.partitionBy("q_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w_out))
+        .where(F.col("rank") <= k_out)
+        .select("q_id", "doc_id", "rrf", "rank", "lex_rank", "vec_rank")
+        .orderBy("q_id", "rank")
+    )

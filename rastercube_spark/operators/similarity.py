@@ -1686,3 +1686,122 @@ def embedding_dim_stats(
             "low_variance"
         ),
     ).orderBy("dim_idx")
+
+
+def ann_index_audit(
+    emb: DataFrame,
+    dim: int,
+    ivf_cents: int = 16,
+    ivf_iters: int = 3,
+    m: int = 16,
+    pq_cents: int = 32,
+    pq_iters: int = 2,
+    sample_below: int = 256,
+    err_bin: float = 5_000_000.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index-build health audit for the ANN family (qa2's IVF lists +
+    qe2/qf0's PQ codebooks): the three structural statistics an operator
+    reads BEFORE trusting an index at scale, as one relational result
+    (part, key, n) ordered by (part, key):
+
+    - ``ivf_list``  — corpus count per IVF list (key = centroid id).
+      Skewed lists mean skewed probe fan-out: one hot list turns
+      nprobe-bounded queries back into scans. Empty lists simply don't
+      appear (same GROUP BY semantics in both engines).
+    - ``pq_codes``  — DISTINCT codewords actually used per subspace
+      (key = subspace). Dead codewords (n << n_cents) mean the
+      codebook wastes bits and ADC resolution.
+    - ``pq_err``    — histogram of per-vector PQ reconstruction error
+      (key = floor(err / err_bin) in the ×10⁸ quantized-squared
+      domain). A heavy right tail predicts exactly where ADC recall
+      dies (the measured ~0.3-0.4 direct-ADC recall on these
+      near-isotropic fixtures — docs/PERF_NOTES.md r11).
+
+    Training replays qa2's/qe2's recipes exactly (same defaults, same
+    deterministic exact-integer Lloyd's via train_ivf_centroids /
+    train_pq_codebooks), so one SQL oracle replays the whole audit
+    bit-for-bit. The reconstruction error is engine-identical by
+    construction: per (vector, subspace), num = Σ_j (qv_j·cnt −
+    sum_j)² is an EXACT integer (< 2⁵³), err_s = num / cnt² is one
+    correctly-rounded IEEE division, and the per-vector total
+    accumulates err_s in FIXED subspace order (s = 0..m-1) — the same
+    chain the oracle's CASE pivot evaluates. The histogram bin is
+    floor of one further IEEE division of that identical double.
+
+    Scale shape: both trainings read a bounded id-pruned sample (O(1)
+    in corpus size); the audit proper is ONE Arrow-vectorized pass over
+    the corpus for IVF assignment and ONE for PQ encode+error (each
+    emitting a few integers per row), followed by three map-side-
+    combinable groupBys whose results are index-sized (n_lists + m +
+    a few dozen bins), not corpus-sized. No joins, no pairs, no
+    corpus shuffle — asserted in tests/test_plans.py."""
+    sub_d = dim // m
+    cents = train_ivf_centroids(
+        emb, dim, n_cents=ivf_cents, n_iters=ivf_iters,
+        sample_below=sample_below, id_col=id_col, vec_col=vec_col,
+    )
+    sums, cnts = train_pq_codebooks(
+        emb, dim, m=m, n_cents=pq_cents, n_iters=pq_iters,
+        sample_below=sample_below, id_col=id_col, vec_col=vec_col,
+    )
+
+    ivf_part = (
+        emb.select(ivf_assign(F.col(vec_col), cents).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.lit("ivf_list").alias("part"), F.col("key").cast("int"), "n")
+    )
+
+    b_cb = emb.sparkSession.sparkContext.broadcast((sums, cnts))
+
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("codes", ArrayType(IntegerType())),
+                StructField("err", DoubleType()),
+            ]
+        )
+    )
+    def _enc_err(vs: pd.Series) -> pd.DataFrame:
+        if len(vs) == 0:
+            return pd.DataFrame({"codes": [], "err": []})
+        cs, cc = b_cb.value  # (m, K, sub_d) exact integer sums, (m, K)
+        v = np.floor(
+            np.array([np.asarray(x, dtype=np.float64) for x in vs]) * QUANT
+        )
+        vsub = v.reshape(len(v), m, sub_d)
+        codes = np.empty((len(v), m), dtype=np.int32)
+        err = np.zeros(len(v), dtype=np.float64)
+        for s in range(m):  # fixed subspace order = the oracle's chain
+            quot = (vsub[:, s, :] @ cs[s].T) / cc[s][None, :]
+            code = np.argmax(quot, axis=1)
+            codes[:, s] = code
+            diff = vsub[:, s, :] * cc[s][code][:, None] - cs[s][code]
+            num = (diff * diff).sum(axis=1)  # exact integers < 2^53
+            err = err + num / (cc[s][code] ** 2)
+        return pd.DataFrame({"codes": list(codes), "err": err})
+
+    enc = emb.select(_enc_err(F.col(vec_col)).alias("e")).select(
+        F.col("e.codes").alias("codes"), F.col("e.err").alias("err")
+    )
+    codes_part = (
+        enc.select(F.posexplode("codes").alias("s", "cid"))
+        .groupBy("s")
+        .agg(F.countDistinct("cid").cast("bigint").alias("n"))
+        .select(F.lit("pq_codes").alias("part"), F.col("s").cast("int"), "n")
+    )
+    err_part = (
+        enc.select(
+            F.floor(F.col("err") / F.lit(err_bin)).cast("int").alias("key")
+        )
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.lit("pq_err").alias("part"), "key", "n")
+    )
+    return (
+        ivf_part.unionByName(codes_part.toDF("part", "key", "n"))
+        .unionByName(err_part)
+        .orderBy("part", "key")
+    )

@@ -322,3 +322,92 @@ def length_histogram(
         )
         .orderBy("bucket_lo")
     )
+
+
+def boilerplate_ngrams(
+    docs,
+    n: int = 3,
+    min_df: int = 5,
+    k_out: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Boilerplate detection by corpus-frequent word n-grams: an n-gram
+    is *boilerplate* when it appears in at least ``min_df`` distinct
+    documents (headers, footers, licence blocks, navigation chrome —
+    the shared-substring noise a web-scale corpus carries into
+    training). Returns the ``k_out`` documents with the highest
+    boilerplate share: (doc_id, n_grams, n_boiler, boiler_frac), where
+    ``n_grams`` counts the document's DISTINCT n-grams and
+    ``boiler_frac = n_boiler / n_grams`` (6-dp rounded, doc-id
+    tie-break). Documents with fewer than ``n`` tokens (including NULL
+    text) carry no n-gram evidence and are excluded by contract.
+
+    ``min_df`` is an absolute document count, not a corpus fraction —
+    the practitioner convention (CCNet/C4-style shared-line filters):
+    "appears in K documents" is evidence of templating at any corpus
+    size, while a fixed fraction silently stops firing as the corpus
+    grows.
+
+    Cross-engine determinism: both counts are exact integers from the
+    same tokenize→shingle→distinct definition (lower, trim, split on
+    whitespace runs — the shingles_df convention), and the fraction is
+    ONE correctly-rounded IEEE division.
+
+    Scale shape: n-grams are built and deduped MAP-SIDE
+    (array_distinct over a per-document transform — no shuffle to
+    dedup within a document); the document-frequency aggregate is one
+    map-side-combinable groupBy(gram); the join back to per-document
+    rows is a keyed equi-join against the (small, min_df-pruned) heavy
+    set — left unhinted so AQE broadcasts it when its runtime size
+    allows and shuffles otherwise; the final top-k is TakeOrdered,
+    never a global sort. Nothing is ever pairwise: cost is linear in
+    total n-gram occurrences. No reference analog."""
+    tk = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # the CASE guard makes the expression TOTAL: Catalyst's collapsed
+    # projection/predicate may evaluate it for rows the size-filter
+    # drops, and sequence(0, size-n) turns DESCENDING for short docs
+    # (slice(start=0) then throws)
+    grams = F.when(
+        F.size(tk) >= F.lit(n),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - F.lit(n)),
+                lambda i: F.concat_ws(" ", F.slice(tk, i + F.lit(1), n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = (
+        docs.where(F.size(tk) >= F.lit(n))
+        .select(F.col(id_col).alias("doc_id"), grams.alias("__gs"))
+    )
+    sh = base.select("doc_id", F.explode("__gs").alias("g"))
+    heavy = (
+        sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("g")
+    )
+    boiler = sh.join(heavy, "g").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_boiler")
+    )
+    totals = base.select(
+        "doc_id", F.size("__gs").cast("bigint").alias("n_grams")
+    )
+    return (
+        totals.join(boiler, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_boiler"), F.lit(0).cast("bigint")).alias(
+                "n_boiler"
+            ),
+            F.round(
+                F.coalesce(F.col("n_boiler"), F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("boiler_frac"),
+        )
+        .orderBy(F.col("boiler_frac").desc(), "doc_id")
+        .limit(k_out)
+    )

@@ -3397,3 +3397,285 @@ def qf3(spark, sf_dir):
     from rastercube_spark.operators.text import length_histogram
 
     return length_histogram(_docs(spark, sf_dir))
+
+
+@query(
+    "qf4_hybrid_rrf",
+    oracle="""
+        WITH corpus AS (
+            SELECT d.doc_id, d.text, CAST(e.embedding AS DOUBLE[]) AS v
+            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        ),
+        qterms(q_id, ti, tok) AS (VALUES
+            (0, 0, 'dup'), (0, 1, 'merge'),
+            (1, 0, 'query'), (1, 1, 'vector'),
+            (2, 0, 'scan'), (2, 1, 'stream')),
+        tk AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+            FROM corpus
+        ),
+        dl AS (SELECT doc_id, len(tk) AS dl FROM tk),
+        st AS (
+            SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(dl) AS DOUBLE)
+                       AS avgdl,
+                   CAST(COUNT(dl) AS DOUBLE) AS n_docs
+            FROM dl
+        ),
+        tf AS (
+            SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+            FROM (SELECT doc_id, UNNEST(tk) AS tok FROM tk)
+            WHERE tok IN ('dup','merge','query','vector','scan','stream')
+            GROUP BY doc_id, tok
+        ),
+        df AS (
+            SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok
+        ),
+        s AS (
+            SELECT q.q_id, q.ti, tf.doc_id,
+                   (st.n_docs - df.df + 0.5) / (df.df + 0.5)
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (1.0 - 0.75
+                      + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl))) AS sc
+            FROM tf
+            JOIN df USING (tok)
+            JOIN dl USING (doc_id)
+            JOIN qterms q USING (tok)
+            CROSS JOIN st
+            WHERE tf.doc_id <> q.q_id
+        ),
+        lexs AS (
+            SELECT q_id, doc_id,
+                   ROUND(COALESCE(MAX(CASE WHEN ti = 0 THEN sc END), 0.0)
+                       + COALESCE(MAX(CASE WHEN ti = 1 THEN sc END), 0.0),
+                         6) AS lex_score
+            FROM s GROUP BY q_id, doc_id
+        ),
+        lexr AS (
+            SELECT q_id, doc_id, lex_rank FROM (
+                SELECT q_id, doc_id,
+                       row_number() OVER (
+                           PARTITION BY q_id
+                           ORDER BY lex_score DESC, doc_id
+                       ) AS lex_rank
+                FROM lexs
+            ) WHERE lex_rank <= 50
+        ),
+        cv AS (
+            SELECT doc_id, v, sqrt(list_dot_product(v, v)) AS nrm
+            FROM corpus
+        ),
+        qv AS (
+            SELECT q.q_id, c.v AS qvec, c.nrm AS qn
+            FROM (VALUES (0, 0), (1, 1), (2, 2)) AS q(q_id, qvec_id)
+            JOIN cv c ON c.doc_id = q.qvec_id
+        ),
+        vs AS (
+            SELECT q.q_id, c.doc_id,
+                   ROUND(list_dot_product(q.qvec, c.v) / (q.qn * c.nrm), 6)
+                       AS cos
+            FROM qv q, cv c WHERE c.doc_id <> q.q_id
+        ),
+        vecr AS (
+            SELECT q_id, doc_id, vec_rank FROM (
+                SELECT q_id, doc_id,
+                       row_number() OVER (
+                           PARTITION BY q_id ORDER BY cos DESC, doc_id
+                       ) AS vec_rank
+                FROM vs
+            ) WHERE vec_rank <= 50
+        ),
+        fused AS (
+            SELECT q_id, doc_id, lex_rank, vec_rank,
+                   ROUND(COALESCE(1.0 / (60.0 + CAST(lex_rank AS DOUBLE)),
+                                  0.0)
+                       + COALESCE(1.0 / (60.0 + CAST(vec_rank AS DOUBLE)),
+                                  0.0), 6) AS rrf
+            FROM lexr FULL JOIN vecr USING (q_id, doc_id)
+        ),
+        final AS (
+            SELECT q_id, doc_id, rrf, lex_rank, vec_rank,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY rrf DESC, doc_id
+                   ) AS rank
+            FROM fused
+        )
+        SELECT q_id, doc_id, rrf, rank, lex_rank, vec_rank
+        FROM final WHERE rank <= 10
+        ORDER BY q_id, rank
+    """,
+)
+def qf4(spark, sf_dir):
+    """Hybrid retrieval by reciprocal-rank fusion (operators/fusion.py
+    hybrid_rrf): BM25 lexical leg (qe5's linear-idf contract) + exact
+    cosine leg (q96's contract) over the docs⋈embeddings corpus, fused
+    as 1/(60+lex_rank) + 1/(60+vec_rank) — the standard scoreless
+    fusion, so the legs' incomparable scales never meet. Three fixed
+    hybrid queries (terms + a corpus query vector each); per-query
+    top-10 with leg ranks preserved (NULL = missed that leg).
+
+    100 TB shape (operator docstring): one keyed corpus id-join; each
+    leg per-query top-50 runs under WindowGroupLimit; the fusion
+    touches ≤ |queries|×50 rows per leg regardless of corpus size.
+    No reference analog — LLM-pipeline surface (builder brief)."""
+    from rastercube_spark.operators.fusion import hybrid_rrf
+
+    return hybrid_rrf(
+        _docs(spark, sf_dir),
+        load(spark, sf_dir, "embeddings"),
+        specs=(
+            (0, ("dup", "merge"), 0),
+            (1, ("query", "vector"), 1),
+            (2, ("scan", "stream"), 2),
+        ),
+        k_leg=50,
+        k_out=10,
+    )
+
+
+@query(
+    "qf5_boilerplate_ngrams",
+    oracle="""
+        WITH tk AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+            FROM documents
+        ),
+        base AS (SELECT doc_id, tk FROM tk WHERE len(tk) >= 3),
+        sh AS (
+            SELECT doc_id, UNNEST(gs) AS g FROM (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, len(tk) - 1),
+                           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                       )) AS gs
+                FROM base
+            )
+        ),
+        dfreq AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+        heavy AS (SELECT g FROM dfreq WHERE df >= 5),
+        boiler AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+            FROM sh JOIN heavy USING (g) GROUP BY doc_id
+        ),
+        totals AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+            FROM sh GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.n_grams,
+               COALESCE(b.n_boiler, 0) AS n_boiler,
+               ROUND(CAST(COALESCE(b.n_boiler, 0) AS DOUBLE)
+                     / CAST(t.n_grams AS DOUBLE), 6) AS boiler_frac
+        FROM totals t LEFT JOIN boiler b USING (doc_id)
+        ORDER BY boiler_frac DESC, doc_id
+        LIMIT 100
+    """,
+)
+def qf5(spark, sf_dir):
+    """Boilerplate share per document (operators/text.py
+    boilerplate_ngrams): word 3-grams appearing in ≥5 distinct
+    documents are boilerplate (template/licence/chrome text); the 100
+    documents with the highest boilerplate fraction surface for
+    removal or down-weighting — the shared-substring filter next to
+    qa5's intra-doc repetition rules and qd6's cross-corpus novelty.
+
+    100 TB shape (operator docstring): map-side shingle+distinct, one
+    map-side-combinable groupBy(gram), a keyed join against the
+    min_df-pruned heavy set (AQE broadcasts when small), TakeOrdered
+    top-k. Linear in n-gram occurrences; nothing pairwise.
+    No reference analog — LLM-pipeline surface (builder brief)."""
+    from rastercube_spark.operators.text import boilerplate_ngrams
+
+    return boilerplate_ngrams(_docs(spark, sf_dir), n=3, min_df=5, k_out=100)
+
+
+_QF6_ERR_CHAIN = "\n                 + ".join(
+    f"COALESCE(MAX(CASE WHEN s = {s} THEN err_s END), 0.0)" for s in range(16)
+)
+
+@query(
+    "qf6_ann_index_audit",
+    oracle=f"""
+        WITH {_ivf_training_ctes()},
+        {_pq_training_ctes()},
+        corp AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings
+        ),
+        cass AS (
+            SELECT vec_id, cid FROM (
+                SELECT c.vec_id, cents.cid,
+                       row_number() OVER (
+                           PARTITION BY c.vec_id
+                           ORDER BY list_dot_product(c.emb, cents.cv) DESC,
+                                    cents.cid ASC
+                       ) AS rn
+                FROM corp c, cents
+            ) WHERE rn = 1
+        ),
+        csub AS (
+            SELECT vec_id, sub.s,
+                   list_transform(
+                       list_slice(emb, sub.s * 4 + 1, sub.s * 4 + 4),
+                       x -> floor(x * 10000.0)) AS qv
+            FROM corp
+            CROSS JOIN (SELECT UNNEST(range(0, 16)) AS s) sub
+        ),
+        enc AS (
+            SELECT vec_id, s, cid, sumv, cnt, qv FROM (
+                SELECT c.vec_id, c.s, cb.cid, cb.sumv, cb.cnt, c.qv,
+                       row_number() OVER (
+                           PARTITION BY c.vec_id, c.s
+                           ORDER BY list_dot_product(c.qv, cb.sumv)
+                                        / cb.cnt DESC,
+                                    cb.cid ASC
+                       ) AS rn
+                FROM csub c JOIN cb ON cb.s = c.s
+            ) WHERE rn = 1
+        ),
+        serr AS (
+            SELECT vec_id, s,
+                   SUM((qv[ix.i] * cnt - sumv[ix.i])
+                       * (qv[ix.i] * cnt - sumv[ix.i])) / (cnt * cnt)
+                       AS err_s
+            FROM enc CROSS JOIN (SELECT UNNEST(range(1, 5)) AS i) ix
+            GROUP BY vec_id, s, cnt
+        ),
+        verr AS (
+            SELECT vec_id,
+                   {_QF6_ERR_CHAIN} AS err
+            FROM serr GROUP BY vec_id
+        )
+        SELECT part, "key", n FROM (
+            SELECT 'ivf_list' AS part, CAST(cid AS INTEGER) AS "key",
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM cass GROUP BY cid
+            UNION ALL
+            SELECT 'pq_codes', CAST(s AS INTEGER),
+                   CAST(COUNT(DISTINCT cid) AS BIGINT)
+            FROM enc GROUP BY s
+            UNION ALL
+            SELECT 'pq_err', CAST(FLOOR(err / 5000000.0) AS INTEGER),
+                   CAST(COUNT(*) AS BIGINT)
+            FROM verr GROUP BY 2
+        ) ORDER BY part, "key"
+    """,
+)
+def qf6(spark, sf_dir):
+    """ANN index-build health audit (operators/similarity.py
+    ann_index_audit): IVF list-size distribution (qa2's trained coarse
+    quantizer — skewed lists turn nprobe-bounded queries back into
+    scans), distinct PQ codewords used per subspace (qe2/qf0's
+    codebooks — dead codewords waste bits), and a per-vector PQ
+    reconstruction-error histogram (the right-tail that predicts where
+    direct-ADC recall dies). One (part, key, n) relation, trainings
+    identical to qa2/qe2 so the oracle replays everything bit-for-bit.
+
+    100 TB shape (operator docstring): bounded-sample trainings, two
+    Arrow passes over the corpus, three map-side-combinable groupBys
+    with index-sized (not corpus-sized) results; no joins, no pairs,
+    no corpus shuffle. No reference analog — LLM-pipeline surface
+    (builder brief)."""
+    from rastercube_spark.operators.similarity import ann_index_audit
+
+    return ann_index_audit(load(spark, sf_dir, "embeddings"), dim=EMB_DIM)

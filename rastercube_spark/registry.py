@@ -40,7 +40,7 @@ _ORACLES: dict[str, str] = {}
 # baseline with tests/make_attest.py IN THE SAME COMMIT that rotates
 # these lists; make_attest refuses to run while the rule is violated.
 #
-# Round 12 changed set — eight entries, the exact diff of
+# Round 12 changed set — eleven entries, the exact diff of
 # rastercube_spark.attest.all_hashes() vs the r11 baseline:
 # qa2_ivf_knn and qe2_pq_knn changed because quantizer TRAINING now
 # runs driver-side for bounded samples (train_ivf_centroids /
@@ -54,6 +54,10 @@ _ORACLES: dict[str, str] = {}
 # are NEW (collapsed-dimension audit, corpus-relative unigram
 # typicality filter, and packing-planning length distribution —
 # LLM-pipeline surface);
+# qf4_hybrid_rrf, qf5_boilerplate_ngrams and qf6_ann_index_audit are
+# NEW (BM25+cosine reciprocal-rank fusion, corpus-frequent-shingle
+# boilerplate share, and the IVF/PQ index-build health audit —
+# LLM-pipeline surface, landed later in r12);
 # qe5_bm25_topk's closure changed because bm25_topk now dedups the
 # terms tuple (ADVICE r11 — a repeated term used to score twice) and
 # grew an off-by-default log_idf mode + the summed-score rank caveat
@@ -70,6 +74,9 @@ ATTEST_CHANGED: tuple[str, ...] = (
     "qf1_embedding_dim_stats",
     "qf2_token_surprisal",
     "qf3_length_histogram",
+    "qf4_hybrid_rrf",
+    "qf5_boilerplate_ngrams",
+    "qf6_ann_index_audit",
     "qe4_embedding_outliers",
     "qe5_bm25_topk",
     "qa2_ivf_knn",
@@ -82,12 +89,15 @@ ATTEST_CHANGED: tuple[str, ...] = (
 # stated 2-round maximum (qb5-qb9, qd3, qr02, qr06-qr08, q96, qa9,
 # qb0 — queued "first for r12" last round and honored here, VERDICT
 # r11 "Next round" #1), then the r10 cohort in the planner's
-# (alphabetical) order through q94. The r10 tail (q95-qa8 minus the
+# (alphabetical) order through q91. The r10 tail (q92-qa8 minus the
 # changed qa2, qb1, qb2, qc0, qd1, qd2, qd5, qd8, qd9 and the r11
-# cohort) doesn't fit and stays frozen at ≤2 rounds old, first in line
-# for r13 — with ~3-8 changed + ~42 stale slots over 116 queries the
-# steady state keeps every query ≤2 rounds from its last driver
-# attestation.
+# cohort) doesn't fit and stays frozen at ≤2 rounds old (attested r10,
+# judged at r12 = at the 2-round ceiling), first in line for r13 —
+# capacity check: 50 slots/round × a 3-round re-attest cycle (attest
+# at r, at-ceiling at r+2, re-attest by r+3's window) = 150 ≥ the 119
+# registered queries, so the steady state keeps every query within
+# the ceiling. q92/q93/q94 moved from this round's stale list to the
+# r13 head to make room for the three new qf4-qf6 attestations.
 ATTEST_STALE: tuple[str, ...] = (
     "q96_knn_bruteforce",
     "qa9_media_knn",
@@ -128,9 +138,6 @@ ATTEST_STALE: tuple[str, ...] = (
     "q83_chunk_udtf",
     "q90_text_metrics",
     "q91_exact_dedup",
-    "q92_minhash_lsh_pairs",
-    "q93_lsh_jaccard",
-    "q94_ngram_jaccard_topk",
 )
 
 ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE

@@ -537,3 +537,47 @@ def test_length_histogram_map_only_tiny_shuffle(spark, sf_dir):
     assert "Generate" not in plan
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_hybrid_rrf_group_limits_and_no_pairs(spark, sf_dir):
+    """qf4: both legs' per-query top-k and the fused top-k execute under
+    WindowGroupLimit (map-side Partial + Final — never a whole-leg sort
+    in one task); the only nested-loop joins are the sanctioned
+    broadcasts (the 1-row avgdl/N scalar and the |queries|-row vector
+    side); df/qterms/heavy lookups ride broadcast hash joins; nothing
+    plans a cartesian."""
+    plan = _plan(spark, sf_dir, "qf4_hybrid_rrf")
+    assert "CartesianProduct" not in plan
+    assert plan.count("WindowGroupLimit") >= 4
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "BroadcastHashJoin" in plan
+
+
+def test_boilerplate_map_side_shingles_takeordered(spark, sf_dir):
+    """qf5: shingles are built and deduped map-side (the only Generate
+    is the per-doc distinct-gram explode), the heavy-set join is an
+    equi-join (AQE free to broadcast — never a nested loop), and the
+    top-k is TakeOrdered, not a global sort."""
+    plan = _plan(spark, sf_dir, "qf5_boilerplate_ngrams")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Generate") <= 2  # sh is consumed by two branches
+
+
+def test_ann_index_audit_no_joins_no_corpus_shuffle(spark, sf_dir):
+    """qf6: the audit is two Arrow passes + three map-side-combinable
+    groupBys over index-sized keys — NO join of any kind, no pair
+    relation, and the only Generate is the 16-element code posexplode
+    (constant fan-out, not corpus×corpus)."""
+    plan = _plan(spark, sf_dir, "qf6_ann_index_audit")
+    for op in (
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "BroadcastHashJoin",
+    ):
+        assert op not in plan, op
+    assert plan.count("Generate") <= 1
+    assert "HashAggregate" in plan

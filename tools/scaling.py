@@ -391,7 +391,9 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
     from rastercube_spark.operators.graph import min_label_clusters
     from rastercube_spark.operators.prefix import running_sum_exclusive
     from rastercube_spark.operators.sampling import group_sample
+    from rastercube_spark.operators.fusion import hybrid_rrf
     from rastercube_spark.operators.similarity import (
+        ann_index_audit,
         embedding_dim_stats,
         embedding_drift,
         ivfpq_knn,
@@ -403,6 +405,7 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
     )
     from rastercube_spark.operators.text import (
         bm25_topk,
+        boilerplate_ngrams,
         length_histogram,
         token_count,
         token_surprisal,
@@ -581,6 +584,38 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
         "qf3_length_histogram": (
             lambda: length_histogram(docs),
             False,
+        ),
+        # r12 session 2: hybrid RRF — qe5's lexical topology + one
+        # broadcast-query cosine pass; both legs' windows are
+        # WindowGroupLimit-bounded and the fusion joins leg-sized
+        # relations, so expected ~linear (the two corpus passes).
+        "qf4_hybrid_rrf": (
+            lambda: hybrid_rrf(
+                docs,
+                emb,
+                specs=(
+                    (0, ("w10", "w100"), 0),
+                    (1, ("w2500", "t0"), 1),
+                    (2, ("w7", "w1234"), 2),
+                ),
+            ),
+            False,
+        ),
+        # r12 session 2: boilerplate share — map-side shingles, one
+        # gram-keyed groupBy + join back (qb4's topology on 3-grams);
+        # expected ~linear in n-gram occurrences. min_df=2 so the
+        # planted dup pairs (df=2 grams) give the join-back leg real
+        # rows at every n.
+        "qf5_boilerplate_ngrams": (
+            lambda: boilerplate_ngrams(docs, n=3, min_df=2),
+            False,
+        ),
+        # r12 session 2: index audit — trainings are bounded-sample
+        # (loop-inclusive, qe2's meter); the audit itself is two Arrow
+        # passes + index-sized groupBys, expected ~linear scan-bound.
+        "qf6_ann_index_audit": (
+            lambda: ann_index_audit(emb, dim=DIM),
+            True,
         ),
         # r11 session 2: cross-source passage overlap — passage relation
         # is linear in corpus tokens, the self-join fan-out is bounded
@@ -840,7 +875,8 @@ def main() -> int:
                      "qe4_embedding_outliers", "qe5_bm25_topk",
                      "q77_dedup_within_wm", "qf0_ivfpq_knn",
                      "qf1_embedding_dim_stats", "qf2_token_surprisal",
-                     "qf3_length_histogram")
+                     "qf3_length_histogram", "qf4_hybrid_rrf",
+                     "qf5_boilerplate_ngrams", "qf6_ann_index_audit")
     ] + [
         (name, EXT_SIZE) for name in EXT64_OPS
     ] + [(name, s) for s in RASTER_SIZES for name in RASTER_OPS] + [
