@@ -195,6 +195,12 @@ HEADLINE = [
     "qf4_hybrid_rrf",
     "qf5_boilerplate_ngrams",
     "qf6_ann_index_audit",
+    # r12 session 3: suffix-array-style repeated-substring audit,
+    # per-source histogram-threshold token-budget selection, and the
+    # sampled-pair corpus duplicate-rate estimator
+    "qf7_repeated_spans",
+    "qf8_token_budget",
+    "qf9_dup_rate_estimate",
 ]
 
 # Driver-iterative queries: the query function itself executes work

@@ -222,3 +222,111 @@ def split_assign(
         else expr.otherwise(splits[-1][0])
     )
     return df.withColumn("split", out)
+
+
+def token_budget_select(
+    docs: DataFrame,
+    stopwords: tuple[str, ...],
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Quality-ranked selection under a per-source token budget — the
+    "fill each mixture bucket with its best documents until the token
+    budget is spent" stage of training-set assembly.
+
+    Semantics (what the oracle's naive window spells directly): per
+    source, order documents by quality score DESC then doc_id ASC and
+    keep each document whose INCLUSIVE running token total is still
+    <= ``budget_tokens``; emit a per-source summary (n_sel, tok_sel,
+    cutoff_score). The score is stopword density scaled to a
+    fine-grained integer — floor(1e6 · stopword_hits / dl) — exact
+    integer products under 2^53, ONE IEEE division, floor: bit-equal in
+    both engines, and fine-grained enough that score-tie classes stay
+    tiny (the property the scale path below leans on). Documents with
+    no tokens (NULL/absent text) are excluded: they carry no budget
+    weight and no rank.
+
+    Scale path — histogram threshold, NOT a per-source global sort: a
+    running sum ordered over every document of a source is a
+    single-task scan of that source at 100 TB. Instead:
+      1. map-only (source, score) histogram: n_docs + n_toks per score
+         class — map-side-combinable, result is |sources|·|classes|
+         rows, corpus-size-independent;
+      2. cumulative token totals over the TINY histogram (window over
+         score classes, not documents);
+      3. classes whose inclusive cumulative fits the budget are taken
+         WHOLE — no document of theirs is ever re-examined;
+      4. only each source's single BOUNDARY class (exclusive cum <
+         budget < inclusive cum) is re-scanned: its members get the
+         per-document running sum, filtered to the remaining budget.
+         With the fine-grained score a boundary class is a handful of
+         docs — the only per-document window in the plan runs over
+         that sliver.
+    Equivalence to the naive rule: within a class the running total
+    grows monotonically in doc_id, so "whole classes under budget +
+    boundary prefix under the remainder" selects exactly the naive
+    window's rows.
+
+    No reference analog — LLM-pipeline surface (builder brief).
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    dl = F.size(toks).cast("bigint")
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords))).cast("bigint")
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+            dl.alias("dl"),
+            F.floor(F.lit(1000000.0) * hits / dl).cast("bigint").alias("score"),
+        )
+        .where(F.col("dl") >= 1)
+    )
+
+    cls = base.groupBy("source", "score").agg(
+        F.count("*").alias("c_docs"), F.sum("dl").alias("c_toks")
+    )
+    wc = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("score"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cls.select(
+        "source",
+        "score",
+        "c_docs",
+        "c_toks",
+        (F.sum("c_toks").over(wc) - F.col("c_toks")).alias("cum_excl"),
+    )
+    full = cum.where(F.col("cum_excl") + F.col("c_toks") <= budget_tokens)
+    boundary = cum.where(
+        (F.col("cum_excl") < budget_tokens)
+        & (F.col("cum_excl") + F.col("c_toks") > budget_tokens)
+    ).select("source", "score", (F.lit(budget_tokens) - F.col("cum_excl")).alias("r"))
+
+    wb = (
+        Window.partitionBy("source", "score")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bsel = (
+        base.join(F.broadcast(boundary), ["source", "score"])
+        .withColumn("cum", F.sum("dl").over(wb))
+        .where(F.col("cum") <= F.col("r"))
+        .groupBy("source", "score")
+        .agg(F.count("*").alias("c_docs"), F.sum("dl").alias("c_toks"))
+    )
+
+    sel = full.select("source", "score", "c_docs", "c_toks").unionByName(
+        bsel.select("source", "score", "c_docs", "c_toks")
+    )
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.sum("c_docs").cast("bigint").alias("n_sel"),
+            F.sum("c_toks").cast("bigint").alias("tok_sel"),
+            F.min("score").cast("bigint").alias("cutoff_score"),
+        )
+        .orderBy("source")
+    )

@@ -3679,3 +3679,204 @@ def qf6(spark, sf_dir):
     from rastercube_spark.operators.similarity import ann_index_audit
 
     return ann_index_audit(load(spark, sf_dir, "embeddings"), dim=EMB_DIM)
+
+
+_QF7_GRAM = " || ' ' || ".join(f"tk[i + {j}]" for j in range(5))
+
+@query(
+    "qf7_repeated_spans",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(text), '\\s+') AS tk
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, i AS pos,
+                   {_h32(f"({_QF7_GRAM})")} AS h
+            FROM toks, UNNEST(range(1, len(tk) - 3)) u(i)
+            WHERE len(tk) >= 5
+        ),
+        cnt AS (SELECT h, count(*) AS c FROM g GROUP BY h),
+        d AS (
+            SELECT g.doc_id, g.dl, g.pos
+            FROM g JOIN cnt USING (h) WHERE cnt.c >= 2
+        ),
+        flg AS (
+            SELECT doc_id, dl, pos,
+                   CASE WHEN lag(pos) OVER w IS NULL
+                             OR pos > lag(pos) OVER w + 4
+                        THEN 1 ELSE 0 END AS ni
+            FROM d
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        isl AS (
+            SELECT doc_id, dl, pos,
+                   SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS island
+            FROM flg
+        ),
+        spans AS (
+            SELECT doc_id, dl, island,
+                   MIN(pos) AS s, MAX(pos) AS e
+            FROM isl GROUP BY doc_id, dl, island
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(e - s + 5) AS BIGINT) AS dup_tokens,
+               dl,
+               ROUND(CAST(SUM(e - s + 5) AS DOUBLE)
+                     / CAST(dl AS DOUBLE), 6) AS dup_frac
+        FROM spans GROUP BY doc_id, dl
+        ORDER BY dup_frac DESC, doc_id
+        LIMIT 100
+    """,
+)
+def qf7(spark, sf_dir):
+    """Exact repeated-substring audit (operators/dedup.py
+    repeated_spans): the 100 documents with the largest fraction of
+    their tokens covered by word 5-grams occurring 2+ times anywhere in
+    the corpus — the relational rendering of suffix-array substring
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): the suffix array becomes a k-gram hash groupBy,
+    the maximal-match merge a constant-span gaps-and-islands window
+    (new span exactly when pos > lag(pos)+k−1).
+
+    100 TB shape (operator docstring): wide relations shuffle only on
+    the gram hash (map-side-combinable count + one equi-join); the
+    island window partitions by doc_id (per-doc sequential, bounded by
+    doc length); cost per gram occurrence is linear — a gram seen c
+    times costs c rows, never c². No reference analog — LLM-pipeline
+    surface (builder brief)."""
+    from rastercube_spark.operators.dedup import repeated_spans
+
+    return repeated_spans(_docs(spark, sf_dir), k=5, min_count=2, k_out=100)
+
+
+_QF8_HITS = (
+    "len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+    f"t -> t IN ({_in_list(LANG_MARKERS['en'])})))"
+)
+
+@query(
+    "qf8_token_budget",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, source,
+                   CAST(len(regexp_split_to_array(lower(text), '\\s+'))
+                        AS BIGINT) AS dl,
+                   CAST(floor(1000000.0 * {_QF8_HITS}
+                              / len(regexp_split_to_array(lower(text),
+                                                          '\\s+')))
+                        AS BIGINT) AS score
+            FROM documents
+            WHERE len(regexp_split_to_array(lower(text), '\\s+')) >= 1
+        ),
+        r AS (
+            SELECT doc_id, source, dl, score,
+                   SUM(dl) OVER (PARTITION BY source
+                                 ORDER BY score DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+            FROM base
+        ),
+        sel AS (SELECT * FROM r WHERE cum <= 600)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_sel,
+               CAST(SUM(dl) AS BIGINT) AS tok_sel,
+               CAST(MIN(score) AS BIGINT) AS cutoff_score
+        FROM sel GROUP BY source ORDER BY source
+    """,
+)
+def qf8(spark, sf_dir):
+    """Per-source token-budget selection (operators/sampling.py
+    token_budget_select): fill each source's 600-token budget with its
+    highest-quality documents (stopword-density score, integer-scaled)
+    and report (n_sel, tok_sel, cutoff_score) per source — the
+    "assemble the training mixture under a token budget" stage.
+
+    The ORACLE spells the naive semantics (per-source window running
+    sum over every document); the ENGINE computes the same selection
+    via the histogram-threshold plan — per-(source, score) map-side
+    histogram, cumulative over score CLASSES, whole classes taken
+    under budget, and a per-document window only over each source's
+    single boundary class (operator docstring walks the equivalence).
+    At 100 TB the naive window is a single-task scan per source; the
+    histogram plan never sorts documents at all. No reference analog
+    — LLM-pipeline surface (builder brief)."""
+    from rastercube_spark.operators.sampling import token_budget_select
+
+    return token_budget_select(
+        _docs(spark, sf_dir),
+        stopwords=LANG_MARKERS["en"],
+        budget_tokens=600,
+    )
+
+
+@query(
+    "qf9_dup_rate_estimate",
+    oracle=f"""
+        WITH nn AS (
+            SELECT GREATEST(1, CAST(count(*) // 8 AS BIGINT)) AS b
+            FROM documents
+        ),
+        bk AS (
+            SELECT doc_id,
+                   {_h32("CAST(doc_id AS VARCHAR)")} % nn.b AS bucket
+            FROM documents, nn
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bk a JOIN bk b
+              ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ),
+        {_shingles_cte(3)},
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+            FROM pairs p
+            JOIN sh a ON a.doc_id = p.doc_a
+            JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+            GROUP BY p.doc_a, p.doc_b
+        ),
+        jac AS (
+            SELECT i.doc_a, i.doc_b,
+                   ROUND(CAST(n_inter AS DOUBLE)
+                         / CAST(sa.n + sb.n - n_inter AS DOUBLE), 6) AS j
+            FROM inter i
+            JOIN sz sa ON sa.doc_id = i.doc_a
+            JOIN sz sb ON sb.doc_id = i.doc_b
+        ),
+        np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs),
+        th(threshold) AS (VALUES (0.5), (0.8)),
+        d AS (
+            SELECT th.threshold,
+                   CAST(count(jac.doc_a) AS BIGINT) AS n_dup
+            FROM th LEFT JOIN jac ON jac.j >= th.threshold
+            GROUP BY th.threshold
+        )
+        SELECT d.threshold, np.n_pairs, d.n_dup,
+               ROUND(CAST(d.n_dup AS DOUBLE)
+                     / CAST(np.n_pairs AS DOUBLE), 6) AS dup_rate
+        FROM d CROSS JOIN np
+        ORDER BY d.threshold
+    """,
+)
+def qf9(spark, sf_dir):
+    """Corpus duplicate-rate estimator from a uniform pair sample
+    (operators/dedup.py sampled_pair_dup_rate): content-independent
+    id-hash bucketing makes co-bucketed pairs a uniform sample of all
+    n·(n−1)/2 pairs, so the near-dup fraction among them (exact
+    3-gram Jaccard, thresholds 0.5 / 0.8) is an unbiased estimate of
+    the population pair-dup rate at LINEAR cost — the "how duplicated
+    is this crawl" number a curation run reads before deciding whether
+    to pay for the full q92/qb2 dedup pass. Companion to q98 (exact
+    O(n²) half matrix): same statistic, sampled, corpus-scale.
+
+    100 TB shape (operator docstring): scalar broadcast for the bucket
+    count, one shuffle on bucket for the pair sample (~(m−1)/2·n pairs
+    at m docs/bucket), pair_jaccard's candidate path for the verify —
+    never an all-pairs join. No reference analog — LLM-pipeline
+    surface (builder brief)."""
+    from rastercube_spark.operators.dedup import sampled_pair_dup_rate
+
+    return sampled_pair_dup_rate(_docs(spark, sf_dir), docs_per_bucket=8)

@@ -58,6 +58,12 @@ _ORACLES: dict[str, str] = {}
 # NEW (BM25+cosine reciprocal-rank fusion, corpus-frequent-shingle
 # boilerplate share, and the IVF/PQ index-build health audit —
 # LLM-pipeline surface, landed later in r12);
+# qf7_repeated_spans, qf8_token_budget and qf9_dup_rate_estimate are
+# NEW (suffix-array-style exact repeated-substring audit, per-source
+# histogram-threshold token-budget selection, and the sampled-pair
+# corpus duplicate-rate estimator — LLM-pipeline surface, landed
+# latest in r12; the closure-hash diff vs the committed baseline was
+# verified to be exactly these three before rotation);
 # qe5_bm25_topk's closure changed because bm25_topk now dedups the
 # terms tuple (ADVICE r11 — a repeated term used to score twice) and
 # grew an off-by-default log_idf mode + the summed-score rank caveat
@@ -77,13 +83,16 @@ ATTEST_CHANGED: tuple[str, ...] = (
     "qf4_hybrid_rrf",
     "qf5_boilerplate_ngrams",
     "qf6_ann_index_audit",
+    "qf7_repeated_spans",
+    "qf8_token_budget",
+    "qf9_dup_rate_estimate",
     "qe4_embedding_outliers",
     "qe5_bm25_topk",
     "qa2_ivf_knn",
     "qe2_pq_knn",
 )
 
-# The 42 remaining window slots go oldest-first per tools/
+# The 36 remaining window slots go oldest-first per tools/
 # rotate_window.py's ground-truth reading of the CORRECTNESS_r*
 # artifacts: FIRST the thirteen r9-stale queries at the window's
 # stated 2-round maximum (qb5-qb9, qd3, qr02, qr06-qr08, q96, qa9,
@@ -96,8 +105,11 @@ ATTEST_CHANGED: tuple[str, ...] = (
 # capacity check: 50 slots/round × a 3-round re-attest cycle (attest
 # at r, at-ceiling at r+2, re-attest by r+3's window) = 150 ≥ the 119
 # registered queries, so the steady state keeps every query within
-# the ceiling. q92/q93/q94 moved from this round's stale list to the
-# r13 head to make room for the three new qf4-qf6 attestations.
+# the ceiling (at 122 queries still ≤ 150). q92/q93/q94 moved from
+# this round's stale list to the r13 head to make room for the three
+# new qf4-qf6 attestations; q83/q90/q91 likewise for qf7-qf9 (both
+# trios attested r10, judged at r12 = exactly the ceiling, and lead
+# r13 with the rest of the r10 tail).
 ATTEST_STALE: tuple[str, ...] = (
     "q96_knn_bruteforce",
     "qa9_media_knn",
@@ -135,9 +147,6 @@ ATTEST_STALE: tuple[str, ...] = (
     "q76_stream_stream_join",
     "q80_scalar_pandas_udf",
     "q82_grouped_agg_udf",
-    "q83_chunk_udtf",
-    "q90_text_metrics",
-    "q91_exact_dedup",
 )
 
 ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE

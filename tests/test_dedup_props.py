@@ -321,3 +321,128 @@ def test_cross_source_overlap_partition_invariant(spark):
     a = sorted(map(tuple, cross_source_overlap(docs).collect()))
     b = sorted(map(tuple, cross_source_overlap(docs.repartition(7)).collect()))
     assert a == b and len(a) > 0
+
+
+# --- repeated_spans (qf7) -----------------------------------------------
+
+def test_repeated_spans_merges_overlapping_grams(spark):
+    """A 6-token phrase shared by two docs yields TWO overlapping dup
+    5-grams per doc which must merge into ONE maximal span of 6 tokens
+    (the gaps-and-islands step) — while a doc with the phrase split by
+    unique filler keeps two separate spans."""
+    from rastercube_spark.operators.dedup import repeated_spans
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens → grams at pos 1,2
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique1 unique2 unique3 unique4"),
+            (2, "pre1 pre2 " + shared + " tail1 tail2"),
+            (3, "lonely tokens nothing shared here at all ever"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repeated_spans(docs, k=5).collect()}
+    assert set(out) == {1, 2}
+    for d in (1, 2):
+        assert out[d]["n_spans"] == 1
+        assert out[d]["dup_tokens"] == 6
+    assert out[1]["dl"] == 10
+    assert abs(out[1]["dup_frac"] - 0.6) < 1e-9
+
+
+def test_repeated_spans_counts_intra_doc_repeats(spark):
+    """A phrase pasted twice into ONE doc is a repeat (position-level
+    count, suffix-array semantics) — no second document needed; its two
+    non-overlapping occurrences stay two spans."""
+    from rastercube_spark.operators.dedup import repeated_spans
+
+    phrase = "one two three four five"
+    docs = spark.createDataFrame(
+        [(1, phrase + " x1 x2 x3 " + phrase),
+         (2, "all unique words in this other document entirely")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repeated_spans(docs, k=5).collect()}
+    assert set(out) == {1}
+    assert out[1]["n_spans"] == 2
+    assert out[1]["dup_tokens"] == 10
+
+
+def test_repeated_spans_span_boundary_adjacency(spark):
+    """Dup grams at pos p and p+k are ADJACENT runs (end of first =
+    p+k−1, start of second = p+k): they must merge — the island break
+    condition is strictly pos > lag+k−1."""
+    from rastercube_spark.operators.dedup import repeated_spans
+
+    # 10-token shared text: all 5-grams dup → one span covering all 10
+    shared = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [(1, shared), (2, shared)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in repeated_spans(docs, k=5).collect()}
+    assert out[1]["n_spans"] == 1
+    assert out[1]["dup_tokens"] == 10
+    assert abs(out[1]["dup_frac"] - 1.0) < 1e-9
+
+
+# --- sampled_pair_dup_rate (qf9) ----------------------------------------
+
+def test_dup_rate_pair_count_matches_bucket_combinatorics(spark, sf_dir):
+    """n_pairs must equal Σ_buckets C(size, 2) for the deterministic
+    id-hash bucketing — recomputed independently here."""
+    from rastercube_spark.operators.dedup import sampled_pair_dup_rate
+    from rastercube_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    b = max(1, n // 8)
+    sizes = (
+        docs.select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                    16, 10,
+                ).cast("bigint") % b
+            ).alias("bucket")
+        )
+        .groupBy("bucket").count().collect()
+    )
+    expected = sum(r["count"] * (r["count"] - 1) // 2 for r in sizes)
+    rows = sampled_pair_dup_rate(docs, docs_per_bucket=8).collect()
+    assert [r["threshold"] for r in rows] == [0.5, 0.8]
+    for r in rows:
+        assert r["n_pairs"] == expected
+        assert 0 <= r["n_dup"] <= r["n_pairs"]
+
+
+def test_dup_rate_identical_corpus_rate_one(spark):
+    """Every doc identical → every sampled pair has Jaccard 1.0 →
+    dup_rate 1.0 at every threshold."""
+    from rastercube_spark.operators.dedup import sampled_pair_dup_rate
+
+    docs = spark.createDataFrame(
+        [(i, "same exact text for every single document") for i in range(40)],
+        "doc_id long, text string",
+    )
+    rows = sampled_pair_dup_rate(docs, docs_per_bucket=8).collect()
+    for r in rows:
+        assert r["n_pairs"] >= 1
+        assert r["n_dup"] == r["n_pairs"]
+        assert abs(r["dup_rate"] - 1.0) < 1e-9
+
+
+def test_dup_rate_shingleless_docs_dilute_but_never_count(spark):
+    """Docs too short for a 3-gram shingle (or NULL text) appear in
+    n_pairs (the sample is content-independent) but can never be
+    counted near-dup — their Jaccard is undefined on both engines."""
+    from rastercube_spark.operators.dedup import sampled_pair_dup_rate
+
+    docs = spark.createDataFrame(
+        [(i, "ab") for i in range(20)] + [(99, None)],
+        "doc_id long, text string",
+    )
+    rows = sampled_pair_dup_rate(docs, docs_per_bucket=8).collect()
+    for r in rows:
+        assert r["n_pairs"] >= 1
+        assert r["n_dup"] == 0
+        assert abs(r["dup_rate"]) < 1e-9

@@ -581,3 +581,43 @@ def test_ann_index_audit_no_joins_no_corpus_shuffle(spark, sf_dir):
         assert op not in plan, op
     assert plan.count("Generate") <= 1
     assert "HashAggregate" in plan
+
+
+def test_repeated_spans_hash_keyed_no_pairs(spark, sf_dir):
+    """qf7: the positioned-gram relation shuffles only on the gram hash
+    (map-side-combinable count + one equi-join — AQE may broadcast the
+    pruned count side at test scale, SMJ at 100 TB, never a nested
+    loop); the island window partitions by doc_id (no global sort of
+    the gram relation); top-k is TakeOrdered. Cost per gram occurrence
+    is linear — nothing pairwise anywhere."""
+    plan = _plan(spark, sf_dir, "qf7_repeated_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Generate") <= 2  # gram explode, one per consumer branch
+
+
+def test_token_budget_histogram_not_global_sort(spark, sf_dir):
+    """qf8: the scale contract — the per-document running sum runs ONLY
+    over each source's boundary score class, never the whole source.
+    In the plan: the boundary relation is an explicit broadcast join
+    (never a shuffle of the corpus against it), there is no Generate
+    (hits/dl are size(filter(split)) map-side exprs), and no
+    TakeOrdered/limit hides an all-docs sort."""
+    plan = _plan(spark, sf_dir, "qf8_token_budget")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # boundary classes, F.broadcast pinned
+    assert "Generate" not in plan
+
+
+def test_dup_rate_estimate_bounded_scalar_broadcasts(spark, sf_dir):
+    """qf9: every nested-loop join in the plan is a BROADCAST of a
+    scalar/threshold relation (bucket count, n_pairs, 2-row threshold
+    table — duplicated across unshared subtrees); the pair sample and
+    the Jaccard verify ride equi-joins (bucket / doc / shingle keys);
+    no cartesian anywhere."""
+    plan = _plan(spark, sf_dir, "qf9_dup_rate_estimate")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 6
+    assert "BroadcastHashJoin" in plan

@@ -192,3 +192,81 @@ def test_split_assign_single_split_and_validation(spark, sf_dir):
     assert [r["split"] for r in only] == ["all"]
     with pytest.raises(ValueError):
         split_assign(d, [])
+
+
+# --- token_budget_select (qf8) ------------------------------------------
+
+def _naive_budget_select(docs, stopwords, budget):
+    """The oracle's naive semantics, spelled directly in pyspark: one
+    running sum over EVERY doc of a source (test-only — this is the
+    formulation the scale path must reproduce, not the one it runs)."""
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    dl = F.size(toks).cast("bigint")
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords))).cast("bigint")
+    base = docs.select(
+        "doc_id", "source", dl.alias("dl"),
+        F.floor(F.lit(1000000.0) * hits / dl).cast("bigint").alias("score"),
+    ).where(F.col("dl") >= 1)
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("score"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sel = base.withColumn("cum", F.sum("dl").over(w)).where(F.col("cum") <= budget)
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sel"),
+            F.sum("dl").cast("bigint").alias("tok_sel"),
+            F.min("score").cast("bigint").alias("cutoff_score"),
+        )
+        .orderBy("source")
+    )
+
+
+def test_token_budget_histogram_equals_naive(spark, sf_dir):
+    """The histogram-threshold plan must reproduce the naive per-source
+    running-sum selection EXACTLY — whole classes under budget plus the
+    boundary-class doc_id prefix is the same row set."""
+    from rastercube_spark.operators.sampling import token_budget_select
+    from rastercube_spark.operators.text import LANG_MARKERS
+    from rastercube_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    for budget in (100, 600, 10**9):
+        got = token_budget_select(
+            docs, LANG_MARKERS["en"], budget
+        ).collect()
+        want = _naive_budget_select(docs, LANG_MARKERS["en"], budget).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want], budget
+
+
+def test_token_budget_edges(spark):
+    """Boundary edge cases: a first doc alone over budget selects
+    nothing for its source; zero-token (empty-split never occurs — a
+    ''-token doc has dl 1) and NULL-text docs are excluded; a budget
+    hit EXACTLY at a class edge takes the class whole."""
+    from rastercube_spark.operators.sampling import token_budget_select
+
+    docs = spark.createDataFrame(
+        [
+            # src_a: one 12-token doc, budget 10 → nothing selected
+            (1, "src_a", "the " * 11 + "end"),
+            # src_b: three docs of 5 tokens, distinct scores via
+            # stopword counts 5,4,3 → budget 10 takes exactly two
+            (2, "src_b", "the the the the the"),
+            (3, "src_b", "the the the the x"),
+            (4, "src_b", "the the the x x"),
+            (5, "src_c", None),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r["source"]: r
+        for r in token_budget_select(docs, ("the",), 10).collect()
+    }
+    assert "src_a" not in out
+    assert "src_c" not in out
+    assert out["src_b"]["n_sel"] == 2
+    assert out["src_b"]["tok_sel"] == 10
+    assert out["src_b"]["cutoff_score"] == 800000

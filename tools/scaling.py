@@ -386,11 +386,16 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
         minhash_signatures,
         neardup_decontaminate,
         ngram_novelty,
+        repeated_spans,
+        sampled_pair_dup_rate,
         shingles_df,
     )
     from rastercube_spark.operators.graph import min_label_clusters
     from rastercube_spark.operators.prefix import running_sum_exclusive
-    from rastercube_spark.operators.sampling import group_sample
+    from rastercube_spark.operators.sampling import (
+        group_sample,
+        token_budget_select,
+    )
     from rastercube_spark.operators.fusion import hybrid_rrf
     from rastercube_spark.operators.similarity import (
         ann_index_audit,
@@ -616,6 +621,38 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
         "qf6_ann_index_audit": (
             lambda: ann_index_audit(emb, dim=DIM),
             True,
+        ),
+        # r12 session 3: repeated-substring audit — gram-hash groupBy +
+        # equi-join back + per-doc island window; the planted id%5 dups
+        # share a 39-token run, so the dup-gram join and span merge see
+        # real rows at every n. Expected ~linear in gram occurrences.
+        "qf7_repeated_spans": (
+            lambda: repeated_spans(docs, k=5, min_count=2, k_out=100),
+            False,
+        ),
+        # r12 session 3: token-budget selection — per-(source, score)
+        # histogram + window over score CLASSES; the only per-doc window
+        # runs over boundary classes. Budget n tokens per source so the
+        # boundary stays interior at every n (~41 tokens/doc, 16
+        # sources → ~2.5·n tokens/source). Expected ~linear scan-bound.
+        "qf8_token_budget": (
+            lambda: token_budget_select(
+                docs.withColumn(
+                    "source", (F.col("doc_id") % 16).cast("string")
+                ),
+                stopwords=("w10", "w100", "w1000", "t0", "t1"),
+                budget_tokens=n,
+            ),
+            False,
+        ),
+        # r12 session 3: sampled-pair dup rate — bucket self-join keeps
+        # ~3.5 pairs/doc at 8 docs/bucket regardless of n, then exact
+        # Jaccard on the sample only; planted id%5 dups land in-bucket
+        # often enough that n_dup is nonzero at every n. Expected
+        # ~linear (pair count is (m−1)/2 · n by construction).
+        "qf9_dup_rate_estimate": (
+            lambda: sampled_pair_dup_rate(docs, docs_per_bucket=8),
+            False,
         ),
         # r11 session 2: cross-source passage overlap — passage relation
         # is linear in corpus tokens, the self-join fan-out is bounded
@@ -876,7 +913,9 @@ def main() -> int:
                      "q77_dedup_within_wm", "qf0_ivfpq_knn",
                      "qf1_embedding_dim_stats", "qf2_token_surprisal",
                      "qf3_length_histogram", "qf4_hybrid_rrf",
-                     "qf5_boilerplate_ngrams", "qf6_ann_index_audit")
+                     "qf5_boilerplate_ngrams", "qf6_ann_index_audit",
+                     "qf7_repeated_spans", "qf8_token_budget",
+                     "qf9_dup_rate_estimate")
     ] + [
         (name, EXT_SIZE) for name in EXT64_OPS
     ] + [(name, s) for s in RASTER_SIZES for name in RASTER_OPS] + [
