@@ -354,34 +354,45 @@ def boilerplate_ngrams(
     whitespace runs — the shingles_df convention), and the fraction is
     ONE correctly-rounded IEEE division.
 
-    Scale shape: n-grams are built and deduped MAP-SIDE
-    (array_distinct over a per-document transform — no shuffle to
-    dedup within a document); the document-frequency aggregate is one
-    map-side-combinable groupBy(gram); the join back to per-document
-    rows is a keyed equi-join against the (small, min_df-pruned) heavy
-    set — left unhinted so AQE broadcasts it when its runtime size
-    allows and shuffles otherwise; the final top-k is TakeOrdered,
-    never a global sort. Nothing is ever pairwise: cost is linear in
-    total n-gram occurrences. No reference analog."""
-    tk = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    # the CASE guard makes the expression TOTAL: Catalyst's collapsed
-    # projection/predicate may evaluate it for rows the size-filter
-    # drops, and sequence(0, size-n) turns DESCENDING for short docs
-    # (slice(start=0) then throws)
-    grams = F.when(
-        F.size(tk) >= F.lit(n),
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(tk) - F.lit(n)),
-                lambda i: F.concat_ws(" ", F.slice(tk, i + F.lit(1), n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = (
-        docs.where(F.size(tk) >= F.lit(n))
-        .select(F.col(id_col).alias("doc_id"), grams.alias("__gs"))
+    Scale shape: the per-document gram dedup is RELATIONAL — one
+    distinct shuffle on (doc_id, gram), the shingles_df(distinct=True)
+    topology the rest of the dedup family uses; the document-frequency
+    aggregate is one map-side-combinable groupBy(gram); the join back
+    to per-document rows is a keyed equi-join against the (small,
+    min_df-pruned) heavy set — left unhinted so AQE broadcasts it when
+    its runtime size allows and shuffles otherwise; the final top-k is
+    TakeOrdered, never a global sort. Nothing is ever pairwise: cost
+    is linear in total n-gram occurrences.
+
+    Why NOT array_distinct map-side (the first cut): explode's
+    InferFiltersFromGenerate clones the generator child into a
+    ``size(e) > 0 AND isnotnull(e)`` filter, and predicate pushdown
+    then re-inlines that clone BELOW the rebalance exchange — the
+    whole array_distinct(transform(...)) gram build ran ~3×, two of
+    them on the single pre-shuffle scan task (measured: qf5 10 s at
+    sf0.1; this form 0.12 s). The guard therefore sits on the cheap
+    int INDEX sequence (the shingles_df convention) so the cloned
+    filter costs an int-array build, and the dedup moved to the
+    distinct shuffle. No reference analog."""
+    toks_mat = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__tk"),
     )
-    sh = base.select("doc_id", F.explode("__gs").alias("g"))
+    ntk = F.size("__tk")
+    # the CASE guard (on the index sequence: sequence(1, size-n+1)
+    # turns DESCENDING for short docs and throws) also excludes
+    # sub-n-token and NULL-text documents by contract: no positions,
+    # no rows
+    idx = F.when(ntk >= F.lit(n), F.sequence(F.lit(1), ntk - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("__tk"), i + j) for j in range(n)]
+        ),
+    )
+    sh = toks_mat.select("doc_id", F.explode(grams).alias("g")).distinct()
     heavy = (
         sh.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -391,8 +402,8 @@ def boilerplate_ngrams(
     boiler = sh.join(heavy, "g").groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_boiler")
     )
-    totals = base.select(
-        "doc_id", F.size("__gs").cast("bigint").alias("n_grams")
+    totals = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
     )
     return (
         totals.join(boiler, "doc_id", "left")

@@ -68,6 +68,11 @@ QUERIES = [
     "qe5_bm25_topk",
     "qf2_token_surprisal",
     "qf3_length_histogram",
+    "qf4_hybrid_rrf",
+    "qf5_boilerplate_ngrams",
+    "qf7_repeated_spans",
+    "qf8_token_budget",
+    "qf9_dup_rate_estimate",
 ]
 
 

@@ -554,15 +554,25 @@ def test_hybrid_rrf_group_limits_and_no_pairs(spark, sf_dir):
 
 
 def test_boilerplate_map_side_shingles_takeordered(spark, sf_dir):
-    """qf5: shingles are built and deduped map-side (the only Generate
-    is the per-doc distinct-gram explode), the heavy-set join is an
-    equi-join (AQE free to broadcast — never a nested loop), and the
-    top-k is TakeOrdered, not a global sort."""
+    """qf5: the gram explode's generator child is the cheap int INDEX
+    sequence (InferFiltersFromGenerate clones the child into a pushed
+    filter — with the original array_distinct(transform) child that
+    clone re-ran the whole gram build ~3x, twice on the single
+    pre-shuffle task: 10 s at sf0.1 vs ~1 s now); per-doc dedup is the
+    relational distinct (its exchange reused across the three
+    consumers), the heavy-set join is an equi-join (AQE free to
+    broadcast — never a nested loop), and the top-k is TakeOrdered,
+    not a global sort."""
     plan = _plan(spark, sf_dir, "qf5_boilerplate_ngrams")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert plan.count("Generate") <= 2  # sh is consumed by two branches
+    # the distinct (doc, gram) subtree feeds totals/heavy/boiler; the
+    # explode appears once per unshared branch, never more
+    assert plan.count("Generate") <= 6
+    # and the expensive generator child must NOT be cloned into a
+    # pushed filter: no array_distinct anywhere in the executed plan
+    assert "array_distinct" not in plan
 
 
 def test_ann_index_audit_no_joins_no_corpus_shuffle(spark, sf_dir):
