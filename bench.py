@@ -201,6 +201,9 @@ HEADLINE = [
     "qf7_repeated_spans",
     "qf8_token_budget",
     "qf9_dup_rate_estimate",
+    # embedding-space eval-set decontamination (map-only; eval matrix
+    # collected at construction, so the timed sample includes it)
+    "qg0_semantic_decontaminate",
 ]
 
 # Driver-iterative queries: the query function itself executes work

@@ -1805,3 +1805,92 @@ def ann_index_audit(
         .unionByName(err_part)
         .orderBy("part", "key")
     )
+
+
+# --- semantic (embedding-space) decontamination -------------------------
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.8,
+    k_out: int = 100,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    e_vec: str = "embedding",
+    eval_rows_max: int = 65536,
+) -> DataFrame:
+    """Embedding-space eval-set decontamination: for every training
+    vector, its maximum cosine against the ENTIRE eval/benchmark set —
+    the paraphrase- and translation-robust leak check that n-gram
+    decontamination (qb1 exact, qd4 banded Jaccard) cannot give, since
+    a reworded or translated eval item shares no shingles with its
+    leaked source but sits next to it in embedding space.
+
+    Output: the ``k_out`` corpus vectors closest to the eval set —
+    (vec_id, max_sim, n_eval_hits, contaminated) — ordered by max_sim
+    DESC with id tie-break. Per-eval similarities are 6-dp rounded
+    JVM-side BEFORE the max / threshold compare (np.round is
+    banker's-rounding; F.round is the HALF_UP the oracle's ROUND
+    matches), and each dot product uses the cumsum-ordered summation
+    every cosine in this module uses, so the DuckDB oracle replays the
+    scores bit-for-bit.
+
+    100 TB shape — the distinguishing topology of this operator: the
+    eval set is SMALL by contract (a benchmark suite, not a corpus —
+    gated at ``eval_rows_max``, failing loudly like every broadcast
+    gate here) and rides into one Arrow pass as a collected numpy
+    matrix; the corpus is scanned ONCE, map-only, never shuffled,
+    never joined — scan → vectorized scoring → TakeOrdered. Cost is
+    |corpus|·|eval| multiply-adds spread across every core with zero
+    exchanges before the final top-k. Compare qd4 (candidate banding +
+    keyed joins) and qb2 (intra-corpus LSH): this is the third, purely
+    map-side decontamination topology. No reference analog —
+    LLM-pipeline surface (builder brief).
+    """
+    from rastercube_spark.sources.tables import rebalance_scan
+
+    evs = [
+        np.asarray(r[0], dtype=np.float64)
+        for r in eval_set.select(e_vec).collect()
+    ]
+    if not evs:
+        raise ValueError("semantic_decontaminate: eval_set is empty")
+    if len(evs) > eval_rows_max:
+        raise ValueError(
+            f"semantic_decontaminate: eval_set has {len(evs)} rows, "
+            f"over the {eval_rows_max} broadcast bound — a relation this "
+            "large is a corpus, not an eval set; use the LSH/banded "
+            "pipelines (qd4/qb2) instead"
+        )
+    ev = np.array(evs)                                   # (m, dim)
+    en = np.sqrt(np.cumsum(ev * ev, axis=1)[:, -1])      # (m,)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _eval_sims(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        va = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        na = np.sqrt(np.cumsum(va * va, axis=1)[:, -1])
+        sims = np.empty((va.shape[0], ev.shape[0]))
+        # loop the BOUNDED eval side; each iteration is vectorized over
+        # the Arrow batch with the module's cumsum-ordered dot
+        for j in range(ev.shape[0]):
+            d = np.cumsum(va * ev[j], axis=1)[:, -1]
+            sims[:, j] = d / (na * en[j])
+        return pd.Series(list(sims))
+
+    sims6 = F.transform(_eval_sims(F.col(c_vec)), lambda x: F.round(x, 6))
+    return (
+        rebalance_scan(corpus)
+        .select(F.col(c_id).alias("vec_id"), sims6.alias("__sims"))
+        .select(
+            "vec_id",
+            F.array_max("__sims").alias("max_sim"),
+            F.size(
+                F.filter("__sims", lambda x: x >= F.lit(threshold))
+            ).cast("bigint").alias("n_eval_hits"),
+        )
+        .withColumn("contaminated", F.col("max_sim") >= F.lit(threshold))
+        .orderBy(F.desc("max_sim"), "vec_id")
+        .limit(k_out)
+    )

@@ -3880,3 +3880,64 @@ def qf9(spark, sf_dir):
     from rastercube_spark.operators.dedup import sampled_pair_dup_rate
 
     return sampled_pair_dup_rate(_docs(spark, sf_dir), docs_per_bucket=8)
+
+
+_QG0_COS = (
+    "list_dot_product(cv, ev) / "
+    "(sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(ev, ev)))"
+)
+
+@query(
+    "qg0_semantic_decontaminate",
+    oracle=f"""
+        WITH e AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS ev
+            FROM embeddings WHERE vec_id < 20
+        ),
+        c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings WHERE vec_id >= 20
+        ),
+        s AS (
+            SELECT c.vec_id, ROUND({_QG0_COS}, 6) AS sim
+            FROM c, e
+        ),
+        a AS (
+            SELECT vec_id,
+                   MAX(sim) AS max_sim,
+                   CAST(SUM(CASE WHEN sim >= 0.8 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_eval_hits
+            FROM s GROUP BY vec_id
+        )
+        SELECT vec_id, max_sim, n_eval_hits,
+               max_sim >= 0.8 AS contaminated
+        FROM a ORDER BY max_sim DESC, vec_id
+        LIMIT 100
+    """,
+)
+def qg0(spark, sf_dir):
+    """Embedding-space eval-set decontamination (operators/similarity.py
+    semantic_decontaminate): max cosine of every training vector
+    (vec_id >= 20) against the benchmark set (vec_id < 20 — qb1/qd4's
+    split), top-100 closest with an n_eval_hits count and a
+    contamination flag at 0.8 — the paraphrase/translation-robust leak
+    check the n-gram passes can't express. On this fixture the verdict
+    is CLEAN (max_sim tops out ~0.49) — the audit's negative answer,
+    with the max_sim relation still fully value-discriminating for the
+    hash gate.
+
+    100 TB shape (operator docstring): eval set collected under a
+    loud 65536-row gate into one Arrow numpy matrix; corpus scanned
+    ONCE map-only — no shuffle, no join, TakeOrdered top-k. The third
+    decontamination topology next to qb1 (exact grams, keyed joins)
+    and qd4 (banded Jaccard, candidate joins). No reference analog —
+    LLM-pipeline surface (builder brief)."""
+    from rastercube_spark.operators.similarity import semantic_decontaminate
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_decontaminate(
+        emb.where(F.col("vec_id") >= 20),
+        emb.where(F.col("vec_id") < 20),
+        threshold=0.8,
+        k_out=100,
+    )

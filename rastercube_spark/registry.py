@@ -64,6 +64,11 @@ _ORACLES: dict[str, str] = {}
 # corpus duplicate-rate estimator — LLM-pipeline surface, landed
 # latest in r12; the closure-hash diff vs the committed baseline was
 # verified to be exactly these three before rotation);
+# qg0_semantic_decontaminate is NEW (embedding-space eval-set
+# decontamination — the map-only third decontamination topology next
+# to qb1/qd4; r12 session 3; qf5's closure also changed this session:
+# the InferFiltersFromGenerate plan fix, values unchanged, oracle
+# green);
 # qe5_bm25_topk's closure changed because bm25_topk now dedups the
 # terms tuple (ADVICE r11 — a repeated term used to score twice) and
 # grew an off-by-default log_idf mode + the summed-score rank caveat
@@ -86,13 +91,14 @@ ATTEST_CHANGED: tuple[str, ...] = (
     "qf7_repeated_spans",
     "qf8_token_budget",
     "qf9_dup_rate_estimate",
+    "qg0_semantic_decontaminate",
     "qe4_embedding_outliers",
     "qe5_bm25_topk",
     "qa2_ivf_knn",
     "qe2_pq_knn",
 )
 
-# The 36 remaining window slots go oldest-first per tools/
+# The 35 remaining window slots go oldest-first per tools/
 # rotate_window.py's ground-truth reading of the CORRECTNESS_r*
 # artifacts: FIRST the thirteen r9-stale queries at the window's
 # stated 2-round maximum (qb5-qb9, qd3, qr02, qr06-qr08, q96, qa9,
@@ -109,7 +115,8 @@ ATTEST_CHANGED: tuple[str, ...] = (
 # this round's stale list to the r13 head to make room for the three
 # new qf4-qf6 attestations; q83/q90/q91 likewise for qf7-qf9 (both
 # trios attested r10, judged at r12 = exactly the ceiling, and lead
-# r13 with the rest of the r10 tail).
+# r13 with the rest of the r10 tail); q82 likewise for qg0 (at 123
+# queries still ≤ the 150-slot 3-round capacity).
 ATTEST_STALE: tuple[str, ...] = (
     "q96_knn_bruteforce",
     "qa9_media_knn",
@@ -146,7 +153,6 @@ ATTEST_STALE: tuple[str, ...] = (
     "q75_stream_static_join",
     "q76_stream_stream_join",
     "q80_scalar_pandas_udf",
-    "q82_grouped_agg_udf",
 )
 
 ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE

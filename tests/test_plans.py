@@ -631,3 +631,15 @@ def test_dup_rate_estimate_bounded_scalar_broadcasts(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 6
     assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_decontaminate_map_only(spark, sf_dir):
+    """qg0: the decisive scale property — the corpus is NEVER joined or
+    hash-shuffled. The whole audit is scan → one rebalance exchange →
+    one Arrow scoring pass → TakeOrdered; the eval side enters as a
+    collected matrix, not a relation."""
+    plan = _plan(spark, sf_dir, "qg0_semantic_decontaminate")
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+    assert "TakeOrderedAndProject" in plan

@@ -556,3 +556,53 @@ def test_driver_and_distributed_training_bit_identical(spark, sf_dir):
     )
     assert np.array_equal(s_drv, s_dist)
     assert np.array_equal(c_drv, c_dist)
+
+
+# --- semantic_decontaminate (qg0) ---------------------------------------
+
+def test_semantic_decontaminate_planted_leak(spark):
+    """A corpus vector equal to an eval vector scores max_sim 1.0 and
+    flags; an orthogonal one scores 0 and does not; n_eval_hits counts
+    every eval over threshold, not just the max."""
+    from rastercube_spark.operators.similarity import semantic_decontaminate
+
+    dim = 4
+    evals = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (100, [2.0, 0.0, 0.0, 0.0]),   # colinear with eval 0, close to 1
+            (101, [0.0, 0.0, 3.0, 0.0]),   # orthogonal to both
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in semantic_decontaminate(
+        corpus, evals, threshold=0.8, k_out=10).collect()}
+    assert out[100]["max_sim"] == 1.0
+    assert out[100]["contaminated"] is True
+    assert out[100]["n_eval_hits"] == 2   # eval 1 is also >= 0.8 away
+    assert out[101]["max_sim"] == 0.0
+    assert out[101]["contaminated"] is False
+    assert out[101]["n_eval_hits"] == 0
+
+
+def test_semantic_decontaminate_gates(spark):
+    """Empty eval set and an eval side over the broadcast bound both
+    refuse loudly — the fail-closed contract of every collected side."""
+    import pytest as _pytest
+    from rastercube_spark.operators.similarity import semantic_decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    empty = corpus.where("vec_id < 0")
+    with _pytest.raises(ValueError, match="empty"):
+        semantic_decontaminate(corpus, empty)
+    big = spark.range(5).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with _pytest.raises(ValueError, match="broadcast bound"):
+        semantic_decontaminate(corpus, big, eval_rows_max=3)

@@ -400,6 +400,7 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
     from rastercube_spark.operators.similarity import (
         ann_index_audit,
         embedding_dim_stats,
+        semantic_decontaminate,
         embedding_drift,
         ivfpq_knn,
         label_centroid_outliers,
@@ -644,6 +645,19 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
                 budget_tokens=n,
             ),
             False,
+        ),
+        # r12 session 3: embedding-space decontamination — eval side is
+        # a FIXED 20-vector collected matrix at every n, corpus is one
+        # map-only Arrow pass; expected ~linear scan-bound (the |eval|
+        # factor is constant by contract). Loop-inclusive: the eval
+        # collect runs at construction.
+        "qg0_semantic_decontam": (
+            lambda: semantic_decontaminate(
+                emb.where(F.col("vec_id") >= 20),
+                emb.where(F.col("vec_id") < 20),
+                threshold=0.8,
+            ),
+            True,
         ),
         # r12 session 3: sampled-pair dup rate — bucket self-join keeps
         # ~3.5 pairs/doc at 8 docs/bucket regardless of n, then exact
@@ -915,7 +929,7 @@ def main() -> int:
                      "qf3_length_histogram", "qf4_hybrid_rrf",
                      "qf5_boilerplate_ngrams", "qf6_ann_index_audit",
                      "qf7_repeated_spans", "qf8_token_budget",
-                     "qf9_dup_rate_estimate")
+                     "qf9_dup_rate_estimate", "qg0_semantic_decontam")
     ] + [
         (name, EXT_SIZE) for name in EXT64_OPS
     ] + [(name, s) for s in RASTER_SIZES for name in RASTER_OPS] + [
