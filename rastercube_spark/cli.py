@@ -481,6 +481,104 @@ def cmd_knn(args) -> int:
     return 0
 
 
+def cmd_dup_rate(args) -> int:
+    """Sampled-pair duplicate-rate estimate over the documents table
+    (qf9's operator): the linear-cost "how duplicated is this crawl"
+    number a curation run reads before paying for a full dedup pass.
+    Prints one JSON line per threshold."""
+    import json as _json
+
+    from rastercube_spark.operators.dedup import sampled_pair_dup_rate
+    from rastercube_spark.sources.tables import load
+
+    spark = _spark()
+    docs = load(spark, args.sf_dir, "documents")
+    thresholds = tuple(sorted(set(args.threshold or (0.5, 0.8))))
+    rows = sampled_pair_dup_rate(
+        docs,
+        docs_per_bucket=args.docs_per_bucket,
+        thresholds=thresholds,
+    ).collect()
+    for r in rows:
+        print(_json.dumps(r.asDict(), sort_keys=True))
+    return 0
+
+
+def cmd_repeated_spans(args) -> int:
+    """Exact repeated-substring audit (qf7's operator): the documents
+    with the largest fraction of their tokens covered by corpus-repeated
+    word k-grams, merged into maximal spans. Prints JSON lines, worst
+    offenders first."""
+    import json as _json
+
+    from rastercube_spark.operators.dedup import repeated_spans
+    from rastercube_spark.sources.tables import load
+
+    spark = _spark()
+    docs = load(spark, args.sf_dir, "documents")
+    out = repeated_spans(
+        docs, k=args.k, min_count=args.min_count, k_out=args.top
+    )
+    for r in out.collect():
+        print(_json.dumps(r.asDict(), sort_keys=True))
+    return 0
+
+
+def cmd_budget_select(args) -> int:
+    """Per-source token-budget selection (qf8's operator): fill each
+    source's token budget with its highest-quality documents
+    (stopword-density score) without ever sorting a source end-to-end.
+    Prints one JSON summary line per source."""
+    import json as _json
+
+    from rastercube_spark.operators.sampling import token_budget_select
+    from rastercube_spark.operators.text import LANG_MARKERS
+    from rastercube_spark.sources.tables import load
+
+    if args.lang not in LANG_MARKERS:
+        print(f"unknown lang {args.lang!r}; have {sorted(LANG_MARKERS)}",
+              file=sys.stderr)
+        return 2
+    spark = _spark()
+    docs = load(spark, args.sf_dir, "documents")
+    rows = token_budget_select(
+        docs, LANG_MARKERS[args.lang], budget_tokens=args.budget
+    ).collect()
+    for r in rows:
+        print(_json.dumps(r.asDict(), sort_keys=True))
+    return 0
+
+
+def cmd_semantic_decontaminate(args) -> int:
+    """Embedding-space eval-set decontamination (qg0's operator): max
+    cosine of every training vector against the benchmark vectors —
+    the paraphrase/translation-robust leak check. The eval side is the
+    embeddings rows with vec_id < --eval-below (qb1/qd4's id-split
+    convention), or an external parquet of (vec_id, embedding) via
+    --eval-set. Prints the top-k closest as JSON lines."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from rastercube_spark.operators.similarity import semantic_decontaminate
+    from rastercube_spark.sources.tables import load
+
+    spark = _spark()
+    emb = load(spark, args.sf_dir, "embeddings")
+    if args.eval_set:
+        eval_df = spark.read.parquet(args.eval_set)
+        corpus = emb
+    else:
+        eval_df = emb.where(F.col("vec_id") < args.eval_below)
+        corpus = emb.where(F.col("vec_id") >= args.eval_below)
+    rows = semantic_decontaminate(
+        corpus, eval_df, threshold=args.threshold, k_out=args.top
+    ).collect()
+    for r in rows:
+        print(_json.dumps(r.asDict(), sort_keys=True))
+    return 0
+
+
 def cmd_sample_corpus(args) -> int:
     """Apply a mixture spec (JSON: source → weight) to the documents
     table with DETERMINISTIC hash sampling — weight < 1 downsamples
@@ -727,6 +825,40 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=("brute", "ivf", "pq", "ivfpq"))
     kn.add_argument("--nprobe", type=int, default=8)
     kn.set_defaults(fn=cmd_knn)
+
+    dr = sub.add_parser("dup-rate")
+    dr.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    dr.add_argument("--docs-per-bucket", type=int, default=8,
+                    help="expected bucket size; pairs ≈ (m-1)/2 per doc")
+    dr.add_argument("--threshold", type=float, action="append",
+                    default=None, help="Jaccard threshold(s); repeatable")
+    dr.set_defaults(fn=cmd_dup_rate)
+
+    rs = sub.add_parser("repeated-spans")
+    rs.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    rs.add_argument("--k", type=int, default=5, help="gram width (tokens)")
+    rs.add_argument("--min-count", type=int, default=2,
+                    help="corpus occurrences for a gram to count as repeated")
+    rs.add_argument("--top", type=int, default=100)
+    rs.set_defaults(fn=cmd_repeated_spans)
+
+    bs = sub.add_parser("budget-select")
+    bs.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    bs.add_argument("--budget", type=int, default=600,
+                    help="token budget per source")
+    bs.add_argument("--lang", default="en",
+                    help="stopword list for the quality score")
+    bs.set_defaults(fn=cmd_budget_select)
+
+    sd = sub.add_parser("semantic-decontaminate")
+    sd.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sd.add_argument("--eval-set", default=None,
+                    help="parquet of (vec_id, embedding); default: "
+                         "embeddings rows below --eval-below")
+    sd.add_argument("--eval-below", type=int, default=20)
+    sd.add_argument("--threshold", type=float, default=0.8)
+    sd.add_argument("--top", type=int, default=100)
+    sd.set_defaults(fn=cmd_semantic_decontaminate)
 
     sc = sub.add_parser("sample-corpus")
     sc.add_argument("--sf-dir", default="/root/testdata/sf0.01")

@@ -423,3 +423,70 @@ def test_cli_knn_methods_agree_on_exact_neighbors(spark, capsys):
     assert {r["vec_id"] for r in brute} & {r["vec_id"] for r in ivfpq}
     run("ivf")
     run("pq")
+
+
+def test_cli_dup_rate(spark, capsys):
+    """dup-rate verb prints one JSON line per threshold with a shared
+    n_pairs and a rate in [0, 1]."""
+    import json
+
+    assert main([
+        "dup-rate", "--sf-dir", "/root/testdata/sf0.001",
+        "--threshold", "0.8", "--threshold", "0.5",
+    ]) == 0
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines() if ln.startswith("{")]
+    assert [r["threshold"] for r in lines] == [0.5, 0.8]
+    assert len({r["n_pairs"] for r in lines}) == 1
+    assert all(0.0 <= r["dup_rate"] <= 1.0 for r in lines)
+
+
+def test_cli_repeated_spans(spark, capsys):
+    """repeated-spans verb prints worst offenders first with consistent
+    span arithmetic (dup_tokens ≤ dl, n_spans ≥ 1)."""
+    import json
+
+    assert main([
+        "repeated-spans", "--sf-dir", "/root/testdata/sf0.001",
+        "--k", "5", "--top", "10",
+    ]) == 0
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines() if ln.startswith("{")]
+    assert 0 < len(lines) <= 10
+    fracs = [r["dup_frac"] for r in lines]
+    assert fracs == sorted(fracs, reverse=True)
+    assert all(r["n_spans"] >= 1 and r["dup_tokens"] <= r["dl"] for r in lines)
+
+
+def test_cli_budget_select(spark, capsys):
+    """budget-select verb prints a per-source summary honoring the
+    budget; unknown lang refuses with exit 2."""
+    import json
+
+    assert main([
+        "budget-select", "--sf-dir", "/root/testdata/sf0.001",
+        "--budget", "300",
+    ]) == 0
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines() if ln.startswith("{")]
+    assert len(lines) > 0
+    assert all(r["tok_sel"] <= 300 for r in lines)
+    assert main(["budget-select", "--lang", "xx"]) == 2
+    assert "unknown lang" in capsys.readouterr().err
+
+
+def test_cli_semantic_decontaminate(spark, capsys):
+    """semantic-decontaminate verb prints the top-k closest training
+    vectors, max_sim descending."""
+    import json
+
+    assert main([
+        "semantic-decontaminate", "--sf-dir", "/root/testdata/sf0.001",
+        "--top", "5",
+    ]) == 0
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines() if ln.startswith("{")]
+    assert 0 < len(lines) <= 5
+    sims = [r["max_sim"] for r in lines]
+    assert sims == sorted(sims, reverse=True)
+    assert all(isinstance(r["contaminated"], bool) for r in lines)
