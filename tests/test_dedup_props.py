@@ -446,3 +446,46 @@ def test_dup_rate_shingleless_docs_dilute_but_never_count(spark):
         assert r["n_pairs"] >= 1
         assert r["n_dup"] == 0
         assert abs(r["dup_rate"]) < 1e-9
+
+
+def test_dup_rate_counts_exactly_the_cobucketed_dup_pairs(spark):
+    """Invariant: n_dup at threshold t equals the independently-computed
+    number of co-bucketed pairs whose exact Jaccard ≥ t — the estimator
+    never invents or drops a sampled pair. Corpus: 20 triplet groups of
+    identical docs (within-group Jaccard 1.0, cross-group ~0)."""
+    from rastercube_spark.operators.dedup import sampled_pair_dup_rate
+
+    n_groups = 20
+    docs = spark.createDataFrame(
+        [
+            (g * 3 + j, f"group {g} text shared alpha beta gamma delta g{g}")
+            for g in range(n_groups)
+            for j in range(3)
+        ],
+        "doc_id long, text string",
+    )
+    b = max(1, (n_groups * 3) // 8)
+    buckets = {
+        r["doc_id"]: r["bucket"]
+        for r in docs.select(
+            "doc_id",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                    16, 10,
+                ).cast("bigint") % b
+            ).alias("bucket"),
+        ).collect()
+    }
+    expected_dups = sum(
+        1
+        for a in range(n_groups * 3)
+        for c in range(a + 1, n_groups * 3)
+        if buckets[a] == buckets[c] and a // 3 == c // 3
+    )
+    rows = {r["threshold"]: r for r in
+            sampled_pair_dup_rate(docs, docs_per_bucket=8).collect()}
+    # identical docs → Jaccard 1.0 ≥ both thresholds; cross-group pairs
+    # share only filler tokens, far below 0.5
+    assert rows[0.5]["n_dup"] == expected_dups
+    assert rows[0.8]["n_dup"] == expected_dups

@@ -270,3 +270,35 @@ def test_token_budget_edges(spark):
     assert out["src_b"]["n_sel"] == 2
     assert out["src_b"]["tok_sel"] == 10
     assert out["src_b"]["cutoff_score"] == 800000
+
+
+def test_token_budget_equivalence_random_corpora(spark):
+    """Property: histogram-threshold selection ≡ naive running-sum
+    selection on adversarial random corpora (score ties, one-doc
+    sources, exact-boundary budgets). Corpora are generated with a
+    seeded RNG driver-side — deterministic, hypothesis-style without
+    per-example Spark-session churn."""
+    import random
+
+    from rastercube_spark.operators.sampling import token_budget_select
+
+    rng = random.Random(1234)
+    stop = ("the", "a")
+    for trial in range(4):
+        rows = []
+        n_docs = rng.randint(5, 60)
+        for i in range(n_docs):
+            src = f"s{rng.randint(0, 4)}"
+            dl = rng.randint(1, 12)
+            # force heavy score ties: few distinct stopword counts
+            n_stop = rng.randint(0, min(2, dl))
+            toks = ["the"] * n_stop + [f"w{rng.randint(0, 3)}"] * (dl - n_stop)
+            rng.shuffle(toks)
+            rows.append((i, src, " ".join(toks)))
+        docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        budget = rng.choice([1, 7, 20, 10**6])
+        got = token_budget_select(docs, stop, budget).collect()
+        want = _naive_budget_select(docs, stop, budget).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want], (
+            trial, budget, rows,
+        )
