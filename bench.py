@@ -204,6 +204,8 @@ HEADLINE = [
     # embedding-space eval-set decontamination (map-only; eval matrix
     # collected at construction, so the timed sample includes it)
     "qg0_semantic_decontaminate",
+    # fixed-window document chunking (map-only position explode)
+    "qg1_chunk_documents",
 ]
 
 # Driver-iterative queries: the query function itself executes work

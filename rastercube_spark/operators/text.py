@@ -422,3 +422,66 @@ def boilerplate_ngrams(
         .orderBy(F.col("boiler_frac").desc(), "doc_id")
         .limit(k_out)
     )
+
+
+def chunk_documents(
+    docs,
+    max_tokens: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Chunk documents into fixed-size token windows — the
+    make-training-sequences step that precedes packing (qa6 packs the
+    RESULTING pieces into context bins; this produces the pieces from
+    documents longer than one context): window ``w`` of a document
+    covers tokens [1 + w·stride, 1 + w·stride + max_tokens), windows
+    start at every stride-th token while any token remains, so with
+    stride < max_tokens consecutive chunks overlap by
+    (max_tokens − stride) tokens — the standard training-window
+    overlap. Returns (doc_id, chunk_idx, n_tokens, chunk).
+
+    Contract details a consumer must know: tokens are whitespace runs
+    of the RAW text (case and punctuation preserved) and the chunk is
+    re-joined with single spaces, so intra-document whitespace is
+    normalized; a trailing window always exists for the tail even when
+    shorter than max_tokens (the final chunk of an n-token doc keeps
+    n − w·stride tokens); documents with no tokens (NULL text) emit no
+    chunks.
+
+    100 TB shape: map-only — the ONLY relational op is the position
+    explode, and its generator child is the cheap int
+    ``sequence(1, n, stride)``, with the chunk string built AFTER the
+    explode (qf5's InferFiltersFromGenerate lesson: the inferred
+    size/isnotnull filter clones the generator child below the
+    exchange, so the child must never carry the expensive string
+    work). Zero shuffles, zero joins; output order is the caller's
+    concern. No reference analog — LLM-pipeline surface (builder
+    brief)."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    toks_mat = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), r"\s+").alias("__tk"),
+    )
+    n = F.size("__tk")
+    starts = F.when(n >= 1, F.sequence(F.lit(1), n, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return (
+        toks_mat.select(
+            "doc_id", "__tk", n.alias("__n"), F.explode(starts).alias("__s")
+        )
+        .select(
+            "doc_id",
+            ((F.col("__s") - 1) / stride).cast("bigint").alias("chunk_idx"),
+            F.least(F.lit(max_tokens), F.col("__n") - F.col("__s") + 1)
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.concat_ws(
+                " ", F.slice(F.col("__tk"), F.col("__s"), max_tokens)
+            ).alias("chunk"),
+        )
+    )

@@ -3941,3 +3941,46 @@ def qg0(spark, sf_dir):
         threshold=0.8,
         k_out=100,
     )
+
+
+@query(
+    "qg1_chunk_documents",
+    oracle="""
+        WITH tk AS (
+            SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk
+            FROM documents WHERE text IS NOT NULL
+        ),
+        st AS (
+            SELECT doc_id, len(tk) AS n, tk,
+                   UNNEST(range(1, len(tk) + 1, 24)) AS s
+            FROM tk WHERE len(tk) >= 1
+        )
+        SELECT doc_id,
+               CAST((s - 1) // 24 AS BIGINT) AS chunk_idx,
+               CAST(LEAST(32, n - s + 1) AS BIGINT) AS n_tokens,
+               array_to_string(list_slice(tk, s, LEAST(n, s + 31)), ' ')
+                   AS chunk
+        FROM st ORDER BY doc_id, chunk_idx
+    """,
+)
+def qg1(spark, sf_dir):
+    """Fixed-window document chunking (operators/text.py
+    chunk_documents): 32-token windows at stride 24 (8-token overlap) —
+    the make-training-sequences step between the curation surface and
+    qa6's packing: long documents become overlapping context-sized
+    pieces, short documents pass through as their own single chunk.
+    Raw-case tokens, single-space re-join, tail window always emitted
+    (operator docstring states the full contract).
+
+    100 TB shape (operator docstring): map-only — the only relational
+    op is a position explode whose generator child is the cheap int
+    sequence(1, n, stride); the chunk string is built AFTER the explode
+    (qf5's InferFiltersFromGenerate lesson). Zero shuffles, zero joins;
+    the ORDER BY here is the §2.9 determinism convention, not part of
+    the operator. No reference analog — LLM-pipeline surface (builder
+    brief)."""
+    from rastercube_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), max_tokens=32, stride=24
+    ).orderBy("doc_id", "chunk_idx")

@@ -69,6 +69,9 @@ _ORACLES: dict[str, str] = {}
 # to qb1/qd4; r12 session 3; qf5's closure also changed this session:
 # the InferFiltersFromGenerate plan fix, values unchanged, oracle
 # green);
+# qg1_chunk_documents is NEW (fixed-window document chunking — the
+# make-training-sequences step before qa6's packing; map-only;
+# r12 session 3);
 # qe5_bm25_topk's closure changed because bm25_topk now dedups the
 # terms tuple (ADVICE r11 — a repeated term used to score twice) and
 # grew an off-by-default log_idf mode + the summed-score rank caveat
@@ -92,13 +95,14 @@ ATTEST_CHANGED: tuple[str, ...] = (
     "qf8_token_budget",
     "qf9_dup_rate_estimate",
     "qg0_semantic_decontaminate",
+    "qg1_chunk_documents",
     "qe4_embedding_outliers",
     "qe5_bm25_topk",
     "qa2_ivf_knn",
     "qe2_pq_knn",
 )
 
-# The 35 remaining window slots go oldest-first per tools/
+# The 34 remaining window slots go oldest-first per tools/
 # rotate_window.py's ground-truth reading of the CORRECTNESS_r*
 # artifacts: FIRST the thirteen r9-stale queries at the window's
 # stated 2-round maximum (qb5-qb9, qd3, qr02, qr06-qr08, q96, qa9,
@@ -115,8 +119,8 @@ ATTEST_CHANGED: tuple[str, ...] = (
 # this round's stale list to the r13 head to make room for the three
 # new qf4-qf6 attestations; q83/q90/q91 likewise for qf7-qf9 (both
 # trios attested r10, judged at r12 = exactly the ceiling, and lead
-# r13 with the rest of the r10 tail); q82 likewise for qg0 (at 123
-# queries still ≤ the 150-slot 3-round capacity).
+# r13 with the rest of the r10 tail); q82 likewise for qg0 and q80
+# for qg1 (at 124 queries still ≤ the 150-slot 3-round capacity).
 ATTEST_STALE: tuple[str, ...] = (
     "q96_knn_bruteforce",
     "qa9_media_knn",
@@ -152,7 +156,6 @@ ATTEST_STALE: tuple[str, ...] = (
     "q65_affine_transform",
     "q75_stream_static_join",
     "q76_stream_stream_join",
-    "q80_scalar_pandas_udf",
 )
 
 ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE

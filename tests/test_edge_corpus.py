@@ -73,6 +73,7 @@ QUERIES = [
     "qf7_repeated_spans",
     "qf8_token_budget",
     "qf9_dup_rate_estimate",
+    "qg1_chunk_documents",
 ]
 
 

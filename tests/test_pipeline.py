@@ -114,3 +114,54 @@ def test_clean_corpus_extension_adds_no_corpus_shuffle(spark, sf_dir):
     assert n_ex(with_all) == n_ex(with_decon)
     for df in (base, with_decon, with_all):
         df.unpersist()
+
+
+# --- chunk_documents (qg1) ------------------------------------------------
+
+def test_chunk_documents_window_arithmetic(spark):
+    """10 tokens at max=4/stride=3 → starts 1,4,7,10, lengths 4,4,4,1,
+    exact overlapping contents; stride==max partitions with no overlap."""
+    from rastercube_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")], "doc_id long, text string"
+    )
+    out = sorted(
+        chunk_documents(docs, max_tokens=4, stride=3).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [r["n_tokens"] for r in out] == [4, 4, 4, 1]
+    assert out[0]["chunk"] == "t1 t2 t3 t4"
+    assert out[1]["chunk"] == "t4 t5 t6 t7"   # 1-token overlap
+    assert out[3]["chunk"] == "t10"           # tail window
+    flat = sorted(
+        chunk_documents(docs, max_tokens=5, stride=5).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [r["n_tokens"] for r in flat] == [5, 5]
+    assert " ".join(r["chunk"] for r in flat) == "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+
+
+def test_chunk_documents_edges(spark):
+    """Single-token and whitespace-heavy docs chunk by contract; NULL
+    text emits nothing; bad parameters refuse."""
+    import pytest as _pytest
+
+    from rastercube_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "only"), (2, "tab\tand\nnewline words"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, max_tokens=8, stride=8).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["doc_id"], []).append(r)
+    assert [r["chunk"] for r in by_id[1]] == ["only"]
+    # whitespace runs normalize to single spaces on re-join
+    assert by_id[2][0]["chunk"] == "tab and newline words"
+    assert 3 not in by_id
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs, max_tokens=4, stride=0)
+    with _pytest.raises(ValueError, match="max_tokens"):
+        chunk_documents(docs, max_tokens=0, stride=4)

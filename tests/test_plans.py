@@ -643,3 +643,15 @@ def test_semantic_decontaminate_map_only(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan
     assert plan.count("ArrowEvalPython") == 1
     assert "TakeOrderedAndProject" in plan
+
+
+def test_chunk_documents_map_only_cheap_generator(spark, sf_dir):
+    """qg1: map-only — no joins, no hash exchange (the registered
+    query's ORDER BY adds only a range exchange); exactly one Generate,
+    and its generator child is the int position sequence, never the
+    chunk string build (qf5's InferFiltersFromGenerate lesson)."""
+    plan = _plan(spark, sf_dir, "qg1_chunk_documents")
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Generate") == 1
+    assert "array_distinct" not in plan

@@ -412,6 +412,7 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
     from rastercube_spark.operators.text import (
         bm25_topk,
         boilerplate_ngrams,
+        chunk_documents,
         length_histogram,
         token_count,
         token_surprisal,
@@ -658,6 +659,13 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
                 threshold=0.8,
             ),
             True,
+        ),
+        # r12 session 3: fixed-window chunking — map-only position
+        # explode (fan-out = tokens/stride ≈ 2 rows/doc), chunk string
+        # built post-explode; expected ~linear scan-bound.
+        "qg1_chunk_documents": (
+            lambda: chunk_documents(docs, max_tokens=32, stride=24),
+            False,
         ),
         # r12 session 3: sampled-pair dup rate — bucket self-join keeps
         # ~3.5 pairs/doc at 8 docs/bucket regardless of n, then exact
@@ -929,7 +937,8 @@ def main() -> int:
                      "qf3_length_histogram", "qf4_hybrid_rrf",
                      "qf5_boilerplate_ngrams", "qf6_ann_index_audit",
                      "qf7_repeated_spans", "qf8_token_budget",
-                     "qf9_dup_rate_estimate", "qg0_semantic_decontam")
+                     "qf9_dup_rate_estimate", "qg0_semantic_decontam",
+                     "qg1_chunk_documents")
     ] + [
         (name, EXT_SIZE) for name in EXT64_OPS
     ] + [(name, s) for s in RASTER_SIZES for name in RASTER_OPS] + [
