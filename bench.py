@@ -38,7 +38,15 @@ code):
   where plan CONSTRUCTION runs the localCheckpoint'd loop) are timed
   end-to-end per sample — query-function call + noop sink — because the
   noop sink alone would only measure the final labels plan (the r05
-  exclusion, now metered correctly instead of excluded).
+  exclusion, now metered correctly instead of excluded);
+- CONTAMINATED-WINDOW RETRY (VERDICT r12 "Next round" #2): a query
+  whose own wall-clock window absorbed significant external+steal CPU
+  (r12: q98's window alone took 158.7 ext + 218.1 steal CPU-s and the
+  round burned three adjudications arguing the resulting medians) is
+  RE-QUEUED at the end of the run for a fresh median; the detail row
+  carries both windows under "contaminated_retry" and the reported
+  timing comes from the cleaner window. The instrument acts on
+  contamination in-run instead of merely recording it.
 """
 
 from __future__ import annotations
@@ -214,6 +222,17 @@ HEADLINE = [
 LOOP_INCLUSIVE = {"qb2_semantic_dedup", "qc0_balanced_sample",
                   "qe2_pq_knn", "qf0_ivfpq_knn", "qf6_ann_index_audit"}
 
+# Contaminated-window retry thresholds (VERDICT r12 #2): a query window
+# is contaminated when OTHER processes (ext) plus the hypervisor (steal)
+# burned more than CONTAM_FRAC of the window's box CPU capacity AND more
+# than CONTAM_MIN_CPU_S absolute — the absolute floor keeps sub-second
+# windows from retrying on scheduler noise, the fraction keeps long
+# windows honest (r12's q98 window: 377 CPU-s over ~60 s on 32 cores =
+# 20% of capacity; the r12 threshold debate would have auto-settled).
+CONTAM_FRAC = 0.05
+CONTAM_MIN_CPU_S = 5.0
+RETRY_MAX = 8  # bound the tail pass so a busy co-tenant can't double the run
+
 
 def _env_note() -> dict:
     """Record the run conditions next to the numbers so cross-round
@@ -333,6 +352,8 @@ def _compact_line(full: dict) -> str:
         },
         "detail": "BENCH_DETAIL.json",
     }
+    if env.get("contaminated_retries"):
+        compact["env"]["retried"] = env["contaminated_retries"]
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > LINE_BUDGET:
         # Degrade order (r12 — at 69 queries even 2-dp full names
@@ -449,6 +470,57 @@ def _proc_tree_cpu_s() -> float | None:
         return None
 
 
+def _timed_window(name, fn, spark, sf_dir) -> tuple[float, dict]:
+    """One warm run + median-of-samples measurement for a single query,
+    with its own counter-delta window (box/tree/steal CPU sampled at
+    entry and exit, so external CPU is attributed to exactly this
+    query's wall-clock)."""
+    w_box, w_tree, w_steal = (
+        _box_busy_cpu_s(), _proc_tree_cpu_s(), _steal_cpu_s(),
+    )
+    q_t0 = time.time()
+    if name in LOOP_INCLUSIVE:
+        _noop(fn(spark, sf_dir))  # warm (JIT, shuffle files)
+        # construction runs the loop, so time the call too
+        samples = _sample_until_stable(lambda: _noop(fn(spark, sf_dir)))
+    else:
+        df = fn(spark, sf_dir)
+        _noop(df)  # warm
+        samples = _sample_until_stable(lambda: _noop(df))
+    clock = {
+        "t0": round(q_t0, 2),
+        "t1": round(time.time(), 2),
+        "reps": len(samples),
+        "samples": [round(s, 3) for s in samples],
+        "spread": round(_rel_spread(samples), 3),
+    }
+    q_box, q_tree, q_steal = (
+        _box_busy_cpu_s(), _proc_tree_cpu_s(), _steal_cpu_s(),
+    )
+    if None not in (w_box, q_box, w_tree, q_tree):
+        clock["ext_cpu_s"] = round(
+            max(0.0, (q_box - w_box) - (q_tree - w_tree)), 1
+        )
+    if None not in (w_steal, q_steal):
+        clock["steal_s"] = round(max(0.0, q_steal - w_steal), 1)
+    return statistics.median(samples), clock
+
+
+def _window_foreign_cpu_s(clock: dict) -> float:
+    return clock.get("ext_cpu_s", 0.0) + max(0.0, clock.get("steal_s", 0.0))
+
+
+def _window_contaminated(clock: dict) -> bool:
+    """True when the window absorbed enough foreign CPU (other
+    processes + hypervisor steal) that its median can't be trusted:
+    over CONTAM_MIN_CPU_S absolute AND over CONTAM_FRAC of the
+    window's whole-box CPU capacity."""
+    foreign = _window_foreign_cpu_s(clock)
+    wall = max(clock.get("t1", 0.0) - clock.get("t0", 0.0), 1e-9)
+    capacity = wall * (os.cpu_count() or 1)
+    return foreign > CONTAM_MIN_CPU_S and foreign > CONTAM_FRAC * capacity
+
+
 def _wait_for_idle(max_wait_s: float = 900.0) -> float:
     """Bounded wait for BOTH the 1-minute loadavg to decay below
     LOAD_IDLE_MAX and the 5-minute below LOAD_IDLE_MAX_5 before timing
@@ -508,42 +580,52 @@ def main() -> None:
     # Per-query external-CPU attribution (r10's run-LEVEL accounting
     # could say "28 CPU-s went elsewhere" but not WHERE — the q12
     # adjudication in docs/PERF_NOTES.md r11 had to argue from bounds.
-    # Sampling the same three counters at every query boundary turns
-    # that class of question into a direct read: ext_cpu_s is the CPU
-    # other processes burned INSIDE this query's wall-clock window).
-    prev_box, prev_tree, prev_steal = box_cpu0, tree_cpu0, steal0
+    # Sampling the same three counters at every query window's entry and
+    # exit turns that class of question into a direct read: ext_cpu_s is
+    # the CPU other processes burned INSIDE this query's wall-clock
+    # window).
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
             continue
-        q_t0 = time.time()
-        if name in LOOP_INCLUSIVE:
-            _noop(fn(spark, sf_dir))  # warm (JIT, shuffle files)
-            # construction runs the loop, so time the call too
-            samples = _sample_until_stable(lambda: _noop(fn(spark, sf_dir)))
-        else:
-            df = fn(spark, sf_dir)
-            _noop(df)  # warm
-            samples = _sample_until_stable(lambda: _noop(df))
-        timings[name] = round(statistics.median(samples), 3)
-        clock = {
-            "t0": round(q_t0, 2),
-            "t1": round(time.time(), 2),
-            "reps": len(samples),
-            "samples": [round(s, 3) for s in samples],
-            "spread": round(_rel_spread(samples), 3),
-        }
-        q_box, q_tree, q_steal = (
-            _box_busy_cpu_s(), _proc_tree_cpu_s(), _steal_cpu_s(),
-        )
-        if None not in (prev_box, q_box, prev_tree, q_tree):
-            clock["ext_cpu_s"] = round(
-                max(0.0, (q_box - prev_box) - (q_tree - prev_tree)), 1
-            )
-        if None not in (prev_steal, q_steal):
-            clock["steal_s"] = round(q_steal - prev_steal, 1)
-        prev_box, prev_tree, prev_steal = q_box, q_tree, q_steal
+        med, clock = _timed_window(name, fn, spark, sf_dir)
+        timings[name] = round(med, 3)
         query_clock[name] = clock
+
+    # Contaminated-window retry (VERDICT r12 #2): queries whose window
+    # absorbed foreign CPU above the threshold get a fresh median at the
+    # end of the run, worst-first; the reported timing comes from the
+    # CLEANER window (lower foreign-CPU-per-wall-second), and the detail
+    # row records both so the adjudication is in-artifact.
+    contaminated = sorted(
+        (n for n in timings if _window_contaminated(query_clock[n])),
+        key=lambda n: -_window_foreign_cpu_s(query_clock[n]),
+    )
+    def _foreign_rate(c: dict) -> float:
+        wall = max(c.get("t1", 0.0) - c.get("t0", 0.0), 1e-9)
+        return _window_foreign_cpu_s(c) / wall
+
+    retried = 0
+    for name in contaminated[:RETRY_MAX]:
+        first = query_clock[name]
+        med2, clock2 = _timed_window(name, qs[name], spark, sf_dir)
+        use_retry = _foreign_rate(clock2) <= _foreign_rate(first)
+        query_clock[name] = clock2 if use_retry else first
+        query_clock[name]["contaminated_retry"] = {
+            "first_median": timings[name],
+            "retry_median": round(med2, 3),
+            "first_foreign_cpu_s": round(_window_foreign_cpu_s(first), 1),
+            "retry_foreign_cpu_s": round(_window_foreign_cpu_s(clock2), 1),
+            "used": "retry" if use_retry else "first",
+            "retry_clean": not _window_contaminated(clock2),
+        }
+        if use_retry:
+            timings[name] = round(med2, 3)
+        retried += 1
+    if retried:
+        env["contaminated_retries"] = retried
+    if len(contaminated) > RETRY_MAX:
+        env["contaminated_unretried"] = contaminated[RETRY_MAX:]
 
     # End-of-run accounting BEFORE spark.stop() so the JVM's CPU is
     # still readable live from /proc (rusage-of-children would need the

@@ -822,8 +822,12 @@ def sampled_pair_dup_rate(
     its id (md5-derived, cross-engine), with n/``docs_per_bucket``
     buckets; any two documents collide with probability 1/n_buckets
     regardless of their text, so the co-bucketed pairs are a uniform
-    sample of all n·(n−1)/2 pairs and the observed near-dup fraction is
-    an unbiased estimator of the population pair-dup rate. Expected cost:
+    sample of all n·(n−1)/2 pairs and the observed near-dup fraction
+    estimates the population pair-dup rate (each sampled pair is an
+    unbiased Bernoulli draw; the reported RATIO has a random
+    denominator, so it is consistent and asymptotically unbiased rather
+    than exactly unbiased — at corpus scale the distinction is
+    negligible). Expected cost:
     buckets of ~``docs_per_bucket`` docs → C(docs_per_bucket, 2)·n_buckets
     ≈ (docs_per_bucket−1)/2 · n sampled pairs — LINEAR in the corpus,
     with exact shingle-Jaccard (pair_jaccard's candidate path, never the
@@ -831,9 +835,12 @@ def sampled_pair_dup_rate(
 
     Output: one row per threshold — (threshold, n_pairs, n_dup,
     dup_rate), all counts exact bigints, the rate a single 6-dp IEEE
-    division. Pairs where either side has no k-gram shingles (empty/NULL
-    text) count in n_pairs but never in n_dup (their Jaccard is
-    undefined; both engines drop them from the join identically).
+    division; a degenerate sample (n_pairs = 0 — fewer than 2 docs or
+    all-singleton buckets) reports dup_rate 0.0 explicitly rather than
+    a 0/0 NULL (ADVICE r12). Pairs where either side has no k-gram
+    shingles (empty/NULL text) count in n_pairs but never in n_dup
+    (their Jaccard is undefined; both engines drop them from the join
+    identically).
 
     100 TB shape: one tiny scalar crossJoin (bucket count), one shuffle
     on bucket for the pair sample, then the keyed shingle joins of
@@ -881,9 +888,11 @@ def sampled_pair_dup_rate(
             "threshold",
             "n_pairs",
             "n_dup",
-            F.round(
-                F.col("n_dup") / F.col("n_pairs").cast("double"), 6
-            ).alias("dup_rate"),
+            F.when(F.col("n_pairs") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(F.col("n_dup") / F.col("n_pairs").cast("double"), 6)
+            )
+            .alias("dup_rate"),
         )
         .orderBy("threshold")
     )

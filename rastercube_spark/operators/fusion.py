@@ -41,6 +41,9 @@ def hybrid_rrf(
     text_col: str = "text",
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    ann_leg: bool = False,
+    ann_nprobe: int = 8,
+    ann_rerank: int = 100,
 ) -> DataFrame:
     """Per-query fused top-``k_out`` over the corpus of documents that
     have BOTH text and an embedding (inner id-join of ``docs`` and
@@ -55,8 +58,13 @@ def hybrid_rrf(
     size(split()), the explode feeds ONLY the term IN-filter, df and
     the per-(q, term-index) map broadcast; the embedding leg broadcasts
     the |specs|-row query side over one corpus pass (brute-force cosine
-    is the recall-1.0 baseline — swap in qa2/qe2/qf0's index legs when
-    the scan becomes the bound); each leg's per-query top-``k_leg`` is
+    is the recall-1.0 baseline); ``ann_leg=True`` swaps the embedding
+    leg onto qf0's IVF×PQ index (VERDICT r12 "Next round" #5 — probe
+    ``ann_nprobe`` lists, ADC-shortlist ``ann_rerank``, exact refine),
+    for when the brute scan becomes the bound at corpus scale: the
+    fused top-k then rank-overlaps the brute-leg fusion at qf0's gated
+    recall (tests/test_fusion.py) but touches only nprobe/n_coarse of
+    the corpus on that leg; each leg's per-query top-``k_leg`` is
     a WindowGroupLimit (map-side partial + final — never a whole-leg
     sort in one task, asserted in tests/test_plans.py); the fusion
     itself touches ≤ |specs| × k_leg rows per leg regardless of corpus
@@ -148,24 +156,48 @@ def hybrid_rrf(
         ),
         "qvec_id",
     ).select("q_id", "_qv")
-    vec_scored = (
-        corpus.select("doc_id", "_v")
-        .join(F.broadcast(qside))
-        .where(F.col("doc_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "doc_id",
-            F.round(cosine(F.col("_qv"), F.col("_v")), 6).alias("cos"),
+    if ann_leg:
+        # qf0's IVF×PQ index instead of the brute scan: same exclusion
+        # (the corpus row whose id equals the QUERY id never surfaces —
+        # ivfpq_probe's q_id != c_id filter, with q_id the spec id) and
+        # the same corpus (docs ∩ emb); ranks come from the refined
+        # exact dot, so overlap with the brute leg is bounded by qf0's
+        # coarse-probe recall, not the codes.
+        from rastercube_spark.operators.similarity import ivfpq_knn
+
+        dim = len(emb.select(vec_col).first()[0])
+        ann_corpus = emb.select(
+            F.col(vec_id_col).alias("doc_id"), F.col(vec_col)
+        ).join(corpus.select("doc_id"), "doc_id")
+        vecr = ivfpq_knn(
+            qside.select("q_id", F.col("_qv").alias("q_vec")),
+            ann_corpus,
+            dim=dim,
+            k=k_leg,
+            nprobe=ann_nprobe,
+            rerank=ann_rerank,
+            c_id="doc_id",
+            c_vec=vec_col,
+        ).select("q_id", "doc_id", F.col("rank").alias("vec_rank"))
+    else:
+        vec_scored = (
+            corpus.select("doc_id", "_v")
+            .join(F.broadcast(qside))
+            .where(F.col("doc_id") != F.col("q_id"))
+            .select(
+                "q_id",
+                "doc_id",
+                F.round(cosine(F.col("_qv"), F.col("_v")), 6).alias("cos"),
+            )
         )
-    )
-    w_vec = Window.partitionBy("q_id").orderBy(
-        F.col("cos").desc(), F.col("doc_id")
-    )
-    vecr = (
-        vec_scored.withColumn("vec_rank", F.row_number().over(w_vec))
-        .where(F.col("vec_rank") <= k_leg)
-        .select("q_id", "doc_id", "vec_rank")
-    )
+        w_vec = Window.partitionBy("q_id").orderBy(
+            F.col("cos").desc(), F.col("doc_id")
+        )
+        vecr = (
+            vec_scored.withColumn("vec_rank", F.row_number().over(w_vec))
+            .where(F.col("vec_rank") <= k_leg)
+            .select("q_id", "doc_id", "vec_rank")
+        )
 
     # --- fuse: rrf = 1/(k+lex_rank) + 1/(k+vec_rank), fixed order ------
     fused = lexr.join(vecr, ["q_id", "doc_id"], "full_outer").select(

@@ -436,18 +436,24 @@ def chunk_documents(
     RESULTING pieces into context bins; this produces the pieces from
     documents longer than one context): window ``w`` of a document
     covers tokens [1 + w·stride, 1 + w·stride + max_tokens), windows
-    start at every stride-th token while any token remains, so with
-    stride < max_tokens consecutive chunks overlap by
-    (max_tokens − stride) tokens — the standard training-window
-    overlap. Returns (doc_id, chunk_idx, n_tokens, chunk).
+    start at every stride-th token UNTIL the previous window has
+    already covered the document end, so with stride < max_tokens
+    consecutive chunks overlap by (max_tokens − stride) tokens — the
+    standard training-window overlap. Returns
+    (doc_id, chunk_idx, n_tokens, chunk).
 
     Contract details a consumer must know: tokens are whitespace runs
     of the RAW text (case and punctuation preserved) and the chunk is
     re-joined with single spaces, so intra-document whitespace is
-    normalized; a trailing window always exists for the tail even when
-    shorter than max_tokens (the final chunk of an n-token doc keeps
-    n − w·stride tokens); documents with no tokens (NULL text) emit no
-    chunks.
+    normalized; a trailing window shorter than max_tokens is emitted
+    for the tail, but NO window starts once an earlier window already
+    reached token n (ADVICE r12: the old contract emitted a final
+    chunk fully contained in its predecessor — e.g. 10 tokens at
+    max=4/stride=3 produced both "t8 t9 t10" and "t10" — redundant
+    duplicate training text; start positions now stop at
+    min(n, max(n − max_tokens + stride, 1))). With stride ≥ max_tokens
+    (gap chunking) windows keep starting while any token remains, as
+    before. Documents with no tokens (NULL text) emit no chunks.
 
     100 TB shape: map-only — the ONLY relational op is the position
     explode, and its generator child is the cheap int
@@ -467,9 +473,16 @@ def chunk_documents(
         F.split(F.col(text_col), r"\s+").alias("__tk"),
     )
     n = F.size("__tk")
-    starts = F.when(n >= 1, F.sequence(F.lit(1), n, F.lit(stride))).otherwise(
-        F.array().cast("array<int>")
+    # Last permitted start: stop once the previous window reached token
+    # n (s_prev + max_tokens - 1 >= n ⇔ s > n - max_tokens + stride is
+    # contained); the least(n, ·) keeps gap chunking (stride >
+    # max_tokens) bounded by the token count as before.
+    bound = F.least(
+        n, F.greatest(n - F.lit(max_tokens) + F.lit(stride), F.lit(1))
     )
+    starts = F.when(
+        n >= 1, F.sequence(F.lit(1), bound, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
     return (
         toks_mat.select(
             "doc_id", "__tk", n.alias("__n"), F.explode(starts).alias("__s")

@@ -3855,8 +3855,10 @@ def qf8(spark, sf_dir):
             GROUP BY th.threshold
         )
         SELECT d.threshold, np.n_pairs, d.n_dup,
-               ROUND(CAST(d.n_dup AS DOUBLE)
-                     / CAST(np.n_pairs AS DOUBLE), 6) AS dup_rate
+               CASE WHEN np.n_pairs = 0 THEN 0.0
+                    ELSE ROUND(CAST(d.n_dup AS DOUBLE)
+                               / CAST(np.n_pairs AS DOUBLE), 6)
+               END AS dup_rate
         FROM d CROSS JOIN np
         ORDER BY d.threshold
     """,
@@ -3866,7 +3868,7 @@ def qf9(spark, sf_dir):
     (operators/dedup.py sampled_pair_dup_rate): content-independent
     id-hash bucketing makes co-bucketed pairs a uniform sample of all
     n·(n−1)/2 pairs, so the near-dup fraction among them (exact
-    3-gram Jaccard, thresholds 0.5 / 0.8) is an unbiased estimate of
+    3-gram Jaccard, thresholds 0.5 / 0.8) is a consistent estimate of
     the population pair-dup rate at LINEAR cost — the "how duplicated
     is this crawl" number a curation run reads before deciding whether
     to pay for the full q92/qb2 dedup pass. Companion to q98 (exact
@@ -3883,8 +3885,9 @@ def qf9(spark, sf_dir):
 
 
 _QG0_COS = (
-    "list_dot_product(cv, ev) / "
-    "(sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(ev, ev)))"
+    "CASE WHEN list_dot_product(cv, cv) = 0 OR list_dot_product(ev, ev) = 0 "
+    "THEN 0.0 ELSE list_dot_product(cv, ev) / "
+    "(sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(ev, ev))) END"
 )
 
 @query(
@@ -3952,7 +3955,10 @@ def qg0(spark, sf_dir):
         ),
         st AS (
             SELECT doc_id, len(tk) AS n, tk,
-                   UNNEST(range(1, len(tk) + 1, 24)) AS s
+                   UNNEST(range(
+                       1,
+                       LEAST(len(tk), GREATEST(len(tk) - 8, 1)) + 1,
+                       24)) AS s
             FROM tk WHERE len(tk) >= 1
         )
         SELECT doc_id,
@@ -3969,8 +3975,12 @@ def qg1(spark, sf_dir):
     the make-training-sequences step between the curation surface and
     qa6's packing: long documents become overlapping context-sized
     pieces, short documents pass through as their own single chunk.
-    Raw-case tokens, single-space re-join, tail window always emitted
-    (operator docstring states the full contract).
+    Raw-case tokens, single-space re-join; a short tail window is
+    emitted, but no window starts once an earlier window already
+    covered the document end (ADVICE r12: the old contract emitted a
+    final chunk fully contained in its predecessor — redundant
+    duplicate training text; the oracle's range() upper bound carries
+    the same n−8 stop).
 
     100 TB shape (operator docstring): map-only — the only relational
     op is a position explode whose generator child is the cheap int

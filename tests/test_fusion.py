@@ -117,3 +117,48 @@ def test_ann_index_audit_conservation(spark, sf_dir):
     assert all(1 <= r["n"] <= 32 for r in parts["pq_codes"])
     assert all(0 <= r["key"] < 16 for r in parts["ivf_list"])
     assert all(r["key"] >= 0 for r in parts["pq_err"])
+
+
+def test_hybrid_rrf_ann_leg_overlaps_brute_fusion(spark, sf_dir):
+    """VERDICT r12 #5: ann_leg=True swaps the embedding leg onto qf0's
+    IVF×PQ index; the fused top-10 must rank-overlap the brute-force
+    fusion — at the default nprobe=8 (half the lists probed) the
+    overlap is bounded by qf0's coarse-probe recall (measured 0.77 mean
+    here vs qf0's 0.89 leg recall: a missing vec-leg doc also perturbs
+    fused ranks near the cutoff), and probing ALL 16 lists with a
+    deeper shortlist recovers near-exact fusion (measured 0.967). Both
+    paths are deterministic, so the gates sit just under the measured
+    values. The lexical leg is byte-identical in both modes — every
+    divergence is the vec leg's."""
+    brute = _fused(spark, sf_dir, k_leg=50, k_out=10).collect()
+    ann8 = _fused(
+        spark, sf_dir, k_leg=50, k_out=10, ann_leg=True
+    ).collect()
+    ann_full = _fused(
+        spark, sf_dir, k_leg=50, k_out=10, ann_leg=True,
+        ann_nprobe=16, ann_rerank=200,
+    ).collect()
+
+    def topmap(rows):
+        m: dict[int, set[int]] = {}
+        for r in rows:
+            m.setdefault(r["q_id"], set()).add(r["doc_id"])
+        return m
+
+    b = topmap(brute)
+
+    def mean_overlap(rows):
+        a = topmap(rows)
+        return sum(len(b[q] & a[q]) / len(b[q]) for q in b) / len(b)
+
+    assert mean_overlap(ann8) >= 0.7
+    assert mean_overlap(ann_full) >= 0.9
+    # ann rows keep the output contract (rank bounds, lex leg intact)
+    assert all(1 <= r["rank"] <= 10 for r in ann8)
+    lex_only = {(r["q_id"], r["doc_id"]): r["lex_rank"] for r in brute
+                if r["vec_rank"] is None and r["lex_rank"] is not None}
+    ann_lex = {(r["q_id"], r["doc_id"]): r["lex_rank"] for r in ann8
+               if r["lex_rank"] is not None}
+    for key, lr in lex_only.items():
+        if key in ann_lex:
+            assert ann_lex[key] == lr

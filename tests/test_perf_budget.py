@@ -526,3 +526,52 @@ def test_bench_compare_normalizes_id_prefix_records(tmp_path, capsys):
         _sys.argv = old
     out = capsys.readouterr().out
     assert "common-2 total" in out
+
+
+def test_bench_contamination_window_logic():
+    """_window_contaminated requires BOTH the absolute floor and the
+    capacity fraction (VERDICT r12 #2): a 0.5 CPU-s wobble in a short
+    window never retries, a 377-CPU-s burst in a 60 s window (r12's
+    q98) always does; the foreign-CPU sum treats missing counters as
+    zero and never lets a negative steal delta cancel ext."""
+    import bench
+
+    ncpu = os.cpu_count() or 1
+    # r12's q98 shape: 60 s window, 158.7 ext + 218.1 steal
+    q98 = {"t0": 0.0, "t1": 60.0, "ext_cpu_s": 158.7, "steal_s": 218.1}
+    assert bench._window_foreign_cpu_s(q98) == pytest.approx(376.8)
+    assert bench._window_contaminated(q98)
+    # sub-threshold absolute: scheduler noise in a 2 s window
+    small = {"t0": 0.0, "t1": 2.0, "ext_cpu_s": 0.5, "steal_s": 0.0}
+    assert not bench._window_contaminated(small)
+    # over the absolute floor but a trivial fraction of a LONG window's
+    # capacity: 6 CPU-s across 300 s on ncpu cores is noise, not a burst
+    long_w = {"t0": 0.0, "t1": 300.0, "ext_cpu_s": 6.0, "steal_s": 0.0}
+    assert bench._window_contaminated(long_w) == (
+        6.0 > bench.CONTAM_FRAC * 300.0 * ncpu and 6.0 > bench.CONTAM_MIN_CPU_S
+    )
+    # missing counters -> zero foreign, never contaminated
+    assert not bench._window_contaminated({"t0": 0.0, "t1": 10.0})
+
+
+def test_bench_compact_line_carries_retry_count():
+    """When the run retried contaminated windows, the compact stdout
+    line says so (env.retried) — the driver's 2000-char artifact must
+    show that a timing is a retried median without opening the detail
+    file."""
+    import bench
+
+    full = {
+        "metric": "headline_total", "value": 1.0, "unit": "sec",
+        "queries": {"q01_scan_count": 1.0}, "sf": 0.1,
+        "env": {
+            "idle_gate": {"1min": {"ok": True}, "5min": {"ok": True}},
+            "external_load": {"clean_end": True},
+            "contaminated_retries": 2,
+        },
+    }
+    parsed = json.loads(bench._compact_line(full))
+    assert parsed["env"]["retried"] == 2
+    full["env"].pop("contaminated_retries")
+    parsed = json.loads(bench._compact_line(full))
+    assert "retried" not in parsed["env"]

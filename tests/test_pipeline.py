@@ -119,8 +119,10 @@ def test_clean_corpus_extension_adds_no_corpus_shuffle(spark, sf_dir):
 # --- chunk_documents (qg1) ------------------------------------------------
 
 def test_chunk_documents_window_arithmetic(spark):
-    """10 tokens at max=4/stride=3 → starts 1,4,7,10, lengths 4,4,4,1,
-    exact overlapping contents; stride==max partitions with no overlap."""
+    """10 tokens at max=4/stride=3 → starts 1,4,7 only: the window at
+    s=7 covers tokens 7–10, so the contained s=10 start is suppressed
+    (ADVICE r12); 11 tokens gets the genuine short tail. stride==max
+    partitions with no overlap."""
     from rastercube_spark.operators.text import chunk_documents
 
     docs = spark.createDataFrame(
@@ -130,16 +132,34 @@ def test_chunk_documents_window_arithmetic(spark):
         chunk_documents(docs, max_tokens=4, stride=3).collect(),
         key=lambda r: r["chunk_idx"],
     )
-    assert [r["n_tokens"] for r in out] == [4, 4, 4, 1]
+    assert [r["n_tokens"] for r in out] == [4, 4, 4]
     assert out[0]["chunk"] == "t1 t2 t3 t4"
     assert out[1]["chunk"] == "t4 t5 t6 t7"   # 1-token overlap
-    assert out[3]["chunk"] == "t10"           # tail window
+    assert out[2]["chunk"] == "t7 t8 t9 t10"  # covers the end: no s=10
+    docs11 = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(1, 12)))],
+        "doc_id long, text string",
+    )
+    out11 = sorted(
+        chunk_documents(docs11, max_tokens=4, stride=3).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [r["n_tokens"] for r in out11] == [4, 4, 4, 2]
+    assert out11[3]["chunk"] == "t10 t11"     # genuine (uncovered) tail
     flat = sorted(
         chunk_documents(docs, max_tokens=5, stride=5).collect(),
         key=lambda r: r["chunk_idx"],
     )
     assert [r["n_tokens"] for r in flat] == [5, 5]
     assert " ".join(r["chunk"] for r in flat) == "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    gap = sorted(
+        chunk_documents(docs, max_tokens=2, stride=5).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # gap chunking (stride > max) keeps starting while tokens remain
+    assert [(r["n_tokens"], r["chunk"]) for r in gap] == [
+        (2, "t1 t2"), (2, "t6 t7")
+    ]
 
 
 def test_chunk_documents_edges(spark):

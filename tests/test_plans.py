@@ -505,6 +505,44 @@ def test_ivfpq_knn_probe_broadcast_no_corpus_shuffle(spark, sf_dir):
     assert plan.count("WindowGroupLimit") >= 2
 
 
+def test_ivfpq_persisted_probe_dpp_no_corpus_exchange(spark, sf_dir, tmp_path):
+    """VERDICT r12 #3, the persisted half of qf0's 100 TB contract: a
+    probe over a build-ann-index output (codes parquet PARTITIONED BY
+    cid) plans (a) NO shuffle of the encoded corpus — the probe list
+    broadcasts (BroadcastHashJoin, no SortMergeJoin), the only hash
+    exchange is the bounded candidate window — and (b) DYNAMIC
+    PARTITION PRUNING on cid: the codes scan carries a dynamicpruning
+    subquery fed by the broadcast probe side, so only the nprobe/
+    n_coarse probed list partitions are ever READ."""
+    from pyspark.sql import functions as F
+
+    from rastercube_spark.operators.similarity import (
+        ivfpq_probe,
+        load_ann_index,
+        save_ann_index,
+    )
+    from rastercube_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    idx = str(tmp_path / "ann_index")
+    save_ann_index(e, idx, dim=64)
+    enc, meta = load_ann_index(spark, idx)
+    out = ivfpq_probe(
+        qs, enc, e, meta["coarse_cents"],
+        (meta["pq_sums"], meta["pq_cnts"]), dim=meta["dim"],
+        k=10, nprobe=8, rerank=100,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "dynamicpruning" in plan.lower()
+
+
 def test_embedding_dim_stats_no_corpus_explode(spark, sf_dir):
     """qf1: the corpus is never inflated dim-fold — the only Generate
     is the posexplode of the ONE aggregated row; both moment sums run

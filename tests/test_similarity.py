@@ -507,6 +507,46 @@ def test_ivfpq_knn_refined_recall_and_exact_scores(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
+def test_ivfpq_persisted_index_bit_identical(spark, sf_dir, tmp_path):
+    """VERDICT r12 #3: the persisted path — save_ann_index (train once,
+    encode once, write codes partitioned by cid + quantizers JSON) →
+    load_ann_index → ivfpq_probe — returns BIT-identical rows to the
+    inline ivfpq_knn on the same corpus and queries. Training is
+    deterministic and the probe is the same code, so any divergence is
+    a serialization bug (quantizer round-trip, parquet code types, cid
+    partition-column typing)."""
+    from rastercube_spark.operators.similarity import (
+        ivfpq_knn,
+        ivfpq_probe,
+        load_ann_index,
+        save_ann_index,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    inline = ivfpq_knn(qs, e, dim=64, k=10, nprobe=8, rerank=100).collect()
+
+    idx = str(tmp_path / "ann_index")
+    meta = save_ann_index(e, idx, dim=64)
+    assert meta["n_coarse"] == 16 and len(meta["coarse_cents"]) == 16
+    enc, meta2 = load_ann_index(spark, idx)
+    persisted = ivfpq_probe(
+        qs, enc, e, meta2["coarse_cents"],
+        (meta2["pq_sums"], meta2["pq_cnts"]), dim=meta2["dim"],
+        k=10, nprobe=8, rerank=100,
+    ).collect()
+
+    def keyed(rows):
+        return sorted(
+            (r["q_id"], r["rank"], r["vec_id"], r["score"]) for r in rows
+        )
+
+    assert keyed(persisted) == keyed(inline)
+    assert len(persisted) > 0
+
+
 def test_embedding_dim_stats_flags_planted_dead_dim(spark):
     """qf1's operator contract: a planted constant dimension must flag
     low_variance (and only it); mean_q is exact for a constructed
@@ -586,6 +626,70 @@ def test_semantic_decontaminate_planted_leak(spark):
     assert out[101]["max_sim"] == 0.0
     assert out[101]["contaminated"] is False
     assert out[101]["n_eval_hits"] == 0
+
+
+def test_semantic_decontaminate_zero_norm(spark, tmp_path):
+    """Zero-norm embeddings on either side score similarity 0.0 by
+    definition (never NaN/inf), and the engine/oracle agree on a
+    crafted embeddings table containing zero vectors on BOTH sides —
+    the edge the sf fixtures can't exercise (ADVICE r12: bare division
+    made this a latent engine/oracle divergence)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rastercube_spark import registry
+    from rastercube_spark.operators.similarity import semantic_decontaminate
+    from rastercube_spark.testing import compare, duck_connection
+
+    # operator-level: zero corpus vector and zero eval vector → 0.0
+    evals = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [(100, [0.0, 0.0]), (101, [0.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in semantic_decontaminate(
+        corpus, evals, threshold=0.8, k_out=10).collect()}
+    assert out[100]["max_sim"] == 0.0          # zero corpus vs anything
+    assert out[100]["contaminated"] is False
+    assert out[101]["max_sim"] == 0.0          # nonzero vs {orthogonal, zero}
+    assert out[101]["n_eval_hits"] == 0
+
+    # oracle parity on a crafted embeddings table (qg0's vec_id<20 split)
+    base = "/root/testdata/sf0.001"
+    d = tmp_path / "edge_emb"
+    d.mkdir()
+    for f in os.listdir(base):
+        if f != "embeddings.parquet":
+            os.symlink(os.path.join(base, f), str(d / f))
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),     # eval, unit
+        (1, [0.0, 0.0, 0.0], 0),     # eval, ZERO
+        (20, [0.0, 0.0, 0.0], 1),    # corpus, ZERO
+        (21, [2.0, 0.0, 0.0], 1),    # corpus, colinear with eval 0
+        (22, [0.0, 3.0, 0.0], 1),    # corpus, orthogonal
+    ]
+    tbl = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+        "label": pa.array([r[2] for r in rows], pa.int32()),
+    })
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    duck = duck_connection(str(d))
+    try:
+        df = registry.queries()["qg0_semantic_decontaminate"](spark, str(d))
+        report = compare(
+            df, duck, registry.oracle_sql()["qg0_semantic_decontaminate"]
+        )
+        assert report["ok"], report
+        got = {r["vec_id"]: r["max_sim"] for r in df.collect()}
+        assert got[20] == 0.0 and got[21] == 1.0 and got[22] == 0.0
+    finally:
+        duck.close()
 
 
 def test_semantic_decontaminate_gates(spark):

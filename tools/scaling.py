@@ -652,7 +652,7 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
         # map-only Arrow pass; expected ~linear scan-bound (the |eval|
         # factor is constant by contract). Loop-inclusive: the eval
         # collect runs at construction.
-        "qg0_semantic_decontam": (
+        "qg0_semantic_decontaminate": (
             lambda: semantic_decontaminate(
                 emb.where(F.col("vec_id") >= 20),
                 emb.where(F.col("vec_id") < 20),
@@ -937,7 +937,7 @@ def main() -> int:
                      "qf3_length_histogram", "qf4_hybrid_rrf",
                      "qf5_boilerplate_ngrams", "qf6_ann_index_audit",
                      "qf7_repeated_spans", "qf8_token_budget",
-                     "qf9_dup_rate_estimate", "qg0_semantic_decontam",
+                     "qf9_dup_rate_estimate", "qg0_semantic_decontaminate",
                      "qg1_chunk_documents")
     ] + [
         (name, EXT_SIZE) for name in EXT64_OPS
