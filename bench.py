@@ -214,6 +214,13 @@ HEADLINE = [
     "qg0_semantic_decontaminate",
     # fixed-window document chunking (map-only position explode)
     "qg1_chunk_documents",
+    # round 13 additions: corpus-learned char-trigram language ID
+    # (train/score double pass + broadcast profile), per-source template
+    # prefixes (map-only + TakeOrdered), and the near-dup source-pair
+    # matrix (q92/q93 machinery + keyed source attribution)
+    "qg2_char_langid",
+    "qg3_template_prefixes",
+    "qg4_source_dup_matrix",
 ]
 
 # Driver-iterative queries: the query function itself executes work

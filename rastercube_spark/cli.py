@@ -569,6 +569,63 @@ def cmd_repeated_spans(args) -> int:
     return 0
 
 
+def cmd_langid_confusion(args) -> int:
+    """Corpus-learned character-trigram language-ID audit (qg2's
+    operator): learn per-language trigram profiles from the corpus's own
+    lang labels, predict every document, print the (label, prediction,
+    n_docs) confusion matrix as JSON lines — the mislabel/mixed-language
+    report a mixture designer reads before trusting the lang column."""
+    import json as _json
+
+    from rastercube_spark.operators.text import char_langid
+    from rastercube_spark.sources.tables import load
+
+    spark = _spark()
+    docs = load(spark, args.sf_dir, "documents")
+    out = char_langid(docs, profile_size=args.profile_size)
+    for r in out.collect():
+        print(_json.dumps(r.asDict(), sort_keys=True))
+    return 0
+
+
+def cmd_template_prefixes(args) -> int:
+    """Per-source repeated document prefixes (qg3's operator): crawler/
+    template scaffold detection at the document opening. Prints JSON
+    lines, most-repeated first."""
+    import json as _json
+
+    from rastercube_spark.operators.text import template_prefixes
+    from rastercube_spark.sources.tables import load
+
+    spark = _spark()
+    docs = load(spark, args.sf_dir, "documents")
+    out = template_prefixes(
+        docs, k_tokens=args.k_tokens, min_docs=args.min_docs,
+        k_out=args.top,
+    )
+    for r in out.collect():
+        print(_json.dumps(r.asDict(), sort_keys=True))
+    return 0
+
+
+def cmd_dup_matrix(args) -> int:
+    """Near-duplicate document-pair matrix by source pair (qg4's
+    operator): LSH candidates verified at exact Jaccard >= threshold,
+    attributed to (source, source) cells — mirror detection. Prints
+    JSON lines, largest cells first."""
+    import json as _json
+
+    from rastercube_spark.operators.dedup import source_dup_matrix
+    from rastercube_spark.sources.tables import load
+
+    spark = _spark()
+    docs = load(spark, args.sf_dir, "documents")
+    out = source_dup_matrix(docs, threshold=args.threshold)
+    for r in out.collect():
+        print(_json.dumps(r.asDict(), sort_keys=True))
+    return 0
+
+
 def cmd_budget_select(args) -> int:
     """Per-source token-budget selection (qf8's operator): fill each
     source's token budget with its highest-quality documents
@@ -899,6 +956,27 @@ def build_parser() -> argparse.ArgumentParser:
                     help="corpus occurrences for a gram to count as repeated")
     rs.add_argument("--top", type=int, default=100)
     rs.set_defaults(fn=cmd_repeated_spans)
+
+    lc = sub.add_parser("langid-confusion")
+    lc.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    lc.add_argument("--profile-size", type=int, default=50,
+                    help="trigrams per language profile")
+    lc.set_defaults(fn=cmd_langid_confusion)
+
+    tp = sub.add_parser("template-prefixes")
+    tp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    tp.add_argument("--k-tokens", type=int, default=8,
+                    help="prefix width (tokens)")
+    tp.add_argument("--min-docs", type=int, default=2,
+                    help="docs sharing a prefix for it to count")
+    tp.add_argument("--top", type=int, default=50)
+    tp.set_defaults(fn=cmd_template_prefixes)
+
+    dm = sub.add_parser("dup-matrix")
+    dm.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    dm.add_argument("--threshold", type=float, default=0.5,
+                    help="exact-Jaccard verify threshold")
+    dm.set_defaults(fn=cmd_dup_matrix)
 
     bs = sub.add_parser("budget-select")
     bs.add_argument("--sf-dir", default="/root/testdata/sf0.01")

@@ -896,3 +896,53 @@ def sampled_pair_dup_rate(
         )
         .orderBy("threshold")
     )
+
+
+def source_dup_matrix(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Near-duplicate DOCUMENT-pair matrix by source pair — the
+    mirror-detection report at whole-document granularity: which sources
+    duplicate each other (off-diagonal: mirrored scrapes double-count in
+    qb3/qb8 mixture weights) and which duplicate internally (diagonal:
+    re-crawls). Complements qe3/cross_source_overlap, which counts
+    shared PASSAGES — a boilerplate-family signal; this counts verified
+    near-duplicate documents (q92's minhash-LSH candidates, q93's exact
+    3-gram Jaccard verify at ``threshold``), the unit a dedup pass
+    actually drops. Returns (src_a, src_b, n_pairs), src_a <= src_b
+    lexicographically, ordered by (n_pairs DESC, src_a, src_b).
+
+    100 TB shape: everything is the q92/q93 machinery — banded
+    signature equi-joins produce candidates ≪ all pairs, the Jaccard
+    verify touches only candidate docs' shingles (pair_jaccard's
+    candidate path), and the source attribution is two doc_id-keyed
+    equi-joins of the SMALL verified-pair relation against the two-
+    column (doc_id, source) projection. Nothing is all-pairs; the
+    final matrix is ≤ n_sources² rows.
+    """
+    sh_sig = shingles_df(docs, id_col, text_col, k=3, distinct=False)
+    cand = lsh_candidate_pairs(minhash_signatures(sh_sig))
+    sh = shingles_df(docs, id_col, text_col, k=3, distinct=True)
+    dup = pair_jaccard(sh, cand).where(F.col("jaccard") >= threshold)
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(source_col).alias("src")
+    )
+    attributed = (
+        dup.join(src.withColumnsRenamed({"doc_id": "doc_a", "src": "sa"}),
+                 "doc_a")
+        .join(src.withColumnsRenamed({"doc_id": "doc_b", "src": "sb"}),
+              "doc_b")
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+    )
+    return (
+        attributed.groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), "src_a", "src_b")
+    )

@@ -498,3 +498,191 @@ def chunk_documents(
             ).alias("chunk"),
         )
     )
+
+
+def char_langid(
+    docs,
+    profile_size: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+):
+    """Corpus-learned character-trigram language ID with a confusion
+    matrix against the recorded labels — the standard langid.py/
+    fastText-style character-profile approach, self-supervised from the
+    corpus's own ``lang`` column: learn each language's top
+    ``profile_size`` trigrams, score every document by how many of its
+    trigram OCCURRENCES fall in each language's profile, predict the
+    argmax. Returns (lang, pred, n_docs) — the confusion matrix, ordered
+    — so a curation run reads mislabel rates per language pair at a
+    glance. Documents with no trigrams (NULL/too-short text) predict
+    'und'. Complements lang_guess (q90's five-stopword marker ID):
+    trigram profiles see morphology, not just function words, and need
+    no hand-picked marker list.
+
+    Determinism: trigram counts are exact bigints; the profile cut
+    breaks ties (count DESC, gram ASC); the prediction argmax breaks
+    ties (hits DESC, language code ASC) — no floats anywhere.
+
+    100 TB shape: ONE explode of character trigrams feeds a
+    (doc_id, gram) map-side-combinable count; the per-language profile
+    is a tiny (n_langs × profile_size) relation built from a
+    gram-keyed aggregate of that SAME relation and broadcast back; the
+    scoring join is broadcast-hash on gram; every later key is doc_id
+    or the n_langs² confusion cell. The corpus never shuffles on
+    anything wider than (doc_id, gram).
+    """
+    from pyspark.sql import Window
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.lower(F.col(text_col)).alias("__s"),
+    )
+    n = F.length("__s")
+    # per-(doc, gram) occurrence counts from ONE explode; the guard keeps
+    # sequence() from going descending on texts shorter than 3 chars
+    dc = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.when(
+                    n >= 3,
+                    F.transform(
+                        F.sequence(F.lit(1), n - 2),
+                        lambda i: F.col("__s").substr(i, F.lit(3)),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
+        .groupBy("doc_id", "lang", "gram")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    # per-language profile: top profile_size grams by (count DESC, gram
+    # ASC) — a tiny relation aggregated from dc and broadcast back
+    w_prof = Window.partitionBy("plang").orderBy(
+        F.col("pc").desc(), F.col("gram")
+    )
+    prof = (
+        dc.groupBy(F.col("lang").alias("plang"), "gram")
+        .agg(F.sum("c").alias("pc"))
+        .withColumn("prn", F.row_number().over(w_prof))
+        .where(F.col("prn") <= profile_size)
+        .select("plang", "gram")
+    )
+    # score: hits per (doc, candidate language) = Σ occurrence counts of
+    # the doc's grams that sit in that language's profile; the label
+    # rides along (functionally dependent on doc_id) so the confusion
+    # cell needs no join back to the corpus
+    hits = (
+        dc.join(F.broadcast(prof), "gram")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.sum("c").alias("h"))
+    )
+    w_pred = Window.partitionBy("doc_id").orderBy(
+        F.col("h").desc(), F.col("plang")
+    )
+    # Confusion cells including the 'und' default (no trigrams, or no
+    # profile hit) in ONE aggregation over a weighted union: every doc
+    # contributes an ('und', +1) marker from a column-pruned lang scan;
+    # every PREDICTED doc contributes (pred, +1) and ('und', −1) from a
+    # single 2-row explode of the window output — so und(lang) =
+    # n_lang − n_predicted(lang) without ever joining the corpus to its
+    # own predictions (the naive left-join formulation plans a
+    # sort-merge of two corpus-sized relations) and without consuming
+    # any expensive relation twice (each extra consumer of the window
+    # output would replay the trigram explode end-to-end).
+    pred_w = (
+        hits.withColumn("rn", F.row_number().over(w_pred))
+        .where(F.col("rn") == 1)
+        .select(
+            "lang",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("plang").alias("pred"), F.lit(1).alias("w")
+                    ),
+                    F.struct(
+                        F.lit("und").alias("pred"), F.lit(-1).alias("w")
+                    ),
+                )
+            ).alias("pw"),
+        )
+        .select("lang", F.col("pw.pred").alias("pred"), F.col("pw.w").alias("w"))
+    )
+    marker = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.lit("und").alias("pred"),
+        F.lit(1).alias("w"),
+    )
+    return (
+        pred_w.unionByName(marker)
+        .groupBy("lang", "pred")
+        .agg(F.sum("w").cast("bigint").alias("n_docs"))
+        .where(F.col("n_docs") > 0)
+        .orderBy("lang", "pred")
+    )
+
+
+def template_prefixes(
+    docs,
+    k_tokens: int = 8,
+    min_docs: int = 2,
+    k_out: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+):
+    """Per-source repeated document PREFIXES — crawler/template header
+    detection: documents from the same source that open with the same
+    first ``k_tokens`` tokens almost always share an injected scaffold
+    (navigation header, license banner, boilerplate preamble) that
+    should be stripped before training. Complements qf5
+    (boilerplate_ngrams: corpus-wide repeated interior n-grams) — this
+    keys on the DOCUMENT OPENING and attributes it to a source. Returns
+    (source, prefix, n_docs, frac) for prefixes shared by at least
+    ``min_docs`` documents of their source, top ``k_out`` by
+    (n_docs DESC, source, prefix), frac = share of the source's docs.
+
+    Determinism: counts are exact bigints; frac is one 6-dp IEEE
+    division; ordering is fully tie-broken.
+
+    100 TB shape: MAP-ONLY prefix extraction (array_join of a slice —
+    no explode at all), ONE groupBy keyed (source, prefix) with
+    map-side combine, per-source totals as a second tiny keyed agg
+    joined back on source, TakeOrdered for the top-k. The corpus never
+    shuffles on anything but (source, prefix).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__tk"),
+    )
+    pre = toks.select(
+        "source",
+        F.when(
+            F.col("__tk").isNotNull() & (F.size("__tk") >= 1),
+            F.array_join(F.slice("__tk", 1, k_tokens), " "),
+        ).alias("prefix"),
+    ).where(F.col("prefix").isNotNull())
+    per_prefix = pre.groupBy("source", "prefix").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    per_source = pre.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_src")
+    )
+    return (
+        per_prefix.where(F.col("n_docs") >= min_docs)
+        .join(per_source, "source")
+        .select(
+            "source",
+            "prefix",
+            "n_docs",
+            F.round(
+                F.col("n_docs") / F.col("n_src").cast("double"), 6
+            ).alias("frac"),
+        )
+        .orderBy(F.col("n_docs").desc(), "source", "prefix")
+        .limit(k_out)
+    )

@@ -3994,3 +3994,174 @@ def qg1(spark, sf_dir):
     return chunk_documents(
         _docs(spark, sf_dir), max_tokens=32, stride=24
     ).orderBy("doc_id", "chunk_idx")
+
+
+@query(
+    "qg2_char_langid",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, lang, lower(text) AS s FROM documents
+        ),
+        g AS (
+            SELECT doc_id, lang, substr(s, CAST(i AS INT), 3) AS gram
+            FROM d, UNNEST(range(1, GREATEST(length(s) - 2, 0) + 1)) u(i)
+            WHERE s IS NOT NULL
+        ),
+        dc AS (
+            SELECT doc_id, lang, gram, CAST(count(*) AS BIGINT) AS c
+            FROM g GROUP BY doc_id, lang, gram
+        ),
+        prof AS (
+            SELECT plang, gram FROM (
+                SELECT lang AS plang, gram, SUM(c) AS pc,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY SUM(c) DESC, gram) AS prn
+                FROM dc GROUP BY lang, gram
+            ) WHERE prn <= 50
+        ),
+        hits AS (
+            SELECT dc.doc_id, prof.plang, SUM(dc.c) AS h
+            FROM dc JOIN prof ON dc.gram = prof.gram
+            GROUP BY dc.doc_id, prof.plang
+        ),
+        pred AS (
+            SELECT doc_id, plang AS pred FROM (
+                SELECT doc_id, plang,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY h DESC, plang) AS rn
+                FROM hits
+            ) WHERE rn = 1
+        )
+        SELECT d0.lang, COALESCE(p.pred, 'und') AS pred,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents d0 LEFT JOIN pred p ON d0.doc_id = p.doc_id
+        GROUP BY d0.lang, pred
+        ORDER BY lang, pred
+    """,
+)
+def qg2(spark, sf_dir):
+    """Corpus-learned character-trigram language ID (operators/text.py
+    char_langid): learn each language's top-50 trigram profile from the
+    corpus's own lang labels, predict every document by profile-hit
+    argmax, and report the confusion matrix against the labels — the
+    langid.py/fastText-style character-profile check next to q90's
+    five-stopword marker heuristic; trigram profiles see morphology,
+    not just function words, and flag mislabeled or mixed-language
+    slices per (label, prediction) cell.
+
+    100 TB shape (operator docstring): ONE character-trigram explode
+    into a map-side-combinable (doc_id, gram) count; the per-language
+    profile is a tiny aggregate of that SAME relation broadcast back;
+    scoring is a broadcast-hash join on gram; every later key is
+    doc_id or one of n_langs² confusion cells. All counts exact
+    bigints, all ties broken (count DESC/gram ASC; hits DESC/lang
+    ASC) — no floats anywhere. No reference analog — LLM-pipeline
+    surface (builder brief)."""
+    from rastercube_spark.operators.text import char_langid
+
+    return char_langid(_docs(spark, sf_dir), profile_size=50)
+
+
+@query(
+    "qg3_template_prefixes",
+    oracle="""
+        WITH pre AS (
+            SELECT source,
+                   array_to_string(list_slice(regexp_split_to_array(
+                       trim(lower(text)), '\\s+'), 1, 8), ' ') AS prefix
+            FROM documents WHERE text IS NOT NULL
+        ),
+        pp AS (
+            SELECT source, prefix, CAST(count(*) AS BIGINT) AS n_docs
+            FROM pre GROUP BY source, prefix
+        ),
+        ps AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_src
+            FROM pre GROUP BY source
+        )
+        SELECT pp.source, pp.prefix, pp.n_docs,
+               ROUND(CAST(pp.n_docs AS DOUBLE)
+                     / CAST(ps.n_src AS DOUBLE), 6) AS frac
+        FROM pp JOIN ps ON pp.source = ps.source
+        WHERE pp.n_docs >= 2
+        ORDER BY pp.n_docs DESC, pp.source, pp.prefix
+        LIMIT 50
+    """,
+)
+def qg3(spark, sf_dir):
+    """Per-source repeated document prefixes (operators/text.py
+    template_prefixes): documents from one source opening with the same
+    first 8 tokens — crawler/template scaffold detection (navigation
+    headers, license banners) at the DOCUMENT OPENING, attributed to a
+    source, next to qf5's corpus-wide interior boilerplate n-grams.
+    Top-50 by (n_docs DESC, source, prefix) with the share of the
+    source's documents.
+
+    On this fixture the verdict is NEARLY CLEAN — one repeated prefix
+    at sf0.01 (a planted near-dup pair sharing its opening) — the
+    audit's negative answer, like qg0's; the planted-scaffold unit
+    test (tests/test_pipeline.py) and the edge harness carry the
+    positive case.
+
+    100 TB shape (operator docstring): map-only prefix extraction (a
+    slice + array_join — NO explode), one (source, prefix)-keyed
+    map-side-combinable groupBy, a per-source total joined back on the
+    tiny source key, TakeOrdered top-k. No reference analog —
+    LLM-pipeline surface (builder brief)."""
+    from rastercube_spark.operators.text import template_prefixes
+
+    return template_prefixes(
+        _docs(spark, sf_dir), k_tokens=8, min_docs=2, k_out=50
+    )
+
+
+@query(
+    "qg4_source_dup_matrix",
+    oracle=f"""
+        WITH {_shingles_cte(3)}, {_LSH_CTES},
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+            FROM cand p
+            JOIN sh a ON a.doc_id = p.doc_a
+            JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+            GROUP BY p.doc_a, p.doc_b
+        ),
+        dup AS (
+            SELECT i.doc_a, i.doc_b
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE ROUND(CAST(n_inter AS DOUBLE)
+                        / CAST(sa.n + sb.n - n_inter AS DOUBLE), 6) >= 0.5
+        ),
+        att AS (
+            SELECT LEAST(da.source, db.source) AS src_a,
+                   GREATEST(da.source, db.source) AS src_b
+            FROM dup
+            JOIN documents da ON da.doc_id = dup.doc_a
+            JOIN documents db ON db.doc_id = dup.doc_b
+        )
+        SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM att GROUP BY src_a, src_b
+        ORDER BY n_pairs DESC, src_a, src_b
+    """,
+)
+def qg4(spark, sf_dir):
+    """Near-duplicate document-pair matrix by source pair
+    (operators/dedup.py source_dup_matrix): q92's minhash-LSH
+    candidates verified at exact 3-gram Jaccard ≥ 0.5 (q93's recipe),
+    attributed to (source, source) cells — the mirror-detection report
+    at whole-document granularity, next to qe3's shared-PASSAGE matrix:
+    off-diagonal cells are mirrored scrapes double-counting in mixture
+    weights (qb3/qb8), diagonal cells are intra-source re-crawls.
+
+    100 TB shape (operator docstring): the entire cost is the q92/q93
+    machinery (banded equi-joins → candidates ≪ all pairs; verify
+    touches only candidate shingles); source attribution is two
+    doc_id-keyed joins of the SMALL verified-pair relation; the output
+    is ≤ n_sources² rows. No reference analog — LLM-pipeline surface
+    (builder brief)."""
+    from rastercube_spark.operators.dedup import source_dup_matrix
+
+    return source_dup_matrix(_docs(spark, sf_dir), threshold=0.5)

@@ -40,122 +40,98 @@ _ORACLES: dict[str, str] = {}
 # baseline with tests/make_attest.py IN THE SAME COMMIT that rotates
 # these lists; make_attest refuses to run while the rule is violated.
 #
-# Round 12 changed set — eleven entries, the exact diff of
-# rastercube_spark.attest.all_hashes() vs the r11 baseline:
-# qa2_ivf_knn and qe2_pq_knn changed because quantizer TRAINING now
-# runs driver-side for bounded samples (train_ivf_centroids /
-# train_pq_codebooks driver_train_below — bit-identical results,
-# asserted; skips per-iteration job latency: qe2's loop-inclusive
-# median halved);
-# qf0_ivfpq_knn is NEW (the IVF×PQ composed ANN both qa2's and qe2's
-# docstrings advertised as the 100 TB path — VERDICT r11 "Next round"
-# #3; a NEW query must be attested the round it lands);
-# qf1_embedding_dim_stats, qf2_token_surprisal and qf3_length_histogram
-# are NEW (collapsed-dimension audit, corpus-relative unigram
-# typicality filter, and packing-planning length distribution —
-# LLM-pipeline surface);
-# qf4_hybrid_rrf, qf5_boilerplate_ngrams and qf6_ann_index_audit are
-# NEW (BM25+cosine reciprocal-rank fusion, corpus-frequent-shingle
-# boilerplate share, and the IVF/PQ index-build health audit —
-# LLM-pipeline surface, landed later in r12);
-# qf7_repeated_spans, qf8_token_budget and qf9_dup_rate_estimate are
-# NEW (suffix-array-style exact repeated-substring audit, per-source
-# histogram-threshold token-budget selection, and the sampled-pair
-# corpus duplicate-rate estimator — LLM-pipeline surface, landed
-# latest in r12; the closure-hash diff vs the committed baseline was
-# verified to be exactly these three before rotation);
-# qg0_semantic_decontaminate is NEW (embedding-space eval-set
-# decontamination — the map-only third decontamination topology next
-# to qb1/qd4; r12 session 3; qf5's closure also changed this session:
-# the InferFiltersFromGenerate plan fix, values unchanged, oracle
-# green);
-# qg1_chunk_documents is NEW (fixed-window document chunking — the
-# make-training-sequences step before qa6's packing; map-only;
-# r12 session 3);
-# qe5_bm25_topk's closure changed because bm25_topk now dedups the
-# terms tuple (ADVICE r11 — a repeated term used to score twice) and
-# grew an off-by-default log_idf mode + the summed-score rank caveat
-# (VERDICT r11 #5; the registered query passes distinct terms and the
-# default linear form, so emitted values are unchanged);
-# qe4_embedding_outliers' closure changed because
-# label_centroid_outliers now ENFORCES its dim parameter via
-# assert_true instead of silently ignoring it (ADVICE r11; all fixture
-# vectors are dim-64, values unchanged). The bench repeat-median work
-# and the GeoTIFF export type hints touch no closure (verified: the
-# hash diff is exactly these three).
+# Round 13 changed set — eight entries, the exact diff of
+# rastercube_spark.attest.all_hashes() vs the r12 baseline:
+# qg1_chunk_documents changed because chunk_documents no longer emits
+# a trailing window fully contained in its predecessor (ADVICE r12 —
+# start positions now stop at n − max_tokens + stride; emitted VALUES
+# change, oracle + golden updated in the same commit);
+# qg0_semantic_decontaminate changed because semantic_decontaminate
+# now gates the eval collect with limit(max+1) BEFORE paying the
+# driver memory and defines zero-norm similarity as 0.0 in operator
+# and oracle (ADVICE r12; fixture values unchanged, new
+# crafted-embeddings parity test);
+# qf9_dup_rate_estimate changed because sampled_pair_dup_rate reports
+# an explicit 0.0 dup_rate for an empty pair sample and its oracle
+# carries the same CASE (ADVICE r12; fixture values unchanged);
+# qf0_ivfpq_knn changed because ivfpq_knn was split into
+# ivfpq_encode + ivfpq_probe so the persisted-index path
+# (build-ann-index CLI verb) shares its exact code (VERDICT r12 #3;
+# bit-identity asserted against the committed golden);
+# qf4_hybrid_rrf changed because hybrid_rrf grew the off-by-default
+# ann_leg mode that swaps its embedding leg onto qf0's index (VERDICT
+# r12 #5; the registered query keeps the brute leg, values unchanged);
+# qg2_char_langid, qg3_template_prefixes and qg4_source_dup_matrix are
+# NEW (corpus-learned char-trigram language-ID confusion matrix,
+# per-source template-prefix detection, and the near-dup source-pair
+# mirror matrix — LLM-pipeline surface; a NEW query must be attested
+# the round it lands).
 ATTEST_CHANGED: tuple[str, ...] = (
     "qf0_ivfpq_knn",
-    "qf1_embedding_dim_stats",
-    "qf2_token_surprisal",
-    "qf3_length_histogram",
     "qf4_hybrid_rrf",
-    "qf5_boilerplate_ngrams",
-    "qf6_ann_index_audit",
-    "qf7_repeated_spans",
-    "qf8_token_budget",
     "qf9_dup_rate_estimate",
     "qg0_semantic_decontaminate",
     "qg1_chunk_documents",
-    "qe4_embedding_outliers",
-    "qe5_bm25_topk",
-    "qa2_ivf_knn",
-    "qe2_pq_knn",
+    "qg2_char_langid",
+    "qg3_template_prefixes",
+    "qg4_source_dup_matrix",
 )
 
-# The 34 remaining window slots go oldest-first per tools/
+# The 42 remaining window slots go oldest-first per tools/
 # rotate_window.py's ground-truth reading of the CORRECTNESS_r*
-# artifacts: FIRST the thirteen r9-stale queries at the window's
-# stated 2-round maximum (qb5-qb9, qd3, qr02, qr06-qr08, q96, qa9,
-# qb0 — queued "first for r12" last round and honored here, VERDICT
-# r11 "Next round" #1), then the r10 cohort in the planner's
-# (alphabetical) order through q91. The r10 tail (q92-qa8 minus the
-# changed qa2, qb1, qb2, qc0, qd1, qd2, qd5, qd8, qd9 and the r11
-# cohort) doesn't fit and stays frozen at ≤2 rounds old (attested r10,
-# judged at r12 = at the 2-round ceiling), first in line for r13 —
-# capacity check: 50 slots/round × a 3-round re-attest cycle (attest
-# at r, at-ceiling at r+2, re-attest by r+3's window) = 150 ≥ the 119
-# registered queries, so the steady state keeps every query within
-# the ceiling (at 122 queries still ≤ 150). q92/q93/q94 moved from
-# this round's stale list to the r13 head to make room for the three
-# new qf4-qf6 attestations; q83/q90/q91 likewise for qf7-qf9 (both
-# trios attested r10, judged at r12 = exactly the ceiling, and lead
-# r13 with the rest of the r10 tail); q82 likewise for qg0 and q80
-# for qg1 (at 124 queries still ≤ the 150-slot 3-round capacity).
+# artifacts: FIRST the twenty-seven r10-attested queries at the
+# window's 2-round staleness ceiling (judged at r12 — the cohort the
+# r12 verdict queued for r13, VERDICT r12 "Next round" #1: q80, q82,
+# q83, q90–q95, q97–q99, qa0, qa1, qa3–qa8, qb1, qb2, qc0, qd1, qd2,
+# qd5, qd9), then the r11 cohort in the planner's order (q01 … q50)
+# for the remaining 15 slots. The r11 tail (q51 onward) stays frozen
+# at ≤2 rounds old (attested r11, judged at r13 = at the ceiling) and
+# leads r14 — capacity check: 50 slots/round × a 3-round re-attest
+# cycle = 150 ≥ the 127 registered queries, so steady state keeps
+# every query within the ceiling.
 ATTEST_STALE: tuple[str, ...] = (
-    "q96_knn_bruteforce",
-    "qa9_media_knn",
-    "qb0_cosine_pairs_lsh",
-    "qb5_quality_rules",
-    "qb6_quantized_knn",
-    "qb7_group_sample",
-    "qb8_mixture_upsample",
-    "qb9_dataset_report",
-    "qd3_knn_label_consistency",
-    "qr02_polygon_mask",
-    "qr06_cube_window_agg",
-    "qr07_resample_downsample",
-    "qr08_reproject_nearest",
-    "q10_inner_equi",
-    "q11_broadcast_join",
-    "q12_sort_merge_join",
-    "q13_left_outer_null",
-    "q14_left_semi",
-    "q15_left_anti",
-    "q16_theta_join",
-    "q18_copartitioned_zip",
-    "q19_range_join",
-    "q21_count_distinct",
-    "q23_cube",
-    "q24_grouping_sets",
-    "q25_having",
-    "q26_zonal_stats",
-    "q27_argmax_gather",
-    "q28_zonal_percentile",
-    "q29_salted_agg",
-    "q63_qa_bitops",
-    "q65_affine_transform",
-    "q75_stream_static_join",
-    "q76_stream_stream_join",
+    "q80_scalar_pandas_udf",
+    "q82_grouped_agg_udf",
+    "q83_chunk_udtf",
+    "q90_text_metrics",
+    "q91_exact_dedup",
+    "q92_minhash_lsh_pairs",
+    "q93_lsh_jaccard",
+    "q94_ngram_jaccard_topk",
+    "q95_simhash",
+    "q97_lsh_knn",
+    "q98_cosine_pairs_topk",
+    "q99_winnow_fingerprint",
+    "qa0_multimodal_decode",
+    "qa1_tfidf_topterms",
+    "qa3_dup_clusters",
+    "qa4_dedup_keep",
+    "qa5_repetition_filters",
+    "qa6_sequence_packing",
+    "qa7_pii_redaction",
+    "qa8_frame_sample",
+    "qb1_decontaminate",
+    "qb2_semantic_dedup",
+    "qc0_balanced_sample",
+    "qd1_incremental_dedup",
+    "qd2_temperature_mixture",
+    "qd5_token_drift",
+    "qd9_dedup_keep_best",
+    "q01_scan_count",
+    "q02_project_filter",
+    "q03_in_null_predicates",
+    "q17_asof_join",
+    "q20_tpch_q1_agg",
+    "q22_rollup",
+    "q2a_approx_count_distinct",
+    "q2b_approx_quantiles",
+    "q30_ranking",
+    "q31_lag_lead_gapfill",
+    "q32_moving_average",
+    "q33_running_total",
+    "q40_global_topk",
+    "q41_per_group_topk",
+    "q50_union_all",
 )
 
 ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE

