@@ -560,12 +560,18 @@ def char_langid(
         .agg(F.count("*").cast("bigint").alias("c"))
     )
     # per-language profile: top profile_size grams by (count DESC, gram
-    # ASC) — a tiny relation aggregated from dc and broadcast back
+    # ASC) — a tiny relation aggregated from dc and broadcast back.
+    # NULL-labeled documents contribute NO profile (a NULL candidate
+    # language would ride into the argmax tie-break, where Spark sorts
+    # NULLS FIRST and DuckDB NULLS LAST — a latent engine/oracle
+    # divergence); they are still scored against the labeled languages'
+    # profiles and land in their own NULL-label confusion rows.
     w_prof = Window.partitionBy("plang").orderBy(
         F.col("pc").desc(), F.col("gram")
     )
     prof = (
-        dc.groupBy(F.col("lang").alias("plang"), "gram")
+        dc.where(F.col("lang").isNotNull())
+        .groupBy(F.col("lang").alias("plang"), "gram")
         .agg(F.sum("c").alias("pc"))
         .withColumn("prn", F.row_number().over(w_prof))
         .where(F.col("prn") <= profile_size)

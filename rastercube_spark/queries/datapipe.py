@@ -4016,7 +4016,7 @@ def qg1(spark, sf_dir):
                 SELECT lang AS plang, gram, SUM(c) AS pc,
                        row_number() OVER (PARTITION BY lang
                                           ORDER BY SUM(c) DESC, gram) AS prn
-                FROM dc GROUP BY lang, gram
+                FROM dc WHERE lang IS NOT NULL GROUP BY lang, gram
             ) WHERE prn <= 50
         ),
         hits AS (

@@ -204,6 +204,7 @@ def test_char_langid_planted_mislabel(spark):
             (4, zz, "lz"), (5, zz + "zzy ", "lz"),
             (6, zz, "la"),                # MISLABELED: B text, A label
             (7, None, "la"),              # NULL text -> und
+            (8, zz, None),                # NULL label: scored, no profile
         ],
         "doc_id long, text string, lang string",
     )
@@ -214,7 +215,10 @@ def test_char_langid_planted_mislabel(spark):
     assert out[("la", "und")] == 1         # the NULL-text doc
     assert out[("lz", "lz")] == 2
     assert ("lz", "la") not in out
-    assert sum(out.values()) == 7          # every doc in exactly one cell
+    # the NULL-label doc contributes no profile language but is still
+    # predicted against the labeled profiles
+    assert out[(None, "lz")] == 1
+    assert sum(out.values()) == 8          # every doc in exactly one cell
 
 
 # --- template_prefixes (qg3) -----------------------------------------------
