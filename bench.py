@@ -221,6 +221,12 @@ HEADLINE = [
     "qg2_char_langid",
     "qg3_template_prefixes",
     "qg4_source_dup_matrix",
+    # exact per-source score quartiles via the qf8 histogram plan
+    "qg5_source_score_percentiles",
+    # code-vs-prose share (map-only signals) and the duplicate-cluster
+    # size histogram (q91's fingerprint shuffle + tiny histogram)
+    "qg6_code_detect",
+    "qg7_dup_cluster_histogram",
 ]
 
 # Driver-iterative queries: the query function itself executes work

@@ -253,7 +253,10 @@ def cmd_clean_corpus(args) -> int:
 
     spark = _spark()
     docs = load(spark, args.sf_dir, "documents")
-    cleaned, report = clean_corpus(docs, min_quality=args.min_quality)
+    cleaned, report = clean_corpus(
+        docs, min_quality=args.min_quality,
+        chunk_tokens=args.chunk_tokens,
+    )
     cleaned.write.mode("overwrite").parquet(args.out)
     print(_json.dumps(report))
     return 0
@@ -878,6 +881,9 @@ def build_parser() -> argparse.ArgumentParser:
     cl.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     cl.add_argument("--out", required=True)
     cl.add_argument("--min-quality", type=float, default=0.3)
+    cl.add_argument("--chunk-tokens", type=int, default=None,
+                    help="when set, write TRAINING SEQUENCES (qg1 "
+                         "fixed-window chunks) instead of documents")
     cl.set_defaults(fn=cmd_clean_corpus)
 
     ef = sub.add_parser("export-fracs")

@@ -946,3 +946,38 @@ def source_dup_matrix(
         .agg(F.count("*").cast("bigint").alias("n_pairs"))
         .orderBy(F.col("n_pairs").desc(), "src_a", "src_b")
     )
+
+
+def dup_cluster_histogram(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicate-cluster SIZE distribution — how concentrated exact
+    duplication is: q91/exact_dedup says how many copies exist; this
+    says whether they sit in a few giant clusters (one boilerplate page
+    mirrored everywhere — cheap to kill, big token win) or a long tail
+    of pairs (diffuse re-crawls). Returns (cluster_size, n_clusters,
+    n_docs = size·clusters), one row per observed size, ascending —
+    the reading a curation run does before choosing between the exact
+    pass alone and paying for the full near-dup pipeline.
+
+    100 TB shape: exact_dedup's single fingerprint-keyed shuffle (the
+    md5 groupBy — no text comparison, fixed-width key), then a
+    map-side-combinable histogram over the CLUSTER relation (one row
+    per distinct content, already ≪ corpus) keyed on the ~tens of
+    distinct sizes.
+    """
+    clusters = exact_dedup(docs, id_col, text_col)
+    return (
+        clusters.groupBy(F.col("n_copies").alias("cluster_size"))
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

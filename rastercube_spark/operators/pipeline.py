@@ -39,6 +39,8 @@ def clean_corpus(
     eval_docs: DataFrame | None = None,
     decontaminate_k: int = 5,
     splits: list[tuple[str, float]] | None = None,
+    chunk_tokens: int | None = None,
+    chunk_stride: int | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Returns (cleaned docs DataFrame, per-stage report).
 
@@ -50,7 +52,14 @@ def clean_corpus(
     uses: no point shingle-matching text the quality gate already
     killed); when ``splits`` is given, the survivors get a
     leakage-safe deterministic ``split`` column (qd7's operator) and the
-    report carries per-split counts.
+    report carries per-split counts; when ``chunk_tokens`` is given,
+    the output rows are TRAINING SEQUENCES instead of documents — each
+    surviving document chunked into fixed-size overlapping token
+    windows (qg1's operator, stride defaulting to ¾ of the window),
+    carrying doc_id/chunk_idx/n_tokens/chunk plus the split column when
+    both are requested — the make-sequences step that feeds qa6's
+    packing. The report gains ``chunks`` and ``chunk_tokens`` totals
+    (chunking is map-only: it adds ZERO shuffles to the pipeline).
 
     The returned DataFrame is backed by a persisted intermediate (so the
     caller's write doesn't re-run the LSH clustering);
@@ -129,4 +138,33 @@ def clean_corpus(
             r["split"]: r["count"]
             for r in cleaned.groupBy("split").count().collect()
         }
+
+    # 6. make training sequences (optional): chunk every survivor into
+    # fixed-size overlapping token windows (qg1's operator — map-only,
+    # no new shuffle; the contained-tail rule means no emitted chunk is
+    # a subset of its predecessor). Runs LAST so sequences inherit the
+    # document's split — chunking before splitting would let one
+    # document's windows straddle train/test, the leak split_assign
+    # exists to prevent.
+    if chunk_tokens is not None:
+        from rastercube_spark.operators.text import chunk_documents
+
+        stride = chunk_stride or max(1, (chunk_tokens * 3) // 4)
+        chunks = chunk_documents(
+            cleaned, max_tokens=chunk_tokens, stride=stride,
+            id_col=id_col, text_col=text_col,
+        )
+        if splits:
+            # split_assign is a pure column expression of the doc id, so
+            # re-applying it to the chunk rows reproduces each document's
+            # split EXACTLY — no join back to the corpus (a doc_id-keyed
+            # join here would be the stage's only shuffle)
+            chunks = split_assign(chunks, splits, key="doc_id")
+        tot = chunks.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t"),
+        ).first()
+        report["chunks"] = tot["n"]
+        report["chunk_tokens"] = tot["t"]
+        return chunks, report
     return cleaned, report

@@ -330,3 +330,97 @@ def token_budget_select(
         )
         .orderBy("source")
     )
+
+
+def source_score_percentiles(
+    docs: DataFrame,
+    stopwords: tuple[str, ...],
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Exact per-source quality-score percentiles — the distribution
+    summary a mixture designer reads next to qb9's counts before
+    setting qb3/qb8 weights or a qf8 budget: a source whose p75 sits
+    below another's p25 is a quality tier apart, and a collapsed
+    p25==p75 means the score cannot rank that source at all. Returns
+    (source, n_docs, p25, p50, p75), one row per source, ordered.
+
+    Semantics: the score is qf8/token_budget_select's fine-grained
+    stopword density — floor(1e6 · stopword_hits / dl), exact integers,
+    one IEEE division — over the same token convention (lower, split on
+    whitespace runs; documents with no tokens are excluded). The
+    p-quantile is the DISCRETE lower quantile: the k-th smallest score
+    with k = ceil(p·n), computed in INTEGER arithmetic
+    (k = (⌈p·100⌉·n + 99) div 100 exactly for the default quartiles:
+    (n+3) div 4, (n+1) div 2, (3n+3) div 4) so both engines pick the
+    identical element — no interpolation, no float rank.
+
+    Scale path — the qf8 histogram-threshold plan applied to quantiles,
+    NOT a per-source sort (a window ordered over every document of a
+    source is a single-task scan of that source at 100 TB):
+      1. map-only (source, score) histogram — map-side-combinable,
+         |sources|·|classes| rows, corpus-size-independent;
+      2. running count over the TINY histogram (window over score
+         classes);
+      3. each histogram row covers sorted positions
+         (cum − count, cum]; the k-th element lives in the single row
+         whose interval contains k, so ALL percentiles fall out of ONE
+         conditional aggregation over the histogram — the corpus is
+         scanned once and never re-examined.
+
+    No reference analog — LLM-pipeline surface (builder brief).
+    """
+    if tuple(ps) != (0.25, 0.5, 0.75):
+        raise ValueError(
+            "source_score_percentiles computes the fixed quartile set "
+            f"(0.25, 0.5, 0.75); got {ps!r} — extend the integer-exact "
+            "rank arithmetic before widening"
+        )
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    dl = F.size(toks).cast("bigint")
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords))).cast("bigint")
+    base = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            dl.alias("dl"),
+            F.floor(F.lit(1000000.0) * hits / dl).cast("bigint").alias("score"),
+        )
+        .where(F.col("dl") >= 1)
+    )
+    hist = base.groupBy("source", "score").agg(F.count("*").alias("c"))
+    wc = (
+        Window.partitionBy("source")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("source")
+    h = hist.select(
+        "source",
+        "score",
+        "c",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wn).alias("n"),
+    ).withColumn("prev", F.col("cum") - F.col("c"))
+
+    def pick(k: Column) -> Column:
+        # the k-th smallest score lives in the one row with prev < k <= cum
+        kk = F.floor(k).cast("bigint")
+        return F.max(
+            F.when(
+                (F.col("prev") < kk) & (kk <= F.col("cum")), F.col("score")
+            )
+        ).cast("bigint")
+
+    n = F.col("n")
+    return (
+        h.groupBy("source")
+        .agg(
+            F.max("n").cast("bigint").alias("n_docs"),
+            pick((n + 3) / 4).alias("p25"),
+            pick((n + 1) / 2).alias("p50"),
+            pick((n * 3 + 3) / 4).alias("p75"),
+        )
+        .orderBy("source")
+    )

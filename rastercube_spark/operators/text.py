@@ -692,3 +692,75 @@ def template_prefixes(
         .orderBy(F.col("n_docs").desc(), "source", "prefix")
         .limit(k_out)
     )
+
+
+CODE_KEYWORDS: tuple[str, ...] = (
+    "def", "return", "import", "class", "function", "var", "const",
+    "void", "int", "public",
+)
+
+
+def code_detect(
+    docs,
+    sym_min: float = 0.03,
+    indent_min: float = 0.15,
+    kw_min: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+):
+    """Code-vs-prose detection by character-class signals — the
+    "how much of this source is source code" report a mixture designer
+    reads before setting code/prose ratios (and before pointing a
+    prose-quality filter like qb5 at a code-heavy scrape, where it
+    would reject everything): per document a symbol-character ratio
+    ({}()[];=<>#|&*), an indented-line fraction (lines opening with a
+    tab or two spaces) and a code-keyword token count; a document is
+    code when symbols AND indentation clear their floors, or keywords
+    alone do. Returns (source, n_docs, n_code, code_frac) per source,
+    ordered. Documents with NULL text are excluded.
+
+    Determinism: counts are exact integers; the two ratios are single
+    IEEE divisions compared against literal floors; code_frac is one
+    6-dp division. The symbol class, line-split and keyword list are
+    spelled identically in the SQL oracle.
+
+    100 TB shape: every signal is a map-only column expression
+    (regexp_replace length, a line split + filter, a token filter —
+    no explode); the ONLY shuffle is the per-source count aggregate,
+    map-side combinable, |sources| rows out.
+    """
+    t = F.col(text_col)
+    n_chars = F.greatest(F.length(t), F.lit(1)).cast("double")
+    n_sym = F.length(F.regexp_replace(t, r"[^{}()\[\];=<>#|&*]", ""))
+    sym_ratio = n_sym / n_chars
+    lines = F.split(t, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    n_indent = F.size(F.filter(lines, lambda l: l.rlike(r"^(\t|  )")))
+    indent_frac = n_indent / n_lines
+    toks = F.split(F.lower(t), r"\s+")
+    kw = F.size(F.filter(toks, lambda x: x.isin(*CODE_KEYWORDS)))
+    is_code = (
+        (sym_ratio >= F.lit(sym_min)) & (indent_frac >= F.lit(indent_min))
+    ) | (kw >= F.lit(kw_min))
+    return (
+        docs.where(t.isNotNull())
+        .select(
+            F.col(source_col).alias("source"),
+            is_code.cast("int").alias("__c"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("__c").cast("bigint").alias("n_code"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_code",
+            F.round(
+                F.col("n_code") / F.col("n_docs").cast("double"), 6
+            ).alias("code_frac"),
+        )
+        .orderBy("source")
+    )

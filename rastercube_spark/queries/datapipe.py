@@ -4165,3 +4165,134 @@ def qg4(spark, sf_dir):
     from rastercube_spark.operators.dedup import source_dup_matrix
 
     return source_dup_matrix(_docs(spark, sf_dir), threshold=0.5)
+
+
+_QG5_TOKS = "regexp_split_to_array(lower(text), '\\s+')"
+
+@query(
+    "qg5_source_score_percentiles",
+    oracle=f"""
+        WITH sc AS (
+            SELECT doc_id, source,
+                   len({_QG5_TOKS}) AS dl,
+                   CAST(floor(1000000.0 * {_hits_sql('en')}
+                              / len({_QG5_TOKS})) AS BIGINT) AS score
+            FROM documents WHERE text IS NOT NULL
+        ),
+        r AS (
+            SELECT source, score,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY score, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY source) AS n
+            FROM sc WHERE dl >= 1
+        )
+        SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+               MAX(CASE WHEN rn = (n + 3) // 4 THEN score END) AS p25,
+               MAX(CASE WHEN rn = (n + 1) // 2 THEN score END) AS p50,
+               MAX(CASE WHEN rn = (n * 3 + 3) // 4 THEN score END) AS p75
+        FROM r GROUP BY source ORDER BY source
+    """,
+)
+def qg5(spark, sf_dir):
+    """Exact per-source quality-score quartiles (operators/sampling.py
+    source_score_percentiles): the distribution summary a mixture
+    designer reads next to qb9's counts before setting qb3/qb8 weights
+    or a qf8 budget — discrete lower quantiles of qf8's fine-grained
+    stopword-density score, ranks computed in integer arithmetic
+    (k = ceil(p·n) as (n+3)÷4 / (n+1)÷2 / (3n+3)÷4) so both engines
+    pick the identical element.
+
+    The ORACLE spells the naive semantics (per-source row_number over
+    every document); the ENGINE computes the same selection from a
+    (source, score) histogram — each histogram row covers sorted
+    positions (cum−count, cum], so all three quartiles fall out of ONE
+    conditional aggregation over the tiny histogram and the corpus is
+    scanned exactly once, never sorted per source (qf8's
+    histogram-threshold plan applied to quantiles). No reference
+    analog — LLM-pipeline surface (builder brief)."""
+    from rastercube_spark.operators.sampling import source_score_percentiles
+
+    return source_score_percentiles(
+        _docs(spark, sf_dir), stopwords=LANG_MARKERS["en"]
+    )
+
+
+_QG6_KW = ("'def','return','import','class','function','var','const',"
+           "'void','int','public'")
+
+@query(
+    "qg6_code_detect",
+    oracle=f"""
+        WITH s AS (
+            SELECT source,
+                CASE WHEN (
+                    length(regexp_replace(text,
+                        '[^{{}}()\\[\\];=<>#|&*]', '', 'g'))
+                      / CAST(greatest(length(text), 1) AS DOUBLE) >= 0.03
+                    AND len(list_filter(string_split(text, chr(10)),
+                            l -> regexp_matches(l, '^(\\t|  )')))
+                      / CAST(greatest(len(string_split(text, chr(10))), 1)
+                             AS DOUBLE) >= 0.15
+                ) OR len(list_filter(
+                        regexp_split_to_array(lower(text), '\\s+'),
+                        t -> t IN ({_QG6_KW}))) >= 3
+                THEN 1 ELSE 0 END AS c
+            FROM documents WHERE text IS NOT NULL
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(c) AS BIGINT) AS n_code,
+               ROUND(CAST(SUM(c) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS code_frac
+        FROM s GROUP BY source ORDER BY source
+    """,
+)
+def qg6(spark, sf_dir):
+    """Code-vs-prose share per source (operators/text.py code_detect):
+    symbol-character ratio + indented-line fraction + code-keyword
+    count decide whether a document is source code; report
+    (n_docs, n_code, code_frac) per source — read before setting
+    code/prose mixture ratios or pointing a prose-quality filter (qb5)
+    at a code-heavy scrape. On this fixture the verdict is CLEAN
+    (synthetic prose, n_code 0 everywhere) — the audit's negative
+    answer, like qg3's; the planted code-document unit test and the
+    edge harness carry the positive case.
+
+    100 TB shape (operator docstring): every signal is a map-only
+    column expression (no explode anywhere); the only shuffle is the
+    |sources|-row map-side-combinable count. No reference analog —
+    LLM-pipeline surface (builder brief)."""
+    from rastercube_spark.operators.text import code_detect
+
+    return code_detect(_docs(spark, sf_dir))
+
+
+@query(
+    "qg7_dup_cluster_histogram",
+    oracle="""
+        WITH fp AS (
+            SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                       AS f
+            FROM documents
+        ),
+        cl AS (SELECT f, count(*) AS n_copies FROM fp GROUP BY f)
+        SELECT CAST(n_copies AS BIGINT) AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(n_copies * count(*) AS BIGINT) AS n_docs
+        FROM cl GROUP BY n_copies ORDER BY cluster_size
+    """,
+)
+def qg7(spark, sf_dir):
+    """Duplicate-cluster size distribution (operators/dedup.py
+    dup_cluster_histogram): the concentration read on top of q91's
+    exact dedup — a few giant clusters (one mirrored boilerplate page;
+    cheap to kill, big token win) versus a long tail of pairs (diffuse
+    re-crawls; only the near-dup pipeline helps). One row per observed
+    cluster size with the cluster and document counts.
+
+    100 TB shape (operator docstring): q91's single fingerprint-keyed
+    shuffle, then a map-side-combinable histogram over the cluster
+    relation keyed on the ~tens of distinct sizes. No reference analog
+    — LLM-pipeline surface (builder brief)."""
+    from rastercube_spark.operators.dedup import dup_cluster_histogram
+
+    return dup_cluster_histogram(_docs(spark, sf_dir))

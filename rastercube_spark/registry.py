@@ -65,7 +65,17 @@ _ORACLES: dict[str, str] = {}
 # NEW (corpus-learned char-trigram language-ID confusion matrix,
 # per-source template-prefix detection, and the near-dup source-pair
 # mirror matrix — LLM-pipeline surface; a NEW query must be attested
-# the round it lands).
+# the round it lands);
+# qg5_source_score_percentiles is NEW (exact per-source score quartiles
+# via qf8's histogram-threshold plan — LLM-pipeline surface, landed
+# later in r13);
+# qg6_code_detect and qg7_dup_cluster_histogram are NEW (code-vs-prose
+# share per source from map-only character-class signals, and the
+# duplicate-cluster size distribution over q91's fingerprint clusters —
+# LLM-pipeline surface, landed latest in r13). The three late slots
+# displace q40_global_topk / q41_per_group_topk / q50_union_all from
+# the r11 fill; the displaced queries stay r11-attested = at the
+# ceiling, leading r14's window.
 ATTEST_CHANGED: tuple[str, ...] = (
     "qf0_ivfpq_knn",
     "qf4_hybrid_rrf",
@@ -75,6 +85,9 @@ ATTEST_CHANGED: tuple[str, ...] = (
     "qg2_char_langid",
     "qg3_template_prefixes",
     "qg4_source_dup_matrix",
+    "qg5_source_score_percentiles",
+    "qg6_code_detect",
+    "qg7_dup_cluster_histogram",
 )
 
 # The 42 remaining window slots go oldest-first per tools/
@@ -129,9 +142,6 @@ ATTEST_STALE: tuple[str, ...] = (
     "q31_lag_lead_gapfill",
     "q32_moving_average",
     "q33_running_total",
-    "q40_global_topk",
-    "q41_per_group_topk",
-    "q50_union_all",
 )
 
 ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE

@@ -561,3 +561,19 @@ def test_cli_r13_audit_verbs(spark, capsys):
     cells = [json.loads(ln) for ln in
              capsys.readouterr().out.strip().splitlines()]
     assert cells and all(c["src_a"] <= c["src_b"] for c in cells)
+
+
+def test_cli_clean_corpus_chunked(spark, tmp_path, capsys):
+    """clean-corpus --chunk-tokens writes training sequences and the
+    report carries chunk totals consistent with the parquet."""
+    import json
+
+    out = str(tmp_path / "seqs")
+    assert main([
+        "clean-corpus", "--sf-dir", "/root/testdata/sf0.001",
+        "--out", out, "--chunk-tokens", "32",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    got = spark.read.parquet(out)
+    assert rep["chunks"] == got.count() > 0
+    assert {"doc_id", "chunk_idx", "n_tokens", "chunk"} <= set(got.columns)

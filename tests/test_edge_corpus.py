@@ -77,6 +77,9 @@ QUERIES = [
     "qg2_char_langid",
     "qg3_template_prefixes",
     "qg4_source_dup_matrix",
+    "qg5_source_score_percentiles",
+    "qg6_code_detect",
+    "qg7_dup_cluster_histogram",
 ]
 
 

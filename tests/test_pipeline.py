@@ -276,3 +276,96 @@ def test_source_dup_matrix_planted_mirror(spark):
     assert out[("srcA", "srcB")] >= 1      # the mirror
     assert out[("srcA", "srcA")] >= 1      # the re-crawl
     assert ("srcB", "srcB") not in out     # unrelated doc pairs with no one
+
+
+# --- code_detect (qg6) -----------------------------------------------------
+
+def test_code_detect_planted_code(spark):
+    """A planted source file (symbols + indentation + keywords) flags as
+    code; prose does not; NULL text is excluded; each trigger path
+    (symbol∧indent, keyword-only) fires independently."""
+    from rastercube_spark.operators.text import code_detect
+
+    code = (
+        "def main():\n  x = compute(1);\n  return {x: [1, 2]}\n"
+        "  # comment\n  if x > 0:\n    print(x)\n"
+    )
+    kw_only = "the import and return of the class def was a function var"
+    prose = ("it was a bright cold day in april and the clocks were "
+             "striking thirteen about the town all day")
+    docs = spark.createDataFrame(
+        [
+            (1, code, "sA"), (2, prose, "sA"), (3, None, "sA"),
+            (4, kw_only, "sB"), (5, prose, "sB"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in code_detect(docs).collect()}
+    assert out["sA"]["n_docs"] == 2          # NULL excluded
+    assert out["sA"]["n_code"] == 1 and out["sA"]["code_frac"] == 0.5
+    assert out["sB"]["n_code"] == 1          # keyword-only path
+
+
+# --- dup_cluster_histogram (qg7) -------------------------------------------
+
+def test_dup_cluster_histogram_planted_clusters(spark):
+    """A 3-copy cluster, a pair, and two uniques produce the exact
+    histogram rows; whitespace variants land in the same cluster
+    (content_fingerprint normalization); doc counts sum to the corpus."""
+    from rastercube_spark.operators.dedup import dup_cluster_histogram
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa bbb"), (2, " aaa  bbb "), (3, "AAA BBB"),  # 3-copy
+            (4, "ccc"), (5, "ccc"),                             # pair
+            (6, "unique one"), (7, "unique two"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["cluster_size"]: r for r in
+            dup_cluster_histogram(docs).collect()}
+    assert rows[1]["n_clusters"] == 2 and rows[1]["n_docs"] == 2
+    assert rows[2]["n_clusters"] == 1 and rows[2]["n_docs"] == 2
+    assert rows[3]["n_clusters"] == 1 and rows[3]["n_docs"] == 3
+    assert sum(r["n_docs"] for r in rows.values()) == 7
+
+
+def test_clean_corpus_emits_training_sequences(spark, sf_dir):
+    """r13: the make-sequences stage — chunk_tokens turns the pipeline
+    output into training sequences: every chunk's parent survived the
+    gates, token totals are consistent, each sequence inherits its
+    document's split EXACTLY (split_assign re-applied to chunk rows —
+    no join), and chunking adds zero shuffles beyond the document
+    pipeline (plan check: no new exchange operators vs the unchunked
+    flow's count, one extra Generate)."""
+    docs = load(spark, sf_dir, "documents").limit(150)
+    base, base_rep = clean_corpus(
+        docs, splits=[("train", 0.9), ("test", 0.1)]
+    )
+    chunks, rep = clean_corpus(
+        docs, splits=[("train", 0.9), ("test", 0.1)], chunk_tokens=32
+    )
+    assert rep["chunks"] == chunks.count() > 0
+    rows = chunks.collect()
+    assert rep["chunk_tokens"] == sum(r["n_tokens"] for r in rows)
+    assert all(1 <= r["n_tokens"] <= 32 for r in rows)
+    # every chunk's parent is a surviving doc, and splits match exactly
+    parents = {r["doc_id"]: r["split"] for r in
+               base.select("doc_id", "split").collect()}
+    for r in rows:
+        assert r["doc_id"] in parents
+        assert r["split"] == parents[r["doc_id"]]
+    # survivors with non-empty text all produced at least one chunk
+    assert len({r["doc_id"] for r in rows}) == len(parents)
+    # chunking adds no exchange: same Exchange count, one more Generate
+    # (an executed AdaptiveSparkPlan prints final AND initial plans —
+    # count only the section before the Initial Plan marker)
+    def plan_head(df):
+        s = df._jdf.queryExecution().executedPlan().toString()
+        return s.split("== Initial Plan ==")[0]
+
+    p_base, p_ch = plan_head(base), plan_head(chunks)
+    assert p_ch.count("Exchange") == p_base.count("Exchange")
+    assert p_ch.count("Generate") == p_base.count("Generate") + 1
+    for df in (base, chunks):
+        df.unpersist()

@@ -729,3 +729,41 @@ def test_source_dup_matrix_candidates_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "qg4_source_dup_matrix")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_source_score_percentiles_histogram_not_sort(spark, sf_dir):
+    """qg5: the decisive scale property — the corpus is scanned ONCE
+    and never sorted per source: the only windows and the final
+    conditional aggregation run over the tiny (source, score)
+    histogram. One hash exchange for the histogram groupBy, one for
+    the per-source window; no joins, no per-document window, no
+    sort-merge."""
+    plan = _plan(spark, sf_dir, "qg5_source_score_percentiles")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    # histogram groupBy + source-window + final agg: ≤3 hash exchanges,
+    # all keyed on source/(source, score) — never doc_id
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "hashpartitioning(doc_id" not in plan
+
+
+def test_code_detect_map_only_tiny_shuffle(spark, sf_dir):
+    """qg6: all three signals are column expressions — no explode, no
+    join; exactly one hash exchange (the |sources|-row count with
+    map-side partials)."""
+    plan = _plan(spark, sf_dir, "qg6_code_detect")
+    assert "Generate" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_dup_cluster_histogram_fingerprint_only(spark, sf_dir):
+    """qg7: q91's discipline carries through — the only corpus-wide
+    shuffle key is the fixed-width fingerprint, the histogram is a
+    second tiny keyed aggregate; no joins, no text on the wire beyond
+    the md5 projection."""
+    plan = _plan(spark, sf_dir, "qg7_dup_cluster_histogram")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "CartesianProduct" not in plan

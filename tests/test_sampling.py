@@ -302,3 +302,76 @@ def test_token_budget_equivalence_random_corpora(spark):
         assert [tuple(r) for r in got] == [tuple(r) for r in want], (
             trial, budget, rows,
         )
+
+
+def test_source_score_percentiles_matches_naive_random_corpora(spark):
+    """Property (qg5): the histogram-quantile plan equals the naive
+    sorted-position definition — k-th smallest score, k = ceil(p·n) —
+    on adversarial random corpora (heavy score ties, one-doc sources,
+    n where ceil(p·n) lands exactly on class boundaries). Corpora are
+    seeded-RNG driver-side, the naive answer computed in pure Python."""
+    import math
+    import random
+
+    from rastercube_spark.operators.sampling import source_score_percentiles
+
+    rng = random.Random(4321)
+    stop = ("the", "a")
+    for trial in range(4):
+        rows = []
+        n_docs = rng.randint(4, 64)
+        for i in range(n_docs):
+            src = f"s{rng.randint(0, 3)}"
+            dl = rng.randint(1, 10)
+            n_stop = rng.randint(0, min(3, dl))
+            toks = ["the"] * n_stop + [f"w{rng.randint(0, 2)}"] * (dl - n_stop)
+            rng.shuffle(toks)
+            rows.append((i, src, " ".join(toks)))
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        got = {r["source"]: r for r in
+               source_score_percentiles(docs, stop).collect()}
+        # naive: per-source sorted score list, element at ceil(p*n)
+        by_src: dict[str, list[int]] = {}
+        for _i, src, text in rows:
+            tk = text.lower().split()
+            sc = math.floor(1e6 * sum(t in stop for t in tk) / len(tk))
+            by_src.setdefault(src, []).append(sc)
+        for src, scores in by_src.items():
+            scores.sort()
+            n = len(scores)
+            want = (n, scores[(n + 3) // 4 - 1], scores[(n + 1) // 2 - 1],
+                    scores[(n * 3 + 3) // 4 - 1])
+            r = got[src]
+            assert (r["n_docs"], r["p25"], r["p50"], r["p75"]) == want, (
+                trial, src, scores,
+            )
+        assert set(got) == set(by_src)
+
+
+def test_source_score_percentiles_contract(spark):
+    """qg5 edges: single-doc source collapses all quartiles to its
+    score; NULL text is excluded; the non-default percentile set
+    refuses loudly (the integer rank arithmetic is quartile-specific)."""
+    import pytest as _pytest
+
+    from rastercube_spark.operators.sampling import source_score_percentiles
+
+    docs = spark.createDataFrame(
+        [
+            (1, "sA", "the the a"),       # score floor(1e6*3/3) = 1000000
+            (2, "sB", None),              # excluded
+            (3, "sB", "x y z the"),       # score 250000
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r["source"]: r for r in
+           source_score_percentiles(docs, ("the", "a")).collect()}
+    assert out["sA"]["n_docs"] == 1
+    assert (out["sA"]["p25"], out["sA"]["p50"], out["sA"]["p75"]) == (
+        1000000, 1000000, 1000000,
+    )
+    assert out["sB"]["n_docs"] == 1 and out["sB"]["p50"] == 250000
+    with _pytest.raises(ValueError, match="quartile"):
+        source_score_percentiles(docs, ("the",), ps=(0.1, 0.9))

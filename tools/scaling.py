@@ -392,6 +392,7 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
         minhash_signatures,
         neardup_decontaminate,
         ngram_novelty,
+        dup_cluster_histogram,
         repeated_spans,
         sampled_pair_dup_rate,
         shingles_df,
@@ -401,6 +402,7 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
     from rastercube_spark.operators.prefix import running_sum_exclusive
     from rastercube_spark.operators.sampling import (
         group_sample,
+        source_score_percentiles,
         token_budget_select,
     )
     from rastercube_spark.operators.fusion import hybrid_rrf
@@ -421,6 +423,7 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
         boilerplate_ngrams,
         char_langid,
         chunk_documents,
+        code_detect,
         length_histogram,
         template_prefixes,
         token_count,
@@ -753,6 +756,37 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
             ),
             False,
         ),
+        # r13: per-source score quartiles — qf8's histogram plan applied
+        # to quantiles: map-only score, one (source, score) groupBy,
+        # windows over the tiny histogram only; expected ~linear
+        # scan-bound with a flat tail.
+        "qg5_source_score_percentiles": (
+            lambda: source_score_percentiles(
+                docs.withColumn(
+                    "source", (F.col("doc_id") % 16).cast("string")
+                ),
+                stopwords=("w10", "w100", "w1000", "t0", "t1"),
+            ),
+            False,
+        ),
+        # r13: code detect — three map-only column-expression signals,
+        # one 16-row source count; expected flat/scan-bound.
+        "qg6_code_detect": (
+            lambda: code_detect(
+                docs.withColumn(
+                    "source", (F.col("doc_id") % 16).cast("string")
+                )
+            ),
+            False,
+        ),
+        # r13: dup-cluster histogram — one fingerprint-keyed shuffle
+        # (fixed-width md5) + a tiny size histogram; the id%5 planted
+        # near-dups are NOT exact dups, so the histogram is honest
+        # (singletons) at every n. Expected ~linear scan-bound.
+        "qg7_dup_cluster_histogram": (
+            lambda: dup_cluster_histogram(docs),
+            False,
+        ),
         # r13: source dup matrix — q92's banded joins + q93's candidate
         # Jaccard verify + two doc_id-keyed source lookups; candidates
         # stay ~linear (planted dups land in-band), the matrix is ≤16²
@@ -988,7 +1022,9 @@ def main() -> int:
                      "qf7_repeated_spans", "qf8_token_budget",
                      "qf9_dup_rate_estimate", "qg0_semantic_decontaminate",
                      "qg1_chunk_documents", "qg2_char_langid",
-                     "qg3_template_prefixes", "qg4_source_dup_matrix")
+                     "qg3_template_prefixes", "qg4_source_dup_matrix",
+                     "qg5_source_score_percentiles", "qg6_code_detect",
+                     "qg7_dup_cluster_histogram")
     ] + [
         (name, EXT_SIZE) for name in EXT64_OPS
     ] + [(name, s) for s in RASTER_SIZES for name in RASTER_OPS] + [
