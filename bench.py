@@ -227,13 +227,18 @@ HEADLINE = [
     # size histogram (q91's fingerprint shuffle + tiny histogram)
     "qg6_code_detect",
     "qg7_dup_cluster_histogram",
+    # kNN-graph hubness/reciprocity audit (corpus-as-queries cid
+    # equi-join; loop-inclusive below: the coarse quantizer trains at
+    # construction)
+    "qg8_knn_graph_stats",
 ]
 
 # Driver-iterative queries: the query function itself executes work
 # (eager localCheckpoint loop), so each timed sample must include the
 # function call, not just the noop sink of the returned plan.
 LOOP_INCLUSIVE = {"qb2_semantic_dedup", "qc0_balanced_sample",
-                  "qe2_pq_knn", "qf0_ivfpq_knn", "qf6_ann_index_audit"}
+                  "qe2_pq_knn", "qf0_ivfpq_knn", "qf6_ann_index_audit",
+                  "qg8_knn_graph_stats"}
 
 # Contaminated-window retry thresholds (VERDICT r12 #2): a query window
 # is contaminated when OTHER processes (ext) plus the hypervisor (steal)

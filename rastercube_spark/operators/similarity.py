@@ -2048,3 +2048,113 @@ def semantic_decontaminate(
         .orderBy(F.desc("max_sim"), "vec_id")
         .limit(k_out)
     )
+
+
+def knn_graph_stats(
+    emb: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_coarse: int = 16,
+    nprobe: int = 4,
+    coarse_iters: int = 3,
+    sample_below: int = 256,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """kNN-graph structure audit — hubness and reciprocity of the
+    corpus's own approximate nearest-neighbour graph: EVERY vector is a
+    query against the IVF lists (qa2's quantizer and probe semantics),
+    keeping its top-``k`` neighbours, and the audit reports
+
+    - ``part='in_degree'``: the in-degree histogram (key = in-degree,
+      n = vectors with it, zero-degree vectors included) — a heavy
+      high-degree tail is HUBNESS, the classic embedding pathology
+      where a few points appear in everyone's top-k and ANN recall,
+      semantic dedup (qb2) and retrieval all quietly degrade;
+    - ``part='pair_mult'``: undirected pair multiplicities (key 2 =
+      reciprocated pairs, key 1 = one-way edges) — low reciprocity is
+      the same pathology seen edge-wise, and 1·n₁ + 2·n₂ recovers the
+      directed edge total.
+
+    Both statistics are standard embedding-quality reads (Radovanović
+    et al.'s hubness literature) computed here as pure relational
+    passes with qa2's exact arithmetic, so the SQL oracle replays
+    training, assignment, probing, scoring and both aggregates
+    bit-for-bit.
+
+    100 TB shape — the one topology the ANN family did not yet have:
+    corpus-as-queries means NOTHING broadcasts; the probe side explodes
+    each vector to its ``nprobe`` list ids and the candidate join is a
+    cid-keyed EQUI-JOIN of two corpus-sized relations (co-partitioned
+    on cid; bucketed-by-cid storage — build-ann-index — makes it
+    zero-exchange). Within-list pair count is Σ|list|·|probes into it|
+    ≈ (nprobe/n_coarse)·n² — the FAISS bulk-kNN-graph cost model, which
+    is why ``n_coarse`` must SCALE with the corpus (nlist ~ √n keeps
+    per-list work flat; tools/scaling.py's legs do exactly that, the
+    qb0 n_planes discipline). The edge relation (n·k rows) is consumed
+    exactly twice: once for the in-degree aggregate, once for the
+    single LEAST/GREATEST pair aggregate that yields both multiplicity
+    counts — reciprocity needs no self-join.
+    """
+    cents = train_ivf_centroids(
+        emb, dim, n_cents=n_coarse, n_iters=coarse_iters,
+        sample_below=sample_below, id_col=c_id, vec_col=c_vec,
+    )
+    cb = emb.select(
+        F.col(c_id).alias("t_id"),
+        F.col(c_vec).alias("t_v"),
+        ivf_assign(F.col(c_vec), cents).alias("cid"),
+    )
+    qb = emb.select(
+        F.col(c_id).alias("s_id"),
+        F.col(c_vec).alias("s_v"),
+        F.explode(
+            ivf_probe_lists(F.col(c_vec), cents, nprobe)
+        ).alias("cid"),
+    )
+    scored = (
+        cb.join(qb, "cid")
+        .where(F.col("s_id") != F.col("t_id"))
+        .select(
+            "s_id",
+            "t_id",
+            F.round(cosine(F.col("s_v"), F.col("t_v")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("s_id").orderBy(F.col("cos").desc(), F.col("t_id"))
+    edges = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("s_id", "t_id")
+    )
+    ind = edges.groupBy(F.col("t_id").alias("vec_id")).agg(
+        F.count("*").alias("d")
+    )
+    deg = (
+        emb.select(F.col(c_id).alias("vec_id"))
+        .join(ind, "vec_id", "left")
+        .select(F.coalesce("d", F.lit(0)).alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            F.lit("in_degree").alias("part"),
+            F.col("d").cast("bigint").alias("key"),
+            "n",
+        )
+    )
+    pair = (
+        edges.select(
+            F.least("s_id", "t_id").alias("a"),
+            F.greatest("s_id", "t_id").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("m"))
+        .groupBy("m")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            F.lit("pair_mult").alias("part"),
+            F.col("m").cast("bigint").alias("key"),
+            "n",
+        )
+    )
+    return deg.unionByName(pair).orderBy("part", "key")

@@ -4296,3 +4296,100 @@ def qg7(spark, sf_dir):
     from rastercube_spark.operators.dedup import dup_cluster_histogram
 
     return dup_cluster_histogram(_docs(spark, sf_dir))
+
+
+@query(
+    "qg8_knn_graph_stats",
+    oracle=f"""
+        WITH {_ivf_training_ctes()},
+        c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings
+        ),
+        cass AS (
+            SELECT vec_id, cid FROM (
+                SELECT c.vec_id, cents.cid,
+                       row_number() OVER (
+                           PARTITION BY c.vec_id
+                           ORDER BY list_dot_product(c.v, cents.cv) DESC,
+                                    cents.cid ASC
+                       ) AS rn
+                FROM c, cents
+            ) WHERE rn = 1
+        ),
+        qprobe AS (
+            SELECT s_id, cid FROM (
+                SELECT c.vec_id AS s_id, cents.cid,
+                       row_number() OVER (
+                           PARTITION BY c.vec_id
+                           ORDER BY list_dot_product(c.v, cents.cv) DESC,
+                                    cents.cid ASC
+                       ) AS rn
+                FROM c, cents
+            ) WHERE rn <= 4
+        ),
+        scored AS (
+            SELECT jp.s_id, ca.vec_id AS t_id,
+                   ROUND(list_dot_product(q.v, cc.v) / (q.nrm * cc.nrm), 6)
+                       AS cos
+            FROM qprobe jp
+            JOIN cass ca USING (cid)
+            JOIN c q ON q.vec_id = jp.s_id
+            JOIN c cc ON cc.vec_id = ca.vec_id
+            WHERE jp.s_id <> ca.vec_id
+        ),
+        edges AS (
+            SELECT s_id, t_id FROM (
+                SELECT s_id, t_id,
+                       row_number() OVER (
+                           PARTITION BY s_id ORDER BY cos DESC, t_id
+                       ) AS rnk
+                FROM scored
+            ) WHERE rnk <= 10
+        ),
+        ind AS (SELECT t_id AS vec_id, count(*) AS d
+                FROM edges GROUP BY t_id),
+        dd AS (SELECT COALESCE(i.d, 0) AS d
+               FROM c LEFT JOIN ind i ON i.vec_id = c.vec_id),
+        deg AS (SELECT 'in_degree' AS part, CAST(d AS BIGINT) AS key,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM dd GROUP BY d),
+        pm AS (SELECT LEAST(s_id, t_id) AS a, GREATEST(s_id, t_id) AS b,
+                      count(*) AS m
+               FROM edges GROUP BY 1, 2),
+        pmh AS (SELECT 'pair_mult' AS part, CAST(m AS BIGINT) AS key,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM pm GROUP BY m)
+        SELECT * FROM deg UNION ALL SELECT * FROM pmh
+        ORDER BY part, key
+    """,
+)
+def qg8(spark, sf_dir):
+    """kNN-graph hubness/reciprocity audit (operators/similarity.py
+    knn_graph_stats): every corpus vector queries the IVF lists (qa2's
+    trained quantizer, nprobe 4/16) and keeps its top-10 neighbours;
+    report the in-degree histogram (zero-degree vectors included — a
+    heavy tail is HUBNESS, the embedding pathology that quietly
+    degrades ANN recall, qb2 semantic dedup and retrieval) and the
+    undirected pair-multiplicity counts (key 2 = reciprocated, key 1 =
+    one-way; 1·n₁+2·n₂ = directed edge total). The oracle replays
+    training, assignment, probing, scoring and both aggregates
+    bit-for-bit (qa2's CTEs).
+
+    100 TB shape (operator docstring): the family's one missing
+    topology — corpus-as-queries, so NOTHING broadcasts: the candidate
+    join is a cid-keyed equi-join of two corpus-sized relations
+    (zero-exchange when bucketed by cid on disk); within-list work is
+    (nprobe/n_coarse)·n², the FAISS bulk-kNN-graph cost model, with
+    n_coarse scaling ~√n (tools/scaling.py legs); the edge relation is
+    consumed exactly twice (in-degree agg; ONE least/greatest pair agg
+    — reciprocity without a self-join). No reference analog —
+    LLM-pipeline surface (builder brief)."""
+    from rastercube_spark.operators.similarity import knn_graph_stats
+
+    return knn_graph_stats(
+        load(spark, sf_dir, "embeddings"), dim=EMB_DIM, k=10,
+        n_coarse=16, nprobe=4,
+    )

@@ -72,10 +72,13 @@ _ORACLES: dict[str, str] = {}
 # qg6_code_detect and qg7_dup_cluster_histogram are NEW (code-vs-prose
 # share per source from map-only character-class signals, and the
 # duplicate-cluster size distribution over q91's fingerprint clusters —
-# LLM-pipeline surface, landed latest in r13). The three late slots
-# displace q40_global_topk / q41_per_group_topk / q50_union_all from
-# the r11 fill; the displaced queries stay r11-attested = at the
-# ceiling, leading r14's window.
+# LLM-pipeline surface, landed latest in r13);
+# qg8_knn_graph_stats is NEW (kNN-graph hubness/reciprocity audit —
+# corpus-as-queries over the IVF lists, the ANN family's one missing
+# topology). The four late slots displace q33_running_total /
+# q40_global_topk / q41_per_group_topk / q50_union_all from the r11
+# fill; the displaced queries stay r11-attested = at the ceiling,
+# leading r14's window.
 ATTEST_CHANGED: tuple[str, ...] = (
     "qf0_ivfpq_knn",
     "qf4_hybrid_rrf",
@@ -88,6 +91,7 @@ ATTEST_CHANGED: tuple[str, ...] = (
     "qg5_source_score_percentiles",
     "qg6_code_detect",
     "qg7_dup_cluster_histogram",
+    "qg8_knn_graph_stats",
 )
 
 # The 42 remaining window slots go oldest-first per tools/
@@ -141,7 +145,6 @@ ATTEST_STALE: tuple[str, ...] = (
     "q30_ranking",
     "q31_lag_lead_gapfill",
     "q32_moving_average",
-    "q33_running_total",
 )
 
 ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE

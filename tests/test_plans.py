@@ -767,3 +767,15 @@ def test_dup_cluster_histogram_fingerprint_only(spark, sf_dir):
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 2
     assert "CartesianProduct" not in plan
+
+
+def test_knn_graph_candidate_join_is_keyed(spark, sf_dir):
+    """qg8: corpus-as-queries — the candidate join is a cid-keyed
+    EQUI-join (hash join; at fixture scale Catalyst may broadcast the
+    small side, at 100 TB both sides co-partition on cid), never a
+    cartesian or nested-loop product; the per-source window cut runs
+    under WindowGroupLimit."""
+    plan = _plan(spark, sf_dir, "qg8_knn_graph_stats")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan

@@ -710,3 +710,49 @@ def test_semantic_decontaminate_gates(spark):
     )
     with _pytest.raises(ValueError, match="broadcast bound"):
         semantic_decontaminate(corpus, big, eval_rows_max=3)
+
+
+# --- knn_graph_stats (qg8) ----------------------------------------------
+
+def test_knn_graph_stats_invariants(spark, sf_dir):
+    """qg8 conservation laws on the fixture: every vector appears in
+    exactly one in-degree bucket; Σ degree·n equals the directed edge
+    total recovered from the pair multiplicities (1·n₁ + 2·n₂); pair
+    multiplicity never exceeds 2."""
+    from rastercube_spark.operators.similarity import knn_graph_stats
+
+    emb = load(spark, sf_dir, "embeddings")
+    n_vec = emb.count()
+    rows = knn_graph_stats(emb, dim=64, k=10, n_coarse=16, nprobe=4).collect()
+    deg = {r["key"]: r["n"] for r in rows if r["part"] == "in_degree"}
+    pm = {r["key"]: r["n"] for r in rows if r["part"] == "pair_mult"}
+    assert sum(deg.values()) == n_vec
+    assert set(pm) <= {1, 2}
+    directed = pm.get(1, 0) + 2 * pm.get(2, 0)
+    assert sum(k * n for k, n in deg.items()) == directed
+    assert directed > 0
+
+
+def test_knn_graph_stats_planted_hub(spark):
+    """A vector every other vector is closest to (all others are small
+    perturbations around it, mutually less similar) must collect the
+    maximal in-degree at k=1 — the hubness signal the audit exists to
+    surface."""
+    from rastercube_spark.operators.similarity import knn_graph_stats
+
+    dim, n = 16, 10
+    rows = [(0, [1.0] + [0.0] * (dim - 1))]
+    for i in range(1, n):
+        # each ring vector perturbs a DISTINCT coordinate: ring-ring
+        # cosine 0.8 < ring-hub cosine 0.894, so every ring vector's
+        # top-1 is the hub (a shared slot would make two ring vectors
+        # identical, cosine 1.0, and steal the edge)
+        v = [1.0] + [0.0] * (dim - 1)
+        v[i] = 0.5
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = knn_graph_stats(emb, dim=dim, k=1, n_coarse=2, nprobe=2).collect()
+    deg = {r["key"]: r["n"] for r in out if r["part"] == "in_degree"}
+    # the hub absorbs an in-degree of n-1 (every other vector's top-1);
+    # ties inside the perturbed ring can't reach that
+    assert deg.get(n - 1) == 1

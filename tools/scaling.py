@@ -412,6 +412,7 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
         semantic_decontaminate,
         embedding_drift,
         ivfpq_knn,
+        knn_graph_stats,
         label_centroid_outliers,
         lsh_cosine_pairs,
         lsh_knn,
@@ -769,6 +770,20 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
             ),
             False,
         ),
+        # r13: kNN-graph audit — corpus-as-queries cid equi-join; like
+        # qb0's n_planes, nlist is a DEPLOYMENT parameter that must
+        # track the corpus (nlist ~ sqrt(n) keeps per-list pair work
+        # flat): 32/64/128 at 5k/20k/80k, training sample 4x nlist.
+        # Loop-inclusive (quantizer trains at construction, qe2 meter).
+        "qg8_knn_graph_stats": (
+            lambda: knn_graph_stats(
+                emb, dim=DIM, k=10,
+                n_coarse={5_000: 32, 20_000: 64, 80_000: 128}[n],
+                nprobe=4,
+                sample_below={5_000: 128, 20_000: 256, 80_000: 512}[n],
+            ),
+            True,
+        ),
         # r13: code detect — three map-only column-expression signals,
         # one 16-row source count; expected flat/scan-bound.
         "qg6_code_detect": (
@@ -1024,7 +1039,7 @@ def main() -> int:
                      "qg1_chunk_documents", "qg2_char_langid",
                      "qg3_template_prefixes", "qg4_source_dup_matrix",
                      "qg5_source_score_percentiles", "qg6_code_detect",
-                     "qg7_dup_cluster_histogram")
+                     "qg7_dup_cluster_histogram", "qg8_knn_graph_stats")
     ] + [
         (name, EXT_SIZE) for name in EXT64_OPS
     ] + [(name, s) for s in RASTER_SIZES for name in RASTER_OPS] + [
