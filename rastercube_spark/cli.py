@@ -484,11 +484,26 @@ def cmd_knn(args) -> int:
             print("--index PATH required for ivfpq-index", file=sys.stderr)
             return 2
         enc, meta = load_ann_index(spark, args.index)
+        # the index records which embeddings columns it was built over
+        # (ADVICE r13: an index built via the API with non-default
+        # column names must probe those columns, not the defaults);
+        # refuse loudly if this embeddings table doesn't carry them
+        c_id = meta.get("c_id", "vec_id")
+        c_vec = meta.get("c_vec", "embedding")
+        missing = [c for c in (c_id, c_vec) if c not in emb.columns]
+        if missing:
+            print(
+                f"index at {args.index} was built over columns "
+                f"({c_id!r}, {c_vec!r}) but the embeddings table lacks "
+                f"{missing} — wrong index for this table?",
+                file=sys.stderr,
+            )
+            return 2
         out = ivfpq_probe(
             qs, enc, emb, meta["coarse_cents"],
             (meta["pq_sums"], meta["pq_cnts"]), dim=meta["dim"],
             k=args.k, nprobe=args.nprobe, m=meta["m"],
-            n_cents=meta["n_cents"],
+            n_cents=meta["n_cents"], c_id=c_id, c_vec=c_vec,
         )
     else:  # ivfpq
         out = ivfpq_knn(qs, emb, dim=dim, k=args.k, nprobe=args.nprobe)
@@ -517,7 +532,7 @@ def cmd_build_ann_index(args) -> int:
     dim = len(emb.select("embedding").first()["embedding"])
     meta = save_ann_index(
         emb, args.out, dim=dim, n_coarse=args.n_coarse, m=args.m,
-        n_cents=args.n_cents,
+        n_cents=args.n_cents, store_vectors=args.store_vectors,
     )
     print(_json.dumps({
         "out": args.out, "dim": meta["dim"], "n_coarse": meta["n_coarse"],
@@ -945,6 +960,11 @@ def build_parser() -> argparse.ArgumentParser:
     bai.add_argument("--n-coarse", type=int, default=16)
     bai.add_argument("--m", type=int, default=16)
     bai.add_argument("--n-cents", type=int, default=32)
+    bai.add_argument("--store-vectors", action="store_true",
+                     help="also carry the raw vectors into the codes "
+                          "relation (needed by corpus-as-queries "
+                          "consumers: knn-graph audits score with "
+                          "exact vectors)")
     bai.set_defaults(fn=cmd_build_ann_index)
 
     dr = sub.add_parser("dup-rate")

@@ -44,6 +44,7 @@ def hybrid_rrf(
     ann_leg: bool = False,
     ann_nprobe: int = 8,
     ann_rerank: int = 100,
+    dim: int | None = None,
 ) -> DataFrame:
     """Per-query fused top-``k_out`` over the corpus of documents that
     have BOTH text and an embedding (inner id-join of ``docs`` and
@@ -60,11 +61,15 @@ def hybrid_rrf(
     the |specs|-row query side over one corpus pass (brute-force cosine
     is the recall-1.0 baseline); ``ann_leg=True`` swaps the embedding
     leg onto qf0's IVF×PQ index (VERDICT r12 "Next round" #5 — probe
-    ``ann_nprobe`` lists, ADC-shortlist ``ann_rerank``, exact refine),
-    for when the brute scan becomes the bound at corpus scale: the
-    fused top-k then rank-overlaps the brute-leg fusion at qf0's gated
-    recall (tests/test_fusion.py) but touches only nprobe/n_coarse of
-    the corpus on that leg; each leg's per-query top-``k_leg`` is
+    ``ann_nprobe`` lists, ADC shortlist, exact refine; pass ``dim=``,
+    required in this mode — no driver-side inference), for when the
+    brute scan becomes the bound at corpus scale: the shortlist (depth
+    max(``ann_rerank``, ``k_leg``), never silently shallower than the
+    leg — ADVICE r13) is RE-RANKED BY EXACT COSINE so both legs order
+    candidates by the same statistic on non-unit-norm embeddings, and
+    the fused top-k rank-overlaps the brute-leg fusion at qf0's gated
+    recall (tests/test_fusion.py) while touching only nprobe/n_coarse
+    of the corpus on that leg; each leg's per-query top-``k_leg`` is
     a WindowGroupLimit (map-side partial + final — never a whole-leg
     sort in one task, asserted in tests/test_plans.py); the fusion
     itself touches ≤ |specs| × k_leg rows per leg regardless of corpus
@@ -160,25 +165,59 @@ def hybrid_rrf(
         # qf0's IVF×PQ index instead of the brute scan: same exclusion
         # (the corpus row whose id equals the QUERY id never surfaces —
         # ivfpq_probe's q_id != c_id filter, with q_id the spec id) and
-        # the same corpus (docs ∩ emb); ranks come from the refined
-        # exact dot, so overlap with the brute leg is bounded by qf0's
-        # coarse-probe recall, not the codes.
+        # the same corpus (docs ∩ emb). The ADC shortlist is RE-RANKED
+        # BY EXACT COSINE — the same statistic the brute leg ranks on —
+        # so on non-unit-norm embeddings the two legs order candidates
+        # identically and the residual divergence really is qf0's
+        # coarse-probe recall (which docs never enter the shortlist),
+        # not a dot-vs-cosine ordering artifact (ADVICE r13). The
+        # shortlist depth is clamped to max(ann_rerank, k_leg): a
+        # k_leg deeper than the shortlist would otherwise silently
+        # truncate the vector leg (ADVICE r13).
         from rastercube_spark.operators.similarity import ivfpq_knn
 
-        dim = len(emb.select(vec_col).first()[0])
+        if dim is None:
+            raise ValueError(
+                "hybrid_rrf(ann_leg=True) needs dim= — the embedding "
+                "dimensionality, like every other ANN entry point "
+                "(no driver-side inference; VERDICT r13 #6)"
+            )
+        rerank_eff = max(ann_rerank, k_leg)
         ann_corpus = emb.select(
             F.col(vec_id_col).alias("doc_id"), F.col(vec_col)
         ).join(corpus.select("doc_id"), "doc_id")
-        vecr = ivfpq_knn(
+        short = ivfpq_knn(
             qside.select("q_id", F.col("_qv").alias("q_vec")),
             ann_corpus,
             dim=dim,
-            k=k_leg,
+            k=rerank_eff,
             nprobe=ann_nprobe,
-            rerank=ann_rerank,
+            rerank=rerank_eff,
             c_id="doc_id",
             c_vec=vec_col,
-        ).select("q_id", "doc_id", F.col("rank").alias("vec_rank"))
+        ).select("q_id", "doc_id")
+        # bounded |specs|·rerank_eff shortlist: broadcast it back onto
+        # the corpus vectors, score by exact cosine, cut to k_leg
+        short_scored = (
+            emb.select(
+                F.col(vec_id_col).alias("doc_id"), F.col(vec_col).alias("_v")
+            )
+            .join(F.broadcast(short), "doc_id")
+            .join(F.broadcast(qside), "q_id")
+            .select(
+                "q_id",
+                "doc_id",
+                F.round(cosine(F.col("_qv"), F.col("_v")), 6).alias("cos"),
+            )
+        )
+        w_ann = Window.partitionBy("q_id").orderBy(
+            F.col("cos").desc(), F.col("doc_id")
+        )
+        vecr = (
+            short_scored.withColumn("vec_rank", F.row_number().over(w_ann))
+            .where(F.col("vec_rank") <= k_leg)
+            .select("q_id", "doc_id", "vec_rank")
+        )
     else:
         vec_scored = (
             corpus.select("doc_id", "_v")

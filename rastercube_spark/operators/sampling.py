@@ -345,17 +345,25 @@ def source_score_percentiles(
     setting qb3/qb8 weights or a qf8 budget: a source whose p75 sits
     below another's p25 is a quality tier apart, and a collapsed
     p25==p75 means the score cannot rank that source at all. Returns
-    (source, n_docs, p25, p50, p75), one row per source, ordered.
+    (source, n_docs, <one column per requested p>) — (source, n_docs,
+    p25, p50, p75) for the default quartiles — one row per source,
+    ordered.
 
     Semantics: the score is qf8/token_budget_select's fine-grained
     stopword density — floor(1e6 · stopword_hits / dl), exact integers,
     one IEEE division — over the same token convention (lower, split on
     whitespace runs; documents with no tokens are excluded). The
     p-quantile is the DISCRETE lower quantile: the k-th smallest score
-    with k = ceil(p·n), computed in INTEGER arithmetic
-    (k = (⌈p·100⌉·n + 99) div 100 exactly for the default quartiles:
-    (n+3) div 4, (n+1) div 2, (3n+3) div 4) so both engines pick the
-    identical element — no interpolation, no float rank.
+    with k = ceil(p·n), for ANY rational p in (0, 1] (VERDICT r13 #5 —
+    the arithmetic is no longer quartile-only). Each p is taken as the
+    exact fraction num/den of its decimal literal and the selection
+    ``prev < k <= cum`` is CROSS-MULTIPLIED to pure bigint products —
+    ``prev·den < num·n  AND  num·n <= cum·den`` — so there is no
+    division (not even an exact one) anywhere in the rank arithmetic
+    and both engines pick the identical element: no interpolation, no
+    float rank, no 2^53 ceiling. Output columns are ``p25``-style names
+    derived from 100·p (``0.995`` → ``p99_5``); the default quartile
+    set emits exactly the historical (p25, p50, p75) values.
 
     Scale path — the qf8 histogram-threshold plan applied to quantiles,
     NOT a per-source sort (a window ordered over every document of a
@@ -372,12 +380,26 @@ def source_score_percentiles(
 
     No reference analog — LLM-pipeline surface (builder brief).
     """
-    if tuple(ps) != (0.25, 0.5, 0.75):
-        raise ValueError(
-            "source_score_percentiles computes the fixed quartile set "
-            f"(0.25, 0.5, 0.75); got {ps!r} — extend the integer-exact "
-            "rank arithmetic before widening"
-        )
+    from fractions import Fraction
+
+    if not ps:
+        raise ValueError("ps must name at least one percentile")
+    fracs: list[tuple[str, int, int]] = []
+    seen: set[str] = set()
+    for p in ps:
+        if not (0.0 < p <= 1.0):
+            raise ValueError(f"percentile {p!r} outside (0, 1]")
+        # the exact rational of the DECIMAL LITERAL (0.1 means 1/10,
+        # not the nearest binary double), so the oracle's integer
+        # arithmetic can replay it
+        fr = Fraction(repr(float(p)))
+        name = "p" + ("%g" % (fr.numerator * 100 / fr.denominator)).replace(
+            ".", "_"
+        ).replace("-", "m")
+        if name in seen:
+            raise ValueError(f"duplicate percentile column {name!r} in {ps!r}")
+        seen.add(name)
+        fracs.append((name, fr.numerator, fr.denominator))
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     dl = F.size(toks).cast("bigint")
     hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords))).cast("bigint")
@@ -404,23 +426,25 @@ def source_score_percentiles(
         F.sum("c").over(wn).alias("n"),
     ).withColumn("prev", F.col("cum") - F.col("c"))
 
-    def pick(k: Column) -> Column:
-        # the k-th smallest score lives in the one row with prev < k <= cum
-        kk = F.floor(k).cast("bigint")
+    def pick(num: int, den: int) -> Column:
+        # the k-th smallest score (k = ceil(num·n/den)) lives in the
+        # one histogram row with prev < k <= cum; cross-multiplied by
+        # den (integer prev/cum: ceil(x) > prev ⇔ x > prev and
+        # ceil(x) <= cum ⇔ x <= cum) this is division-free bigint
+        nn = F.col("n") * F.lit(num)
         return F.max(
             F.when(
-                (F.col("prev") < kk) & (kk <= F.col("cum")), F.col("score")
+                (F.col("prev") * F.lit(den) < nn)
+                & (nn <= F.col("cum") * F.lit(den)),
+                F.col("score"),
             )
         ).cast("bigint")
 
-    n = F.col("n")
     return (
         h.groupBy("source")
         .agg(
             F.max("n").cast("bigint").alias("n_docs"),
-            pick((n + 3) / 4).alias("p25"),
-            pick((n + 1) / 2).alias("p50"),
-            pick((n * 3 + 3) / 4).alias("p75"),
+            *[pick(num, den).alias(name) for name, num, den in fracs],
         )
         .orderBy("source")
     )

@@ -1436,6 +1436,7 @@ def ivfpq_encode(
     c_vec: str = "embedding",
     coarse_cents: list[list[float]] | None = None,
     codebooks: tuple["np.ndarray", "np.ndarray"] | None = None,
+    extra_cols: tuple[str, ...] = (),
 ) -> tuple[DataFrame, list[list[float]], tuple["np.ndarray", "np.ndarray"]]:
     """The encode-at-ingest half of :func:`ivfpq_knn` (VERDICT r12
     "Next round" #3): train (or accept) the coarse and fine quantizers
@@ -1495,6 +1496,7 @@ def ivfpq_encode(
         F.col(c_id),
         ivf_assign(F.col(c_vec), coarse_cents).alias("cid"),
         _encode(F.col(c_vec)).alias("codes"),
+        *[F.col(c) for c in extra_cols],
     )
     return enc, coarse_cents, (sums, cnts)
 
@@ -1624,13 +1626,24 @@ def save_ann_index(
     sample_below: int = 256,
     c_id: str = "vec_id",
     c_vec: str = "embedding",
+    store_vectors: bool = False,
 ) -> dict:
     """Materialize an IVF×PQ index: train both quantizers, encode the
     corpus (:func:`ivfpq_encode`), write the codes parquet PARTITIONED
     BY cid (so a probe's broadcast join dynamic-partition-prunes to its
     nprobe lists), and save the quantizers + parameters as JSON next to
     it. The CLI verb ``build-ann-index`` wraps this. Returns the
-    metadata dict."""
+    metadata dict.
+
+    ``store_vectors=True`` additionally carries the raw vector column
+    into the codes relation (still one map-only corpus pass — an extra
+    projected column, no join): the layout consumers that score with
+    EXACT vectors (corpus-as-queries audits like
+    :func:`knn_graph_stats`) then read everything they need from the
+    ONE cid-partitioned relation instead of re-assigning lists per
+    invocation. Costs the float payload next to the ~25× smaller codes
+    — build the default slim index when only ADC probes will read it.
+    """
     import json
     import os
 
@@ -1638,12 +1651,14 @@ def save_ann_index(
         corpus, dim, n_coarse=n_coarse, coarse_iters=coarse_iters, m=m,
         n_cents=n_cents, n_iters=n_iters, sample_below=sample_below,
         c_id=c_id, c_vec=c_vec,
+        extra_cols=(c_vec,) if store_vectors else (),
     )
     codes_path = os.path.join(path, "codes")
     enc.write.partitionBy("cid").mode("overwrite").parquet(codes_path)
     meta = {
         "dim": dim, "n_coarse": n_coarse, "m": m, "n_cents": n_cents,
         "c_id": c_id, "c_vec": c_vec,
+        "store_vectors": store_vectors,
         "coarse_cents": cents,
         "pq_sums": [s.tolist() for s in sums],
         "pq_cnts": [c.tolist() for c in cnts],
@@ -2050,6 +2065,75 @@ def semantic_decontaminate(
     )
 
 
+def knn_graph_edges(cb: DataFrame, qb: DataFrame, k: int) -> DataFrame:
+    """The candidate join + per-source top-``k`` at the core of
+    :func:`knn_graph_stats`: ``cb`` is the list-member side
+    (t_id, t_v, cid), ``qb`` the corpus-as-queries probe side
+    (s_id, s_v, cid — one row per probed list), and the result is the
+    directed edge relation (s_id, t_id), n·k rows.
+
+    Plan shape: ONE cid-keyed equi-join (self-pairs dropped before the
+    projection), exact-cosine scoring as a column expression, and a
+    per-s_id rank cut that runs as a map-side partial WindowGroupLimit
+    before the single s_id exchange. When ``cb`` scans a
+    bucketed-by-cid table (:func:`save_ann_index` with
+    ``store_vectors=True``, re-written ``bucketBy(cid)`` at ingest),
+    the member side feeds the sort-merge join with NO exchange at all —
+    the only corpus-sized shuffles left are the probe side aligning to
+    the store's bucketing and the bounded edge window
+    (tests/test_plans.py asserts both counts)."""
+    scored = (
+        cb.join(qb, "cid")
+        .where(F.col("s_id") != F.col("t_id"))
+        .select(
+            "s_id",
+            "t_id",
+            F.round(cosine(F.col("s_v"), F.col("t_v")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("s_id").orderBy(F.col("cos").desc(), F.col("t_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("s_id", "t_id")
+    )
+
+
+def knn_graph_index_sides(
+    enc: DataFrame, meta: dict, nprobe: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Both sides of the corpus-as-queries candidate join, read off a
+    persisted :func:`save_ann_index` layout built with
+    ``store_vectors=True``: the member side (t_id, t_v, cid) is a PURE
+    PROJECTION of the codes relation — cid comes from storage, no
+    assignment UDF, so a bucketed-by-cid re-write of the codes feeds
+    the join exchange-free — and the probe side re-derives its nprobe
+    list ids from the stored vectors with the index's own coarse
+    quantizer (the one Arrow stage left in the plan). Returns
+    (cb, qb, ids)."""
+    icol = meta.get("c_id", "vec_id")
+    vcol = meta.get("c_vec", "embedding")
+    if vcol not in enc.columns:
+        raise ValueError(
+            "knn_graph_stats(index=...) needs the raw vectors in the "
+            f"codes relation (column {vcol!r} absent) — build the "
+            "index with save_ann_index(..., store_vectors=True)"
+        )
+    cents = meta["coarse_cents"]
+    ids = enc.select(F.col(icol).alias("vec_id"))
+    cb = enc.select(
+        F.col(icol).alias("t_id"),
+        F.col(vcol).alias("t_v"),
+        "cid",
+    )
+    qb = enc.select(
+        F.col(icol).alias("s_id"),
+        F.col(vcol).alias("s_v"),
+        F.explode(ivf_probe_lists(F.col(vcol), cents, nprobe)).alias("cid"),
+    )
+    return cb, qb, ids
+
+
 def knn_graph_stats(
     emb: DataFrame,
     dim: int,
@@ -2060,6 +2144,7 @@ def knn_graph_stats(
     sample_below: int = 256,
     c_id: str = "vec_id",
     c_vec: str = "embedding",
+    index: tuple[DataFrame, dict] | None = None,
 ) -> DataFrame:
     """kNN-graph structure audit — hubness and reciprocity of the
     corpus's own approximate nearest-neighbour graph: EVERY vector is a
@@ -2095,43 +2180,46 @@ def knn_graph_stats(
     exactly twice: once for the in-degree aggregate, once for the
     single LEAST/GREATEST pair aggregate that yields both multiplicity
     counts — reciprocity needs no self-join.
+
+    ``index=(enc, meta)`` — the output of :func:`load_ann_index` (or
+    ``spark.table`` over the same codes re-written bucketed) for an
+    index built with ``store_vectors=True`` — swaps both sides onto
+    the PERSISTED layout (VERDICT r13 "Next round" #2): the coarse
+    quantizer comes from the index metadata (no per-invocation
+    training collect), the member side's cid comes from STORAGE
+    instead of a per-row assignment UDF (the plan keeps exactly one
+    Arrow stage — the probe-list explode), and with the codes kept
+    bucketed by cid the member side feeds the candidate join with no
+    exchange at all. Training is deterministic, so the output is
+    BIT-identical to the inline path given the same n_coarse /
+    coarse_iters / sample_below (tests/test_similarity.py).
     """
-    cents = train_ivf_centroids(
-        emb, dim, n_cents=n_coarse, n_iters=coarse_iters,
-        sample_below=sample_below, id_col=c_id, vec_col=c_vec,
-    )
-    cb = emb.select(
-        F.col(c_id).alias("t_id"),
-        F.col(c_vec).alias("t_v"),
-        ivf_assign(F.col(c_vec), cents).alias("cid"),
-    )
-    qb = emb.select(
-        F.col(c_id).alias("s_id"),
-        F.col(c_vec).alias("s_v"),
-        F.explode(
-            ivf_probe_lists(F.col(c_vec), cents, nprobe)
-        ).alias("cid"),
-    )
-    scored = (
-        cb.join(qb, "cid")
-        .where(F.col("s_id") != F.col("t_id"))
-        .select(
-            "s_id",
-            "t_id",
-            F.round(cosine(F.col("s_v"), F.col("t_v")), 6).alias("cos"),
+    if index is not None:
+        cb, qb, base_ids = knn_graph_index_sides(*index, nprobe=nprobe)
+    else:
+        cents = train_ivf_centroids(
+            emb, dim, n_cents=n_coarse, n_iters=coarse_iters,
+            sample_below=sample_below, id_col=c_id, vec_col=c_vec,
         )
-    )
-    w = Window.partitionBy("s_id").orderBy(F.col("cos").desc(), F.col("t_id"))
-    edges = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("s_id", "t_id")
-    )
+        base_ids = emb.select(F.col(c_id).alias("vec_id"))
+        cb = emb.select(
+            F.col(c_id).alias("t_id"),
+            F.col(c_vec).alias("t_v"),
+            ivf_assign(F.col(c_vec), cents).alias("cid"),
+        )
+        qb = emb.select(
+            F.col(c_id).alias("s_id"),
+            F.col(c_vec).alias("s_v"),
+            F.explode(
+                ivf_probe_lists(F.col(c_vec), cents, nprobe)
+            ).alias("cid"),
+        )
+    edges = knn_graph_edges(cb, qb, k)
     ind = edges.groupBy(F.col("t_id").alias("vec_id")).agg(
         F.count("*").alias("d")
     )
     deg = (
-        emb.select(F.col(c_id).alias("vec_id"))
+        base_ids
         .join(ind, "vec_id", "left")
         .select(F.coalesce("d", F.lit(0)).alias("d"))
         .groupBy("d")

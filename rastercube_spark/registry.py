@@ -40,111 +40,112 @@ _ORACLES: dict[str, str] = {}
 # baseline with tests/make_attest.py IN THE SAME COMMIT that rotates
 # these lists; make_attest refuses to run while the rule is violated.
 #
-# Round 13 changed set — eight entries, the exact diff of
-# rastercube_spark.attest.all_hashes() vs the r12 baseline:
-# qg1_chunk_documents changed because chunk_documents no longer emits
-# a trailing window fully contained in its predecessor (ADVICE r12 —
-# start positions now stop at n − max_tokens + stride; emitted VALUES
-# change, oracle + golden updated in the same commit);
-# qg0_semantic_decontaminate changed because semantic_decontaminate
-# now gates the eval collect with limit(max+1) BEFORE paying the
-# driver memory and defines zero-norm similarity as 0.0 in operator
-# and oracle (ADVICE r12; fixture values unchanged, new
-# crafted-embeddings parity test);
-# qf9_dup_rate_estimate changed because sampled_pair_dup_rate reports
-# an explicit 0.0 dup_rate for an empty pair sample and its oracle
-# carries the same CASE (ADVICE r12; fixture values unchanged);
-# qf0_ivfpq_knn changed because ivfpq_knn was split into
-# ivfpq_encode + ivfpq_probe so the persisted-index path
-# (build-ann-index CLI verb) shares its exact code (VERDICT r12 #3;
-# bit-identity asserted against the committed golden);
-# qf4_hybrid_rrf changed because hybrid_rrf grew the off-by-default
-# ann_leg mode that swaps its embedding leg onto qf0's index (VERDICT
-# r12 #5; the registered query keeps the brute leg, values unchanged);
-# qg2_char_langid, qg3_template_prefixes and qg4_source_dup_matrix are
-# NEW (corpus-learned char-trigram language-ID confusion matrix,
-# per-source template-prefix detection, and the near-dup source-pair
-# mirror matrix — LLM-pipeline surface; a NEW query must be attested
-# the round it lands);
-# qg5_source_score_percentiles is NEW (exact per-source score quartiles
-# via qf8's histogram-threshold plan — LLM-pipeline surface, landed
-# later in r13);
-# qg6_code_detect and qg7_dup_cluster_histogram are NEW (code-vs-prose
-# share per source from map-only character-class signals, and the
-# duplicate-cluster size distribution over q91's fingerprint clusters —
-# LLM-pipeline surface, landed latest in r13);
-# qg8_knn_graph_stats is NEW (kNN-graph hubness/reciprocity audit —
-# corpus-as-queries over the IVF lists, the ANN family's one missing
-# topology). The four late slots displace q33_running_total /
-# q40_global_topk / q41_per_group_topk / q50_union_all from the r11
-# fill; the displaced queries stay r11-attested = at the ceiling,
-# leading r14's window.
+# --- tiered-rotation policy (VERDICT r13 "Next round" #1) --------------
+# The registry outgrew ad-hoc window bookkeeping: 131 queries share a
+# 50-slot driver window under a 3-round staleness ceiling (a query's
+# latest driver attestation may be at most 2 rounds old when judged).
+# The policy, ENFORCED MECHANICALLY in tests/test_attestation.py
+# (test_rotation_policy_capacity_and_staleness):
+#   tier 1 — changed/new closures ALWAYS attest in their landing round
+#            (ATTEST_CHANGED; the existing closure-hash rule);
+#   tier 2 — code-frozen queries re-attest on a 3-round cycle: every
+#            query whose latest green CORRECTNESS_r* row is 2 rounds
+#            behind the newest recorded round MUST appear in the next
+#            window (ATTEST_STALE head), remaining slots go
+#            oldest-first per tools/rotate_window.py;
+#   capacity — 50 slots × 3-round cycle = 150, minus a 6-slot/round
+#            reserve for tier-1 churn ⇒ the registry is CAPPED AT 144
+#            registered queries (test-enforced). Net-new queries only
+#            land while the cap holds; at 131 (r14, net-new 0) the
+#            contract stays satisfiable indefinitely.
+#
+# Round 14 changed set — four entries, the exact diff of
+# rastercube_spark.attest.all_hashes() vs the r13 baseline:
+# qg8_knn_graph_stats changed because knn_graph_stats grew the
+# persisted-index mode (VERDICT r13 #2 — index=(enc, meta) from
+# build-ann-index --store-vectors reads cid from storage and the
+# coarse quantizer from the index metadata; the candidate-join core
+# was factored into knn_graph_edges/knn_graph_index_sides); the
+# registered query keeps the inline path, values unchanged
+# (bit-identity test in tests/test_similarity.py);
+# qg5_source_score_percentiles changed because the rank arithmetic
+# generalized from the hard-coded quartiles to any rational p via the
+# division-free cross-multiplied selection (VERDICT r13 #5); the
+# default quartile values and oracle are unchanged (property test vs
+# the naive sort at p ∈ {0.1, 0.9, 0.99, 1.0});
+# qf4_hybrid_rrf changed because hybrid_rrf's ann_leg now takes dim=
+# as a parameter (VERDICT r13 #6 — no driver-side .first()), clamps
+# the ADC shortlist to max(ann_rerank, k_leg), and re-ranks the
+# shortlist by exact cosine so both legs order by the same statistic
+# (ADVICE r13 ×3); the registered query keeps the brute leg, values
+# unchanged;
+# qf0_ivfpq_knn changed because ivfpq_encode gained the extra_cols
+# passthrough save_ann_index(store_vectors=True) projects the raw
+# vectors with (same single map-only corpus pass); the default plan
+# and all emitted values are unchanged.
 ATTEST_CHANGED: tuple[str, ...] = (
     "qf0_ivfpq_knn",
     "qf4_hybrid_rrf",
-    "qf9_dup_rate_estimate",
-    "qg0_semantic_decontaminate",
-    "qg1_chunk_documents",
-    "qg2_char_langid",
-    "qg3_template_prefixes",
-    "qg4_source_dup_matrix",
     "qg5_source_score_percentiles",
-    "qg6_code_detect",
-    "qg7_dup_cluster_histogram",
     "qg8_knn_graph_stats",
 )
 
-# The 42 remaining window slots go oldest-first per tools/
+# The 46 remaining window slots go oldest-first per tools/
 # rotate_window.py's ground-truth reading of the CORRECTNESS_r*
-# artifacts: FIRST the twenty-seven r10-attested queries at the
-# window's 2-round staleness ceiling (judged at r12 — the cohort the
-# r12 verdict queued for r13, VERDICT r12 "Next round" #1: q80, q82,
-# q83, q90–q95, q97–q99, qa0, qa1, qa3–qa8, qb1, qb2, qc0, qd1, qd2,
-# qd5, qd9), then the r11 cohort in the planner's order (q01 … q50)
-# for the remaining 15 slots. The r11 tail (q51 onward) stays frozen
-# at ≤2 rounds old (attested r11, judged at r13 = at the ceiling) and
-# leads r14 — capacity check: 50 slots/round × a 3-round re-attest
-# cycle = 150 ≥ the 127 registered queries, so steady state keeps
-# every query within the ceiling.
+# artifacts: FIRST the full thirty-six-query r11 cohort at the
+# 2-round staleness ceiling (judged at r13; the tier-2 rule makes
+# this head MANDATORY — VERDICT r13 "What's wrong" #1 names exactly
+# these 36), then the ten oldest r12-attested queries (q10 … q21 in
+# the planner's order) for the remaining slots, pulling the r12
+# cohort's tail forward so r15's mandatory head shrinks to the 12
+# r12-attested queries left over plus whatever r15 changes.
 ATTEST_STALE: tuple[str, ...] = (
-    "q80_scalar_pandas_udf",
-    "q82_grouped_agg_udf",
-    "q83_chunk_udtf",
-    "q90_text_metrics",
-    "q91_exact_dedup",
-    "q92_minhash_lsh_pairs",
-    "q93_lsh_jaccard",
-    "q94_ngram_jaccard_topk",
-    "q95_simhash",
-    "q97_lsh_knn",
-    "q98_cosine_pairs_topk",
-    "q99_winnow_fingerprint",
-    "qa0_multimodal_decode",
-    "qa1_tfidf_topterms",
-    "qa3_dup_clusters",
-    "qa4_dedup_keep",
-    "qa5_repetition_filters",
-    "qa6_sequence_packing",
-    "qa7_pii_redaction",
-    "qa8_frame_sample",
-    "qb1_decontaminate",
-    "qb2_semantic_dedup",
-    "qc0_balanced_sample",
-    "qd1_incremental_dedup",
-    "qd2_temperature_mixture",
-    "qd5_token_drift",
-    "qd9_dedup_keep_best",
-    "q01_scan_count",
-    "q02_project_filter",
-    "q03_in_null_predicates",
-    "q17_asof_join",
-    "q20_tpch_q1_agg",
-    "q22_rollup",
-    "q2a_approx_count_distinct",
-    "q2b_approx_quantiles",
-    "q30_ranking",
-    "q31_lag_lead_gapfill",
-    "q32_moving_average",
+    "q33_running_total",
+    "q40_global_topk",
+    "q41_per_group_topk",
+    "q50_union_all",
+    "q51_union_distinct",
+    "q52_intersect",
+    "q53_except",
+    "q60_string_funcs",
+    "q61_date_funcs",
+    "q62_math_funcs",
+    "q64_nodata_case",
+    "q66_array_json",
+    "q67_categorical_legend",
+    "q68_type_reinterpret",
+    "q69_landsat_qa",
+    "q70_tumbling_window",
+    "q71_sliding_window",
+    "q72_session_window",
+    "q73_watermark_late_data",
+    "q74_stateful_dedup",
+    "q77_dedup_within_watermark",
+    "q81_grouped_map_udf",
+    "qb3_mixture_sample",
+    "qb4_passage_dedup",
+    "qd4_neardup_decontaminate",
+    "qd6_ngram_novelty",
+    "qd7_split_assign",
+    "qd8_snapshot_overlap",
+    "qe0_embedding_drift",
+    "qe1_containment_audit",
+    "qe3_source_overlap",
+    "qr01_windowed_read_fill",
+    "qr03_availability_semi_join",
+    "qr04_incremental_anti_join",
+    "qr05_date_coverage",
+    "qr09_chunk_checksum",
+    "q10_inner_equi",
+    "q11_broadcast_join",
+    "q12_sort_merge_join",
+    "q13_left_outer_null",
+    "q14_left_semi",
+    "q15_left_anti",
+    "q16_theta_join",
+    "q18_copartitioned_zip",
+    "q19_range_join",
+    "q21_count_distinct",
 )
 
 ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE

@@ -158,3 +158,47 @@ def test_guard_names_breaching_query_via_local_import():
         "closure walk failed to reach operators/dedup.py through qb1's "
         "function-local import"
     )
+
+
+def test_rotation_policy_capacity_and_staleness():
+    """Tiered-rotation policy (VERDICT r13 "Next round" #1 — a
+    documented, TEST-ENFORCED policy that stays satisfiable at the
+    registry's growth rate), reading the same CORRECTNESS_r* ground
+    truth as tools/rotate_window.py:
+
+    - capacity: the driver attests 50 queries/round and a frozen
+      query's attestation may age at most 2 rounds, so a 3-round cycle
+      covers 150 slots; reserving 6 slots/round for changed/new
+      closures caps the registry at 144. Growth past the cap must be
+      paid for by widening the window with the driver, not by letting
+      attestations silently go stale.
+    - staleness: every query whose LATEST green driver row is already
+      2+ rounds behind the newest recorded round would breach the
+      ceiling at the next judgement unless re-attested — it MUST sit
+      in the next window (ATTEST_FIRST). Queries never attested (new)
+      are covered by test_changed_closures_are_rotated_or_exempt.
+    """
+    from rastercube_spark.attest import last_green_rounds
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    names = list(registry.queries())
+    assert len(names) <= 144, (
+        f"registry has {len(names)} queries — past the 144 capacity cap "
+        "(50-slot window × 3-round cycle − 6-slot changed-closure "
+        "reserve). Stop landing net-new queries or widen the window."
+    )
+    strong, weak = last_green_rounds(repo)
+    last = {**weak, **strong}
+    if not last:
+        return  # no artifacts in a fresh checkout — nothing to enforce
+    newest = max(last.values())
+    window = set(registry.ATTEST_FIRST)
+    must_rotate = sorted(
+        n for n in names if n in last and last[n] <= newest - 2
+    )
+    missing = [n for n in must_rotate if n not in window]
+    assert not missing, (
+        f"{len(missing)} queries are at the staleness ceiling (latest "
+        f"green row ≤ r{newest - 2}) but not in the next window: "
+        f"{missing}"
+    )

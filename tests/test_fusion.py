@@ -134,11 +134,11 @@ def test_hybrid_rrf_ann_leg_overlaps_brute_fusion(spark, sf_dir):
     byte-identical in both modes — every divergence is the vec leg's."""
     brute = _fused(spark, sf_dir, k_leg=50, k_out=10).collect()
     ann8 = _fused(
-        spark, sf_dir, k_leg=50, k_out=10, ann_leg=True
+        spark, sf_dir, k_leg=50, k_out=10, ann_leg=True, dim=64
     ).collect()
     ann_full = _fused(
         spark, sf_dir, k_leg=50, k_out=10, ann_leg=True,
-        ann_nprobe=16, ann_rerank=200,
+        ann_nprobe=16, ann_rerank=200, dim=64,
     ).collect()
 
     def topmap(rows):
@@ -164,3 +164,31 @@ def test_hybrid_rrf_ann_leg_overlaps_brute_fusion(spark, sf_dir):
     for key, lr in lex_only.items():
         if key in ann_lex:
             assert ann_lex[key] == lr
+
+
+def test_hybrid_rrf_ann_leg_requires_dim(spark, sf_dir):
+    """VERDICT r13 #6: ann_leg mode takes the embedding dimensionality
+    as a parameter like every other ANN entry point — no driver-side
+    `.first()` inference, and forgetting it fails loudly before any
+    job runs."""
+    import pytest
+
+    with pytest.raises(ValueError, match="dim"):
+        _fused(spark, sf_dir, k_leg=10, k_out=5, ann_leg=True)
+
+
+def test_hybrid_rrf_ann_leg_clamps_shortlist_to_k_leg(spark, sf_dir):
+    """ADVICE r13: k_leg larger than ann_rerank used to silently
+    truncate the vector leg at ann_rerank rows per query, skewing the
+    fusion. The shortlist depth is now max(ann_rerank, k_leg): with
+    k_leg=120 over the default rerank=100, vec ranks past 100 must be
+    reachable (sf0.001's candidate pool per query is well over 120 at
+    nprobe=8)."""
+    rows = _fused(
+        spark, sf_dir, k_leg=120, k_out=200, ann_leg=True, dim=64
+    ).collect()
+    vec_ranks = [r["vec_rank"] for r in rows if r["vec_rank"] is not None]
+    assert vec_ranks and max(vec_ranks) > 100, (
+        "vector leg still truncated at ann_rerank"
+    )
+    assert max(vec_ranks) <= 120

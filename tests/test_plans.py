@@ -779,3 +779,75 @@ def test_knn_graph_candidate_join_is_keyed(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_knn_graph_indexed_member_side_no_exchange(spark, sf_dir, tmp_path):
+    """VERDICT r13 #2, qg8's persisted-index contract made executable
+    (the test_plans.py:508 playbook applied to the corpus-as-queries
+    topology): with the save_ann_index codes (store_vectors=True)
+    re-written bucketed by cid, the candidate join's MEMBER side feeds
+    the sort-merge join straight off the bucketed scan — NO exchange,
+    no per-row assignment UDF (cid comes from storage, so exactly one
+    Arrow stage remains: the probe-list explode... plus the cosine
+    projection) — and the ONLY corpus-sized shuffles in the whole edge
+    derivation are the probe side aligning to the store's bucketing
+    and the single per-source window exchange (which runs under a
+    map-side partial WindowGroupLimit). The same edges over the plain
+    (unbucketed) parquet codes shuffle BOTH join inputs: one more
+    exchange."""
+    import shutil
+
+    from rastercube_spark.operators.similarity import (
+        knn_graph_edges,
+        knn_graph_index_sides,
+        load_ann_index,
+        save_ann_index,
+    )
+    from rastercube_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ann_index_v")
+    save_ann_index(e, idx, dim=64, store_vectors=True)
+    enc, meta = load_ann_index(spark, idx)
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS b_codes")
+    shutil.rmtree(f"{wh}/b_codes", ignore_errors=True)
+    (
+        enc.write.mode("overwrite")
+        .bucketBy(8, "cid")
+        .sortBy("cid")
+        .format("parquet")
+        .saveAsTable("b_codes")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cb, qb, _ = knn_graph_index_sides(
+            spark.table("b_codes"), meta, nprobe=4
+        )
+        edges = knn_graph_edges(cb, qb, k=10)
+        plan = edges._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "Bucketed: true" in plan, plan[:3000]
+        # probe-side alignment + s_id window — the member side never
+        # exchanges
+        assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
+        assert "WindowGroupLimit" in plan and "Partial" in plan
+        # cid comes from storage: probe-list explode + cosine are the
+        # only Python stages (inline mode adds the assignment UDF)
+        assert plan.count("ArrowEvalPython") == 2
+
+        # contrast: the unbucketed parquet codes shuffle both inputs
+        cb_u, qb_u, _ = knn_graph_index_sides(enc, meta, nprobe=4)
+        plan_u = (
+            knn_graph_edges(cb_u, qb_u, k=10)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan_u.count("Exchange hashpartitioning") == 3, plan_u[:3000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_codes")

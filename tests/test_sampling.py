@@ -352,8 +352,8 @@ def test_source_score_percentiles_matches_naive_random_corpora(spark):
 
 def test_source_score_percentiles_contract(spark):
     """qg5 edges: single-doc source collapses all quartiles to its
-    score; NULL text is excluded; the non-default percentile set
-    refuses loudly (the integer rank arithmetic is quartile-specific)."""
+    score; NULL text is excluded; out-of-range / duplicate percentile
+    sets refuse loudly."""
     import pytest as _pytest
 
     from rastercube_spark.operators.sampling import source_score_percentiles
@@ -373,5 +373,61 @@ def test_source_score_percentiles_contract(spark):
         1000000, 1000000, 1000000,
     )
     assert out["sB"]["n_docs"] == 1 and out["sB"]["p50"] == 250000
-    with _pytest.raises(ValueError, match="quartile"):
-        source_score_percentiles(docs, ("the",), ps=(0.1, 0.9))
+    with _pytest.raises(ValueError, match="outside"):
+        source_score_percentiles(docs, ("the",), ps=(0.0, 0.5))
+    with _pytest.raises(ValueError, match="outside"):
+        source_score_percentiles(docs, ("the",), ps=(1.5,))
+    with _pytest.raises(ValueError, match="duplicate"):
+        source_score_percentiles(docs, ("the",), ps=(0.5, 0.5))
+    with _pytest.raises(ValueError, match="at least one"):
+        source_score_percentiles(docs, ("the",), ps=())
+
+
+def test_source_score_percentiles_arbitrary_p_matches_naive(spark):
+    """VERDICT r13 #5: the rank arithmetic generalizes to ANY rational
+    p — k = ceil(p·n) with p the exact fraction of the decimal
+    literal, selected via the division-free cross-multiplied
+    histogram condition. Property-check p ∈ {0.1, 0.9, 0.99} (plus
+    p=1.0 → the max) against the naive per-source sort on tie-heavy
+    seeded corpora, including n where ceil(p·n) lands exactly on a
+    class boundary; column names derive from 100·p."""
+    import math
+    import random
+    from fractions import Fraction
+
+    from rastercube_spark.operators.sampling import source_score_percentiles
+
+    ps = (0.1, 0.9, 0.99, 1.0)
+    names = ("p10", "p90", "p99", "p100")
+    rng = random.Random(987)
+    stop = ("the", "a")
+    for trial in range(4):
+        rows = []
+        n_docs = rng.randint(4, 80)
+        for i in range(n_docs):
+            src = f"s{rng.randint(0, 2)}"
+            dl = rng.randint(1, 6)
+            n_stop = rng.randint(0, min(2, dl))  # heavy score ties
+            toks = ["the"] * n_stop + ["w"] * (dl - n_stop)
+            rng.shuffle(toks)
+            rows.append((i, src, " ".join(toks)))
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        out = source_score_percentiles(docs, stop, ps=ps)
+        assert out.columns == ["source", "n_docs", *names]
+        got = {r["source"]: r for r in out.collect()}
+        by_src: dict[str, list[int]] = {}
+        for _i, src, text in rows:
+            tk = text.lower().split()
+            sc = math.floor(1e6 * sum(t in stop for t in tk) / len(tk))
+            by_src.setdefault(src, []).append(sc)
+        for src, scores in by_src.items():
+            scores.sort()
+            n = len(scores)
+            for p, name in zip(ps, names):
+                fr = Fraction(repr(float(p)))
+                k = -(-fr.numerator * n // fr.denominator)  # ceil(p·n)
+                assert got[src][name] == scores[k - 1], (
+                    trial, src, p, n, scores,
+                )

@@ -756,3 +756,43 @@ def test_knn_graph_stats_planted_hub(spark):
     # the hub absorbs an in-degree of n-1 (every other vector's top-1);
     # ties inside the perturbed ring can't reach that
     assert deg.get(n - 1) == 1
+
+
+def test_knn_graph_stats_persisted_index_bit_identical(spark, sf_dir, tmp_path):
+    """VERDICT r13 #2: qg8 over a persisted build-ann-index layout
+    (store_vectors=True) — coarse quantizer from the index metadata,
+    member-side cid from storage, probe lists re-derived from the
+    stored vectors — returns BIT-identical rows to the inline path
+    that trains and assigns per invocation (training is deterministic
+    and the index records the same n_coarse/coarse_iters recipe), and
+    refuses loudly when the index was built without vectors."""
+    import pytest
+
+    from rastercube_spark.operators.similarity import (
+        knn_graph_stats,
+        load_ann_index,
+        save_ann_index,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    inline = knn_graph_stats(e, dim=64).collect()
+
+    idx = str(tmp_path / "ann_index_vecs")
+    meta = save_ann_index(e, idx, dim=64, store_vectors=True)
+    assert meta["store_vectors"] is True
+    enc, meta2 = load_ann_index(spark, idx)
+    assert meta2["c_vec"] in enc.columns
+    indexed = knn_graph_stats(e, dim=64, index=(enc, meta2)).collect()
+
+    def keyed(rows):
+        return sorted((r["part"], r["key"], r["n"]) for r in rows)
+
+    assert keyed(indexed) == keyed(inline)
+    assert len(indexed) > 0
+
+    # slim index (no vectors) → loud refusal, not a silent wrong answer
+    slim = str(tmp_path / "ann_index_slim")
+    save_ann_index(e, slim, dim=64)
+    enc_s, meta_s = load_ann_index(spark, slim)
+    with pytest.raises(ValueError, match="store_vectors"):
+        knn_graph_stats(e, dim=64, index=(enc_s, meta_s))

@@ -23,10 +23,7 @@ will change next round.
 
 from __future__ import annotations
 
-import glob
-import json
 import os
-import re
 import sys
 
 sys.path.insert(
@@ -34,36 +31,14 @@ sys.path.insert(
 )
 
 from rastercube_spark import registry  # noqa: E402
+from rastercube_spark.attest import last_green_rounds  # noqa: E402
 
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
 WINDOW = 50
 
 
-def last_green_rounds() -> tuple[dict[str, int], dict[str, int]]:
-    """(strong, weak): query → last round with a fully-green row /
-    a rows-only green row (no hash compare — non-SQL-expressible)."""
-    strong: dict[str, int] = {}
-    weak: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        m = re.search(r"_r(\d+)\.json$", path)
-        rnd = int(m.group(1))
-        with open(path) as f:
-            rows = json.load(f)
-        for name, row in rows.items():
-            if not isinstance(row, dict) or row.get("err"):
-                continue
-            ok_rows = row.get("rows_match", False)
-            ok_schema = row.get("schema_match", True)
-            ok_hash = row.get("hash_match", None)
-            if ok_rows and ok_schema and ok_hash:
-                strong[name] = max(strong.get(name, 0), rnd)
-            elif ok_rows:
-                weak[name] = max(weak.get(name, 0), rnd)
-    return strong, weak
-
-
 def main() -> int:
-    strong, weak = last_green_rounds()
+    strong, weak = last_green_rounds(REPO)
     names = list(registry.queries())
     never = [n for n in names if n not in strong and n not in weak]
     ranked = sorted(

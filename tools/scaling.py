@@ -92,6 +92,12 @@ EXT64_OPS = (
     # per the SCALING.json provenance rule.
     "qf5_boilerplate_ngrams",
     "qf9_dup_rate_estimate",
+    # r14 (VERDICT r13 "Next round" #4): the steepest r13 curve — qg8
+    # (15.4× at 16×, but its 20k/80k legs read at loadavg 38/42, the
+    # sweep's own self-load) — re-measures its full curve with the
+    # big-leg idle gate below and pins the exponent at 320k with the
+    # √n discipline continued (n_coarse 256, sample 1024).
+    "qg8_knn_graph_stats",
 )
 # Raster analog of EXT64_OPS: qr08 was the third-steepest 16× row
 # (3.66×); its legs scale AREA, so the 64× point is scale=64
@@ -778,9 +784,11 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
         "qg8_knn_graph_stats": (
             lambda: knn_graph_stats(
                 emb, dim=DIM, k=10,
-                n_coarse={5_000: 32, 20_000: 64, 80_000: 128}[n],
+                n_coarse={5_000: 32, 20_000: 64, 80_000: 128,
+                          320_000: 256}[n],
                 nprobe=4,
-                sample_below={5_000: 128, 20_000: 256, 80_000: 512}[n],
+                sample_below={5_000: 128, 20_000: 256, 80_000: 512,
+                              320_000: 1024}[n],
             ),
             True,
         ),
@@ -815,7 +823,38 @@ def ops(spark: SparkSession, n: int) -> dict[str, tuple]:
             ),
             False,
         ),
+        # r14 (VERDICT r13 "Next round" #7): the END-TO-END curation
+        # composite a real run executes — exact dedup → LSH near-dup →
+        # quality gate → decontaminate (100-doc eval broadcast) → split
+        # → 128-token chunking. Each stage is oracle-gated on its own
+        # query; this leg prices the composition. Loop-inclusive (the
+        # per-stage report counts execute at construction). Expected
+        # ~q92+qa3-shaped (the LSH clustering dominates).
+        "pipeline_clean_corpus": (
+            lambda: _pipeline_composite(spark, docs),
+            True,
+        ),
     }
+
+
+def _pipeline_composite(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """clean_corpus end-to-end on the synthetic corpus (bench.py's
+    pipeline_clean_corpus composite at scaling sizes): 100 re-keyed
+    corpus docs as the eval set (their id%5 near-copies are real
+    leaks), 80/10/10 split, 128-token chunks."""
+    from rastercube_spark.operators.pipeline import clean_corpus
+
+    spark.catalog.clearCache()
+    eval_docs = docs.where(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 90_000_000).alias("doc_id"), "text"
+    )
+    cleaned, _report = clean_corpus(
+        docs,
+        eval_docs=eval_docs,
+        splits=[("train", 0.8), ("val", 0.1), ("test", 0.1)],
+        chunk_tokens=128,
+    )
+    return cleaned
 
 
 def _label_consistency(queries: DataFrame, emb: DataFrame) -> DataFrame:
@@ -1039,7 +1078,8 @@ def main() -> int:
                      "qg1_chunk_documents", "qg2_char_langid",
                      "qg3_template_prefixes", "qg4_source_dup_matrix",
                      "qg5_source_score_percentiles", "qg6_code_detect",
-                     "qg7_dup_cluster_histogram", "qg8_knn_graph_stats")
+                     "qg7_dup_cluster_histogram", "qg8_knn_graph_stats",
+                     "pipeline_clean_corpus")
     ] + [
         (name, EXT_SIZE) for name in EXT64_OPS
     ] + [(name, s) for s in RASTER_SIZES for name in RASTER_OPS] + [
@@ -1051,9 +1091,18 @@ def main() -> int:
         if True:
             if str(n) in curves.get(name, {}).get("seconds", {}):
                 continue
+            # Big-leg idle gate (VERDICT r13 "What's wrong" #3: qg8's
+            # 80k leg read 189.7 s at loadavg 42 — the sweep's own
+            # self-load still decaying out of the 1-minute average).
+            # Expensive legs wait, bounded, for the previous leg's
+            # burst to decay so their recorded loadavg_at_leg is an
+            # honest external-contention signal, not sweep self-load.
+            if n >= 80_000:
+                _wait_for_idle()
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--leg", name, str(n)],
-                capture_output=True, text=True, timeout=1800,
+                capture_output=True, text=True,
+                timeout=3600 if n >= EXT_SIZE else 1800,
             )
             t = la = None
             for line in proc.stdout.splitlines():
