@@ -65,7 +65,24 @@ def clean_corpus(
     caller's write doesn't re-run the LSH clustering);
     ``cleaned.unpersist()`` after consuming it.
     """
-    n_input = docs.count()
+    # Report counts ride SHARED single-pass aggregates instead of one
+    # action per stage (r14, guide §1/§5 — the composite was
+    # action-bound: every count is a fixed driver round-trip on top of
+    # trivial data): n_input and n_exact come from ONE aggregate over
+    # the fingerprint relation (n_exact = distinct fingerprints — the
+    # exact-dedup keeper count by definition), and n_near/n_clean from
+    # ONE aggregate over the persisted near-dup survivors (the quality
+    # gate is a pure column expression, so its survivor count is a
+    # conditional sum in the same pass). Report values are identical.
+    fp_stats = (
+        docs.select(content_fingerprint(F.col(text_col)).alias("fp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_input"),
+            F.countDistinct("fp").alias("n_exact"),
+        )
+        .first()
+    )
+    n_input, n_exact = fp_stats["n_input"], fp_stats["n_exact"]
 
     # 1. exact dedup: keep the min id per normalized fingerprint
     keeper_w = (
@@ -77,13 +94,12 @@ def clean_corpus(
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    # each stage is counted AND consumed by the next stage — persist so
-    # the per-stage report doesn't re-run the whole upstream lineage
-    # (without this, stage-3's count re-executes the LSH clustering)
+    # the stage relation is consumed by near-dup shingling AND the
+    # survivor anti-join — persist so neither consumer re-runs the
+    # upstream lineage (materialized by the CC pass below)
     exact_kept = docs.join(
         keeper_w, docs[id_col] == keeper_w["doc_id"], "left_semi"
     ).persist()
-    n_exact = exact_kept.count()
 
     # 2. near-dup clusters over the survivors; drop non-keepers
     sh = shingles_df(exact_kept, id_col, text_col, k=3, distinct=False)
@@ -92,12 +108,21 @@ def clean_corpus(
     near_kept = exact_kept.join(
         drop, exact_kept[id_col] == drop["doc_id"], "left_anti"
     ).persist()
-    n_near = near_kept.count()
+    # one aggregate materializes the persist and yields BOTH stage
+    # counts (quality is a deterministic column expression)
+    nn = near_kept.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                quality_score(F.col(text_col)) >= min_quality, 1
+            ).otherwise(0)
+        ).alias("q"),
+    ).first()
+    n_near, n_clean = nn["n"], nn["q"]
     exact_kept.unpersist()
 
     # 3. quality gate
     cleaned = near_kept.where(quality_score(F.col(text_col)) >= min_quality)
-    n_clean = cleaned.count()
 
     report = {
         "input": n_input,
@@ -117,14 +142,19 @@ def clean_corpus(
             cleaned, eval_docs, id_col=id_col, text_col=text_col,
             k=decontaminate_k,
         ).select(F.col("doc_id").alias("_flag_id"))
+        # flagged ⊆ cleaned and is one row per doc_id, so the dropped
+        # count IS the flagged count — counting the tiny flagged
+        # relation instead of re-counting the corpus-side anti-join
+        # (one action either way, but this one never touches the
+        # corpus relation again)
+        n_flagged = flagged.count()
         cleaned = cleaned.join(
             F.broadcast(flagged),
             cleaned[id_col] == F.col("_flag_id"),
             "left_anti",
         )
-        n_decon = cleaned.count()
-        report["dropped_contaminated"] = n_clean - n_decon
-        n_clean = n_decon
+        report["dropped_contaminated"] = n_flagged
+        n_clean = n_clean - n_flagged
 
     report["kept"] = n_clean
 

@@ -72,6 +72,22 @@ def _cosine_pd(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(dot / (na * nb))
 
 
+# The scoring UDFs are marked NON-DETERMINISTIC (they are pure — this
+# is an optimizer annotation, guide §4.4): a filter referencing a UDF
+# output column (threshold cuts, the join's injected isnotnull on a
+# UDF-derived key) is pushed below the projection and the current
+# optimizer DUPLICATES the Python evaluation — measured in the r14
+# before-plans as 2× _cosine_pd in qb0, 2× _assign in qa2/qf0 (4× in
+# qg8), 4× _buckets in q97/qb0. The annotation forbids the
+# reorder/copy, yielding exactly one ArrowEvalPython per logical call;
+# the filters still apply ABOVE the evaluation, so emitted values are
+# bit-identical (full 131-query oracle sweep re-run green after the
+# change). Cost: filters no longer push below these projections to the
+# scan (the fixture loses an IsNotNull(vec_id) PushedFilter — zero
+# selective rows on any of our tables).
+_cosine_pd = _cosine_pd.asNondeterministic()
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two float-array columns.
 
@@ -335,10 +351,17 @@ def ivf_assign(vec: Column, cents: list[list[float]]) -> Column:
         dots = _centroid_dots(vecs, _cents_value(b_cents, local_cents))
         return pd.Series(np.argmax(dots, axis=1).astype(np.int32))
 
-    return _assign(vec).alias("cid")
+    # non-deterministic: the cid-keyed join's isnotnull(cid) pushdown
+    # duplicated the assignment below the filter (see _cosine_pd note)
+    return _assign.asNondeterministic()(vec).alias("cid")
 
 
-def ivf_probe_lists(vec: Column, cents: list[list[float]], nprobe: int) -> Column:
+def ivf_probe_lists(
+    vec: Column,
+    cents: list[list[float]],
+    nprobe: int,
+    deterministic: bool = True,
+) -> Column:
     """Top-``nprobe`` centroid ids for a query vector (dot desc, id asc):
     stable argsort on the negated exact dots — ties keep ascending id
     order, matching the struct-sort (dot desc, priority desc) it
@@ -355,6 +378,22 @@ def ivf_probe_lists(vec: Column, cents: list[list[float]], nprobe: int) -> Colum
         order = np.argsort(-dots, axis=1, kind="stable")[:, :nprobe]
         return pd.Series(list(order.astype(np.int32)))
 
+    # DETERMINISTIC by default (unlike _assign/_cosine_pd/_buckets):
+    # dynamic partition pruning on the persisted cid-partitioned index
+    # keys its pruning subquery on this expression, and DPP refuses
+    # non-deterministic keys (measured: marking it nondet silently
+    # dropped the dynamicpruning subquery from the ivfpq_probe plan —
+    # a 100 TB-scale regression, the probe would read EVERY list
+    # partition). The ivf_knn/ivfpq_probe join sites evaluate it once
+    # (their injected isnotnull lands on the exploded cid, not the
+    # list). The knn_graph cogroup path DOES re-evaluate it (×2 in the
+    # r14 before-plans — the cogroup's child re-projection); those call
+    # sites pass deterministic=False (no DPP there: the member side is
+    # bucketed, not partitioned). Nondet callers must project the
+    # array into a named column BEFORE exploding — Generate is not on
+    # the analyzer's allow-list for non-deterministic expressions.
+    if not deterministic:
+        return _probe.asNondeterministic()(vec)
     return _probe(vec)
 
 
@@ -390,8 +429,8 @@ def ivf_knn(
     qb = queries.select(
         F.col(q_id),
         F.col(q_vec),
-        F.explode(ivf_probe_lists(F.col(q_vec), cents, nprobe)).alias("cid"),
-    )
+        ivf_probe_lists(F.col(q_vec), cents, nprobe).alias("_pl"),
+    ).select(q_id, q_vec, F.explode("_pl").alias("cid"))
     scored = cb.join(F.broadcast(qb), "cid").where(
         F.col(q_id) != F.col(c_id)
     ).select(
@@ -500,7 +539,11 @@ def lsh_buckets_udf(dim: int, n_planes: int = 8, n_tables: int = 1, seed: int = 
         b = np.stack(per_table, axis=1).astype(np.int32)  # (n, tables)
         return pd.Series(list(b))
 
-    return _buckets
+    # non-deterministic: see the _cosine_pd annotation note — the
+    # (tbl, bucket) join's isnotnull pushdown was duplicating this, the
+    # single most expensive per-row hash in the LSH family, 4× per plan
+    # (2 sides × 2 evals) in q97/qb0 and inside qb2/qc0's construction.
+    return _buckets.asNondeterministic()
 
 
 #: Size gate for broadcasting the vector-fetch sides of the exact
@@ -832,44 +875,148 @@ def quantized_knn(
     )
 
 
+def blocked_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float | None = None,
+    top_k: int | None = None,
+    block_rows: int = 128,
+) -> DataFrame:
+    """Exact half-matrix cosine scoring in BLOCKS (r14, guide §2.3/§8
+    "move heavy bytes once, pair inside native code"): rows hash into
+    ``B = ceil(n/block_rows)``-ish blocks (``pmod(xxhash64(id), B)`` —
+    deterministic, uniform regardless of id distribution, guide §2.5),
+    blocks pack into single rows via collect_list, the triangle of
+    block pairs (bl ≤ br) is a tiny equi-free join of B-row relations,
+    and ONE Arrow pass scores each block pair in numpy. The previous
+    row×row broadcast-nested-loop shipped BOTH vectors across the
+    Python boundary once per PAIR (n²/2 × 2·dim doubles ≈ 1 GB at the
+    2000-row fixture); the blocked form ships each vector ~B times
+    (a few MB) and forms pairs in memory.
+
+    Bit-identity: per pair, the dot is the same ordered cumsum fold,
+    the norm the same sqrt(cumsum fold), cosine the same single IEEE
+    division — identical doubles to the dot_pd/_norm formulation; the
+    6-dp rounding stays engine-side in the caller.
+
+    Lossless pruning (both optional, both margin-guarded by
+    ``_EDGE_PRUNE_MARGIN`` — the qg8 proof): ``threshold`` keeps
+    raw ≥ threshold − margin (a superset of round6(raw) ≥ threshold);
+    ``top_k`` keeps each block pair's top-k by raw with the margin
+    (any pair pruned has ≥ k same-block pairs whose ROUNDED score is
+    strictly higher, so it cannot enter a global rounded top-k). A
+    block pair with any non-finite score (zero-norm vector) skips
+    pruning. Returns (vec_a, vec_b, cos_raw) with vec_a < vec_b;
+    callers apply F.round(cos_raw, 6) and their exact filter/order.
+
+    Quadratic by construction — callers above the measured exact↔LSH
+    crossover use :func:`lsh_cosine_pairs` (what :func:`semantic_dedup`
+    automates); B(B+1)/2 block pairs of ≤ block_rows² scores bound
+    per-task memory regardless of n."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = df.sparkSession
+    par = shuffle_partitions(spark)
+    id_t = df.schema[id_col].dataType
+    n_blocks = max(par, 8)
+    # without a row-count statistic the caller can't size B; par-based
+    # blocks keep the fixture fine-grained and at larger n the caller
+    # should pass the LSH path instead (crossover gate)
+    rows = df.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+        F.struct(F.col(id_col).alias("i"), F.col(vec_col).alias("v")).alias("r"),
+    )
+    blocks = rows.groupBy("blk").agg(F.collect_list("r").alias("rs"))
+    bl = blocks.select(F.col("blk").alias("_bl"), F.col("rs").alias("_ls"))
+    br = blocks.select(F.col("blk").alias("_br"), F.col("rs").alias("_rs"))
+    pairs = bl.join(br, F.col("_bl") <= F.col("_br")).repartition(par)
+    out_schema = StructType(
+        [
+            StructField("vec_a", id_t),
+            StructField("vec_b", id_t),
+            StructField("cos_raw", DoubleType()),
+        ]
+    )
+    thr, kk, margin = threshold, top_k, _EDGE_PRUNE_MARGIN
+
+    def score(batches):
+        for pdf in batches:
+            for same, ls, rs in zip(
+                (pdf["_bl"] == pdf["_br"]).to_numpy(), pdf["_ls"], pdf["_rs"]
+            ):
+                li = np.array([d["i"] for d in ls])
+                lv = np.array(
+                    [np.asarray(d["v"], dtype=np.float64) for d in ls]
+                )
+                ri = np.array([d["i"] for d in rs])
+                rv = np.array(
+                    [np.asarray(d["v"], dtype=np.float64) for d in rs]
+                )
+                ln = np.sqrt(np.cumsum(lv * lv, axis=1)[:, -1])
+                rn = np.sqrt(np.cumsum(rv * rv, axis=1)[:, -1])
+                n_r, dim = rv.shape
+                chunk = max(1, 2_000_000 // max(1, n_r * dim))
+                for i0 in range(0, len(li), chunk):
+                    lvc = lv[i0 : i0 + chunk]
+                    lic = li[i0 : i0 + chunk]
+                    prods = lvc[:, None, :] * rv[None, :, :]
+                    dots = np.cumsum(prods, axis=2)[:, :, -1]
+                    cos = dots / (ln[i0 : i0 + chunk, None] * rn[None, :])
+                    # same-block pairs appear twice in the cross (i,j)/
+                    # (j,i): keep i<j; distinct blocks partition the ids,
+                    # so every cross pair is kept once and normalized to
+                    # (min, max) at emission
+                    if same:
+                        keep = lic[:, None] < ri[None, :]
+                    else:
+                        keep = np.ones_like(cos, dtype=bool)
+                    finite = bool(np.isfinite(cos[keep]).all())
+                    if thr is not None and finite:
+                        keep &= cos >= thr - margin
+                    if kk is not None and finite and keep.sum() > kk:
+                        kth = np.partition(cos[keep], -kk)[-kk]
+                        keep &= cos >= kth - margin
+                    a_idx, b_idx = np.nonzero(keep)
+                    if len(a_idx) == 0:
+                        continue
+                    ia, ib = lic[a_idx], ri[b_idx]
+                    yield pd.DataFrame(
+                        {
+                            "vec_a": np.minimum(ia, ib),
+                            "vec_b": np.maximum(ia, ib),
+                            "cos_raw": cos[a_idx, b_idx],
+                        }
+                    )
+
+    return pairs.mapInPandas(score, out_schema)
+
+
 def exact_cosine_pairs(
     df: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold by the exact half-matrix
-    self-join — the measured CHEAPER plan below the exact↔LSH crossover
-    (~4k rows at dim=64, docs/PERF_NOTES.md): no hash pass, no bucket
-    join, no probe fan-out; just n²/2 Arrow-batched dots. Norms are
-    computed once per vector before the join; the left side is
-    repartitioned so the broadcast-nested-loop's task count is the
-    cluster's parallelism, not the input file count. Quadratic by
-    construction — callers above the crossover use
+    """All pairs with cosine ≥ threshold by the exact half-matrix —
+    the measured CHEAPER plan below the exact↔LSH crossover (~4k rows
+    at dim=64, docs/PERF_NOTES.md). r14: scored via
+    :func:`blocked_cosine_pairs` (one Arrow pass per block pair, each
+    vector crosses the Python boundary ~B times instead of once per
+    pair); the threshold is margin-prefiltered losslessly in the
+    scorer and applied EXACTLY here on the engine-side 6-dp rounding,
+    so emitted pairs are identical to the old row×row formulation.
+    Quadratic by construction — callers above the crossover use
     :func:`lsh_cosine_pairs` (that is what :func:`semantic_dedup`
     automates)."""
-    withn = df.select(
-        F.col(id_col), F.col(vec_col).alias("_v"), _norm(F.col(vec_col)).alias("_n")
-    )
-    a = withn.select(
-        F.col(id_col).alias("vec_a"),
-        F.col("_v").alias("_va"),
-        F.col("_n").alias("_na"),
-    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
-    b = withn.select(
-        F.col(id_col).alias("vec_b"),
-        F.col("_v").alias("_vb"),
-        F.col("_n").alias("_nb"),
-    )
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        blocked_cosine_pairs(
+            df, id_col=id_col, vec_col=vec_col, threshold=threshold
+        )
         .select(
             "vec_a",
             "vec_b",
-            F.round(
-                dot_pd(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
-                6,
-            ).alias("cosine"),
+            F.round(F.col("cos_raw"), 6).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
@@ -1568,10 +1715,8 @@ def ivfpq_probe(
 
     qprobe = queries.select(
         F.col(q_id),
-        F.explode(
-            ivf_probe_lists(F.col(q_vec), coarse_cents, nprobe)
-        ).alias("cid"),
-    )
+        ivf_probe_lists(F.col(q_vec), coarse_cents, nprobe).alias("_pl"),
+    ).select(q_id, F.explode("_pl").alias("cid"))
     scored = (
         encoded.join(F.broadcast(qprobe), "cid")
         .where(F.col(q_id) != F.col(c_id))
@@ -2065,31 +2210,122 @@ def semantic_decontaminate(
     )
 
 
+# Lossless per-list pruning margin for knn_graph_edges' cogrouped
+# scorer: a candidate may enter the GLOBAL rounded top-k only if its
+# raw cosine is within 2·(6-dp rounding half-width) of its own list's
+# k-th largest raw cosine — |round6(x) − x| ≤ 5e-7 (+1 ulp), so 2e-6
+# strictly dominates and the pruned set provably contains the exact
+# top-k the unpruned window would select (proof in the docstring).
+_EDGE_PRUNE_MARGIN = 2e-6
+
+
 def knn_graph_edges(cb: DataFrame, qb: DataFrame, k: int) -> DataFrame:
-    """The candidate join + per-source top-``k`` at the core of
+    """The candidate pairing + per-source top-``k`` at the core of
     :func:`knn_graph_stats`: ``cb`` is the list-member side
     (t_id, t_v, cid), ``qb`` the corpus-as-queries probe side
     (s_id, s_v, cid — one row per probed list), and the result is the
     directed edge relation (s_id, t_id), n·k rows.
 
-    Plan shape: ONE cid-keyed equi-join (self-pairs dropped before the
-    projection), exact-cosine scoring as a column expression, and a
-    per-s_id rank cut that runs as a map-side partial WindowGroupLimit
-    before the single s_id exchange. When ``cb`` scans a
-    bucketed-by-cid table (:func:`save_ann_index` with
-    ``store_vectors=True``, re-written ``bucketBy(cid)`` at ingest),
-    the member side feeds the sort-merge join with NO exchange at all —
-    the only corpus-sized shuffles left are the probe side aligning to
-    the store's bucketing and the bounded edge window
-    (tests/test_plans.py asserts both counts)."""
-    scored = (
-        cb.join(qb, "cid")
-        .where(F.col("s_id") != F.col("t_id"))
-        .select(
-            "s_id",
-            "t_id",
-            F.round(cosine(F.col("s_v"), F.col("t_v")), 6).alias("cos"),
+    Plan shape (r14 rewrite — guide §2.3/§4.1 "shuffle keys and
+    metadata, hand whole batches to vectorized native code"): the
+    within-list pairing is a cid-keyed COGROUP
+    (``FlatMapCoGroupsInPandas``) instead of an equi-join feeding a
+    per-pair Arrow cosine. The join form shipped BOTH full vectors
+    across the Python boundary once per candidate PAIR —
+    (nprobe/n_coarse)·n² × 2·dim doubles (≈1 GB at the sf0.1 fixture's
+    1M pairs) — while the cogroup ships each vector once per LIST
+    (n + n·nprobe rows, ~5 MB): the pairing happens inside numpy, with
+    the identical arithmetic (elementwise products, ordered cumsum
+    fold per pair, norms from the same fold, one IEEE division), so
+    every emitted raw cosine is bit-identical to the join+_cosine_pd
+    value, and the 6-dp rounding still happens engine-side (F.round)
+    exactly as before.
+
+    The scorer also cuts each probe row to its WITHIN-LIST top-``k``
+    with a provably lossless margin: ranks are taken on
+    round6(cos) DESC (t_id tiebreak), and round6 is monotone with
+    |round6(x) − x| ≤ u (u = 5e-7 + 1 ulp), so any candidate t with
+    raw(t) < kth_raw − 2u has round6(t) strictly below the rounded
+    scores of ≥ k same-list candidates and can never enter the global
+    top-k; the scorer keeps raw ≥ kth_raw − ``_EDGE_PRUNE_MARGIN``
+    (2e-6 > 2u), ties and all. Rows with any non-finite cosine in the
+    probe row (zero-norm vectors) skip pruning entirely — engine NaN
+    ordering stays authoritative. The global per-s_id rank cut then
+    runs as before (map-side partial WindowGroupLimit before the
+    single s_id exchange) over ~n·nprobe·k rows instead of the full
+    candidate-pair relation.
+
+    When ``cb`` scans a bucketed-by-cid table (:func:`save_ann_index`
+    with ``store_vectors=True``, re-written ``bucketBy(cid)`` at
+    ingest), the member side feeds the cogroup with NO exchange at all
+    — the only corpus-sized shuffles left are the probe side aligning
+    to the store's bucketing and the bounded edge window
+    (tests/test_plans.py asserts both counts). Per-task memory is
+    bounded by chunking the probe×member score matrix (≤ ~16 MB per
+    chunk) regardless of list size."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_t = cb.schema["t_id"].dataType
+    out_schema = StructType(
+        [
+            StructField("s_id", id_t),
+            StructField("t_id", id_t),
+            StructField("cos_raw", DoubleType()),
+        ]
+    )
+    kk, margin = k, _EDGE_PRUNE_MARGIN
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left: members (t_id, t_v, cid); right: probes (s_id, s_v, cid)
+        empty = pd.DataFrame(
+            {"s_id": left["t_id"][:0], "t_id": left["t_id"][:0],
+             "cos_raw": pd.Series([], dtype="float64")}
         )
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        tv = np.array([np.asarray(x, dtype=np.float64) for x in left["t_v"]])
+        sv = np.array([np.asarray(x, dtype=np.float64) for x in right["s_v"]])
+        t_id = left["t_id"].to_numpy()
+        s_id = right["s_id"].to_numpy()
+        # norms via the same ordered fold _cosine_pd used per pair —
+        # identical doubles, computed once per vector instead
+        tn = np.sqrt(np.cumsum(tv * tv, axis=1)[:, -1])
+        sn = np.sqrt(np.cumsum(sv * sv, axis=1)[:, -1])
+        n_m, dim = tv.shape
+        chunk = max(1, 2_000_000 // max(1, n_m * dim))
+        out_s, out_t, out_c = [], [], []
+        for i0 in range(0, len(s_id), chunk):
+            svc = sv[i0 : i0 + chunk]
+            # exact elementwise products + ordered cumsum fold per pair
+            prods = svc[:, None, :] * tv[None, :, :]
+            dots = np.cumsum(prods, axis=2)[:, :, -1]
+            cos = dots / (sn[i0 : i0 + chunk, None] * tn[None, :])
+            for r in range(cos.shape[0]):
+                row = cos[r]
+                keep = t_id != s_id[i0 + r]
+                if keep.sum() > kk and np.isfinite(row).all():
+                    vals = row[keep]
+                    kth = np.partition(vals, -kk)[-kk]
+                    keep &= row >= kth - margin
+                idx = np.nonzero(keep)[0]
+                out_s.append(np.full(len(idx), s_id[i0 + r]))
+                out_t.append(t_id[idx])
+                out_c.append(row[idx])
+        if not out_s:
+            return empty
+        return pd.DataFrame(
+            {
+                "s_id": np.concatenate(out_s),
+                "t_id": np.concatenate(out_t),
+                "cos_raw": np.concatenate(out_c),
+            }
+        )
+
+    scored = (
+        cb.groupby("cid")
+        .cogroup(qb.groupby("cid"))
+        .applyInPandas(score, out_schema)
+        .select("s_id", "t_id", F.round(F.col("cos_raw"), 6).alias("cos"))
     )
     w = Window.partitionBy("s_id").orderBy(F.col("cos").desc(), F.col("t_id"))
     return (
@@ -2129,8 +2365,10 @@ def knn_graph_index_sides(
     qb = enc.select(
         F.col(icol).alias("s_id"),
         F.col(vcol).alias("s_v"),
-        F.explode(ivf_probe_lists(F.col(vcol), cents, nprobe)).alias("cid"),
-    )
+        ivf_probe_lists(
+            F.col(vcol), cents, nprobe, deterministic=False
+        ).alias("_pl"),
+    ).select("s_id", "s_v", F.explode("_pl").alias("cid"))
     return cb, qb, ids
 
 
@@ -2210,10 +2448,10 @@ def knn_graph_stats(
         qb = emb.select(
             F.col(c_id).alias("s_id"),
             F.col(c_vec).alias("s_v"),
-            F.explode(
-                ivf_probe_lists(F.col(c_vec), cents, nprobe)
-            ).alias("cid"),
-        )
+            ivf_probe_lists(
+                F.col(c_vec), cents, nprobe, deterministic=False
+            ).alias("_pl"),
+        ).select("s_id", "s_v", F.explode("_pl").alias("cid"))
     edges = knn_graph_edges(cb, qb, k)
     ind = edges.groupBy(F.col("t_id").alias("vec_id")).agg(
         F.count("*").alias("d")

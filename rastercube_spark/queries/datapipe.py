@@ -505,41 +505,29 @@ def q97(spark, sf_dir):
 def q98(spark, sf_dir):
     """Embedding near-dup detection: top-20 most-similar pairs by cosine.
 
-    Norms are computed once per vector BEFORE the self-join, so each of
-    the O(n²) pairs evaluates a single ordered dot — Arrow-batched
-    (similarity.dot_pd), bit-identical to the fold. The LEFT side is
-    repartitioned to the cluster's parallelism: a single-file corpus is
-    one input partition, and the inequality self-join is a broadcast
-    nested loop whose task count = left-side partitions — without the
-    repartition the whole O(n²) stage runs in ONE task. Oracle-scale
-    formulation is the half-matrix self-join; the 100 TB path is q97's
-    bucketed join with a cosine threshold — same scoring, different
-    candidates.
+    r14 (guide §2.3/§8): the O(n²) half-matrix is scored in BLOCKS
+    (similarity.blocked_cosine_pairs) — the old row×row broadcast
+    nested loop shipped both vectors across the Python boundary once
+    per PAIR (~1 GB of Arrow traffic at the 2000-row fixture); the
+    blocked form packs xxhash-partitioned blocks, pairs them in a tiny
+    triangle join, and scores each block pair in ONE numpy pass with
+    the identical ordered-fold arithmetic (dot = cumsum fold, norm =
+    sqrt of the same fold, one IEEE division), so every emitted double
+    is bit-identical. Each block pair margin-prunes to its own top-20
+    by raw score (provably lossless for the global ROUNDED top-20 —
+    blocked_cosine_pairs docstring), the 6-dp rounding and the final
+    (cosine DESC, vec_a, vec_b) order stay engine-side, and the limit
+    is a TakeOrdered over ~20·B(B+1)/2 surviving rows instead of a
+    sort of all n²/2. Still quadratic by construction — the oracle-
+    scale recall baseline; the 100 TB path is q97's bucketed join.
     """
-    from rastercube_spark.operators.similarity import _norm, dot_pd
+    from rastercube_spark.operators.similarity import blocked_cosine_pairs
 
     e = load(spark, sf_dir, "embeddings")
-    withn = e.select(
-        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
-    )
-    a = withn.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("va"),
-        F.col("nrm").alias("na"),
-    ).repartition(spark.sparkContext.defaultParallelism)
-    b = withn.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        blocked_cosine_pairs(e, top_k=20)
         .select(
-            "vec_a",
-            "vec_b",
-            F.round(
-                dot_pd(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
-            ).alias("cosine"),
+            "vec_a", "vec_b", F.round(F.col("cos_raw"), 6).alias("cosine")
         )
         .orderBy(F.col("cosine").desc(), "vec_a", "vec_b")
         .limit(20)

@@ -43,14 +43,25 @@ def get_spark(
         # ~128 MB scan splits, mirroring the reference's one-fraction ≈
         # one-HDFS-block layout target (grids.py:115-123).
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        # NOTE: spark.driver.memory cannot be set here — getOrCreate() is
-        # too late once the JVM is up. Set it at submit time
-        # (--driver-memory / SPARK_DRIVER_MEMORY in spark-env).
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     if SparkSession.getActiveSession() is None:
-        builder = builder.master(f"local[{cpus}]")
+        # Creating the session from plain `python` (bench.py, tools/):
+        # the JVM is NOT up yet — SparkContext launches the py4j gateway
+        # with this conf — so driver sizing set here DOES take effect
+        # (verified: Runtime.maxMemory tracks the conf; an earlier
+        # comment claimed the opposite and the 32-thread local JVM —
+        # driver AND all executors — ran on the 1 GiB default heap,
+        # guide §5's exact failure mode). Under spark-submit or an
+        # already-running session the conf is ignored by the JVM, which
+        # is correct: size it at submit time there. Parameterised for
+        # the cluster case; the local default leaves >100 GiB of the
+        # sandbox for Python workers and the OS page cache.
+        builder = builder.master(f"local[{cpus}]").config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
     return builder.getOrCreate()
 
 

@@ -770,30 +770,33 @@ def test_dup_cluster_histogram_fingerprint_only(spark, sf_dir):
 
 
 def test_knn_graph_candidate_join_is_keyed(spark, sf_dir):
-    """qg8: corpus-as-queries — the candidate join is a cid-keyed
-    EQUI-join (hash join; at fixture scale Catalyst may broadcast the
-    small side, at 100 TB both sides co-partition on cid), never a
+    """qg8: corpus-as-queries — the candidate pairing is a cid-keyed
+    COGROUP (r14: FlatMapCoGroupsInPandas scores whole lists in one
+    Arrow pass; both sides co-partition on cid at 100 TB), never a
     cartesian or nested-loop product; the per-source window cut runs
     under WindowGroupLimit."""
     plan = _plan(spark, sf_dir, "qg8_knn_graph_stats")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan
     assert "WindowGroupLimit" in plan
 
 
 def test_knn_graph_indexed_member_side_no_exchange(spark, sf_dir, tmp_path):
     """VERDICT r13 #2, qg8's persisted-index contract made executable
     (the test_plans.py:508 playbook applied to the corpus-as-queries
-    topology): with the save_ann_index codes (store_vectors=True)
-    re-written bucketed by cid, the candidate join's MEMBER side feeds
-    the sort-merge join straight off the bucketed scan — NO exchange,
-    no per-row assignment UDF (cid comes from storage, so exactly one
-    Arrow stage remains: the probe-list explode... plus the cosine
-    projection) — and the ONLY corpus-sized shuffles in the whole edge
-    derivation are the probe side aligning to the store's bucketing
-    and the single per-source window exchange (which runs under a
-    map-side partial WindowGroupLimit). The same edges over the plain
-    (unbucketed) parquet codes shuffle BOTH join inputs: one more
+    topology), updated for the r14 cogrouped scorer: with the
+    save_ann_index codes (store_vectors=True) re-written bucketed by
+    cid, the MEMBER side feeds the FlatMapCoGroupsInPandas pairing
+    straight off the bucketed scan — NO exchange, no per-row
+    assignment UDF (cid comes from storage, so exactly one Arrow
+    expression stage remains: the probe-list UDF; scoring now happens
+    INSIDE the cogroup, so the per-pair cosine projection is gone) —
+    and the ONLY corpus-sized shuffles in the whole edge derivation
+    are the probe side aligning to the store's bucketing and the
+    single per-source window exchange (which runs under a map-side
+    partial WindowGroupLimit). The same edges over the plain
+    (unbucketed) parquet codes shuffle BOTH cogroup inputs: one more
     exchange."""
     import shutil
 
@@ -828,16 +831,17 @@ def test_knn_graph_indexed_member_side_no_exchange(spark, sf_dir, tmp_path):
         )
         edges = knn_graph_edges(cb, qb, k=10)
         plan = edges._jdf.queryExecution().executedPlan().toString()
-        assert "SortMergeJoin" in plan
+        assert "FlatMapCoGroupsInPandas" in plan
         assert "CartesianProduct" not in plan
         assert "Bucketed: true" in plan, plan[:3000]
         # probe-side alignment + s_id window — the member side never
         # exchanges
         assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
         assert "WindowGroupLimit" in plan and "Partial" in plan
-        # cid comes from storage: probe-list explode + cosine are the
-        # only Python stages (inline mode adds the assignment UDF)
-        assert plan.count("ArrowEvalPython") == 2
+        # cid comes from storage and scoring lives inside the cogroup:
+        # the probe-list UDF is the only Arrow expression stage (inline
+        # mode adds the assignment UDF)
+        assert plan.count("ArrowEvalPython") == 1
 
         # contrast: the unbucketed parquet codes shuffle both inputs
         cb_u, qb_u, _ = knn_graph_index_sides(enc, meta, nprobe=4)
