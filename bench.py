@@ -275,7 +275,14 @@ COMPOSITES = {"pipeline_clean_corpus": _pipeline_clean_corpus}
 # function call, not just the noop sink of the returned plan.
 LOOP_INCLUSIVE = {"qb2_semantic_dedup", "qc0_balanced_sample",
                   "qe2_pq_knn", "qf0_ivfpq_knn", "qf6_ann_index_audit",
-                  "qg8_knn_graph_stats", "pipeline_clean_corpus"}
+                  "qg8_knn_graph_stats", "pipeline_clean_corpus",
+                  # r14: qb0's gated LUT rescore collects the (id, vec)
+                  # matrix at plan-construction time (bounded by the
+                  # 32 MB fetch-broadcast gate) — time the construction
+                  # too so that collect stays inside the measured
+                  # window (strictly MORE inclusive than the r13
+                  # methodology for this query).
+                  "qb0_cosine_pairs_lsh"}
 
 # Contaminated-window retry thresholds (VERDICT r12 #2): a query window
 # is contaminated when OTHER processes (ext) plus the hypervisor (steal)

@@ -68,37 +68,40 @@ def clean_corpus(
     # Report counts ride SHARED single-pass aggregates instead of one
     # action per stage (r14, guide §1/§5 — the composite was
     # action-bound: every count is a fixed driver round-trip on top of
-    # trivial data): n_input and n_exact come from ONE aggregate over
-    # the fingerprint relation (n_exact = distinct fingerprints — the
-    # exact-dedup keeper count by definition), and n_near/n_clean from
-    # ONE aggregate over the persisted near-dup survivors (the quality
-    # gate is a pure column expression, so its survivor count is a
-    # conditional sum in the same pass). Report values are identical.
-    fp_stats = (
-        docs.select(content_fingerprint(F.col(text_col)).alias("fp"))
-        .agg(
-            F.count(F.lit(1)).alias("n_input"),
-            F.countDistinct("fp").alias("n_exact"),
-        )
-        .first()
-    )
-    n_input, n_exact = fp_stats["n_input"], fp_stats["n_exact"]
+    # trivial data), and every relation a later stage re-reads is
+    # persisted at its first materialization so no column expression is
+    # evaluated twice (quality_score used to run 3×, chunking 2×, and
+    # the fingerprint pass had its own full-corpus stats scan). Report
+    # values are identical.
 
-    # 1. exact dedup: keep the min id per normalized fingerprint
+    # 1. exact dedup: keep the min id per normalized fingerprint. The
+    # keeper relation doubles as the decision table for the input/exact
+    # stats (n_input = Σ copies, n_exact = rows) — persisting it means
+    # the stats aggregate reads the tiny (doc_id, n_copies) relation
+    # instead of re-scanning + re-hashing the corpus (guide §8: decide
+    # on small rows).
     keeper_w = (
         docs.select(
             F.col(id_col).alias("doc_id"),
             content_fingerprint(F.col(text_col)).alias("fp"),
         )
         .groupBy("fp")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("_nc"))
+        .select("doc_id", "_nc")
+        .persist()
     )
+    fp_stats = keeper_w.agg(
+        F.coalesce(F.sum("_nc"), F.lit(0)).alias("n_input"),
+        F.count(F.lit(1)).alias("n_exact"),
+    ).first()
+    n_input, n_exact = fp_stats["n_input"], fp_stats["n_exact"]
     # the stage relation is consumed by near-dup shingling AND the
     # survivor anti-join — persist so neither consumer re-runs the
     # upstream lineage (materialized by the CC pass below)
     exact_kept = docs.join(
-        keeper_w, docs[id_col] == keeper_w["doc_id"], "left_semi"
+        keeper_w.select("doc_id"),
+        docs[id_col] == keeper_w["doc_id"],
+        "left_semi",
     ).persist()
 
     # 2. near-dup clusters over the survivors; drop non-keepers
@@ -120,9 +123,15 @@ def clean_corpus(
     ).first()
     n_near, n_clean = nn["n"], nn["q"]
     exact_kept.unpersist()
+    keeper_w.unpersist()
 
-    # 3. quality gate
-    cleaned = near_kept.where(quality_score(F.col(text_col)) >= min_quality)
+    # 3. quality gate — persisted: every later stage (decontamination
+    # shingling, split counts, chunking) re-reads the survivors, and
+    # without the persist each re-read re-ran the quality regex pass
+    # and the anti-join above it (3× at the bench composite)
+    cleaned = near_kept.where(
+        quality_score(F.col(text_col)) >= min_quality
+    ).persist()
 
     report = {
         "input": n_input,
@@ -190,6 +199,13 @@ def clean_corpus(
             # split EXACTLY — no join back to the corpus (a doc_id-keyed
             # join here would be the stage's only shuffle)
             chunks = split_assign(chunks, splits, key="doc_id")
+        # persist BEFORE the report aggregate: the agg materializes the
+        # chunk relation, so the caller's write (and the bench's sink)
+        # reads it back instead of re-running the chunker over the
+        # corpus — the same contract the docstring already promises for
+        # the cleaned relation ("the caller's write doesn't re-run the
+        # LSH clustering"); unpersist after consuming.
+        chunks = chunks.persist()
         tot = chunks.agg(
             F.count("*").alias("n"),
             F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t"),

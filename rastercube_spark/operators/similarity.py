@@ -641,33 +641,115 @@ def lsh_cosine_pairs(
         .where(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
         .distinct()
+    )
+    if corpus_rows is not None and corpus_rows * dim * 8 <= _FETCH_BROADCAST_BYTES:
+        # r14 (guide §8, §2.3): under the same 32 MB gate that used to
+        # broadcast the two vector-fetch sides, skip the fetch JOINS
+        # entirely — collect (id, vec) once (bounded by the gate, the
+        # sc.broadcast LUT pattern of the PQ codebooks), ship it to each
+        # task as a broadcast matrix, and score candidates in one numpy
+        # pass. The old path moved 2·dim doubles PER CANDIDATE PAIR
+        # through two joins and the Arrow boundary (~520 MB at the
+        # sf0.1 fixture's 506k candidates); this ships two ids per pair
+        # (~8 MB) and each vector crosses once per task inside the
+        # broadcast. Arithmetic is the identical ordered cumsum fold +
+        # one IEEE division (norms precomputed per vector — the same
+        # doubles _cosine_pd derived per pair), so every emitted value
+        # is bit-identical; the Python-side threshold cut keeps
+        # raw ≥ threshold − _EDGE_PRUNE_MARGIN (a proven superset of
+        # round6(raw) ≥ threshold, NaNs kept) and the EXACT filter on
+        # the engine-side rounding below is unchanged. Above the gate
+        # the keyed fetch joins remain the 100 TB path.
+        # the LUT path has no fan-out, so AQE's byte-sized coalescing of
+        # the narrow (id, id) pair rows is exactly right — no re-spread
+        scored = _lut_rescore(df, cand, threshold, id_col, vec_col)
+    else:
         # AQE coalesces the narrow (id, id) pair rows toward its
         # post-shuffle byte target, blind to the ~32× fan-out the
-        # vector-fetch joins below are about to apply (two dim-wide
-        # float arrays per row) — on the fixture that serialized the
-        # whole rescore into one Arrow batch on one core. Re-spread the
+        # vector-fetch joins are about to apply (two dim-wide float
+        # arrays per row) — on the fixture that serialized the whole
+        # rescore into one Arrow batch on one core. Re-spread the
         # candidates BEFORE attaching vectors; rows here are two ids.
-        .repartition(par)
-    )
-    va = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
-    vb = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
-    if corpus_rows is not None and corpus_rows * dim * 8 <= _FETCH_BROADCAST_BYTES:
-        va, vb = F.broadcast(va), F.broadcast(vb)
-    scored = (
-        cand.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+        cand = cand.repartition(par)
+        va = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
+        vb = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
+        scored = (
+            cand.join(va, "vec_a")
+            .join(vb, "vec_b")
+            .select(
+                "vec_a",
+                "vec_b",
+                F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+            )
         )
-        .where(F.col("cosine") >= threshold)
-    )
+    scored = scored.where(F.col("cosine") >= threshold)
     if k is None:
         # full above-threshold pair set (e.g. as the edge relation for
         # semantic-dedup clustering); caller orders if it needs order
         return scored
     return scored.orderBy(F.col("cosine").desc(), "vec_a", "vec_b").limit(k)
+
+
+def _lut_rescore(
+    df: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact cosine for an (vec_a, vec_b) candidate relation via a
+    broadcast (id → vector) lookup matrix: one bounded driver collect
+    (callers gate on ``_FETCH_BROADCAST_BYTES``), one ``sc.broadcast``,
+    one ``mapInPandas`` whose Arrow traffic is two ids per pair.
+    Returns (vec_a, vec_b, cosine) with the engine-side 6-dp rounding;
+    rows below ``threshold − _EDGE_PRUNE_MARGIN`` are pre-cut in numpy
+    (lossless for the exact ``cosine >= threshold`` filter the caller
+    applies — see :func:`blocked_cosine_pairs` for the margin proof)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    lut_pdf = df.select(F.col(id_col), F.col(vec_col)).toPandas()
+    ids = lut_pdf[id_col].to_numpy()
+    mat = np.array(
+        [np.asarray(v, dtype=np.float64) for v in lut_pdf[vec_col]]
+    )
+    # same ordered fold _cosine_pd evaluates per pair — identical doubles
+    nrm = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+    bc = df.sparkSession.sparkContext.broadcast((ids, mat, nrm))
+    id_t = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("vec_a", id_t),
+            StructField("vec_b", id_t),
+            StructField("cos_raw", DoubleType()),
+        ]
+    )
+    thr, margin = threshold, _EDGE_PRUNE_MARGIN
+
+    def score(batches):
+        ids_, mat_, nrm_ = bc.value
+        index = {i: r for r, i in enumerate(ids_)}  # once per task
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ra = pdf["vec_a"].map(index).to_numpy()
+            rb = pdf["vec_b"].map(index).to_numpy()
+            prods = mat_[ra] * mat_[rb]
+            dots = np.cumsum(prods, axis=1)[:, -1]
+            cos = dots / (nrm_[ra] * nrm_[rb])
+            keep = ~(cos < thr - margin)  # NaN compares False → kept
+            if not keep.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy()[keep],
+                    "vec_b": pdf["vec_b"].to_numpy()[keep],
+                    "cos_raw": cos[keep],
+                }
+            )
+
+    return cand.mapInPandas(score, out_schema).select(
+        "vec_a", "vec_b", F.round(F.col("cos_raw"), 6).alias("cosine")
+    )
 
 
 def probe_masks(n_planes: int, probe_hamming: int) -> list[int]:

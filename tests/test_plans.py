@@ -126,14 +126,15 @@ def test_lsh_hash_pass_not_rebalanced(spark, sf_dir):
     """The r9 A/B measured a rebalance BEFORE qb0's Arrow hash pass
     strictly harmful at fixture scale (2.13/1.90 s without vs 2.57/2.29 s
     with) and a no-op on many-file production scans — it was reverted
-    (docs/PERF_NOTES.md r9). qb0's plan carries exactly ONE round-robin
-    exchange: the post-DISTINCT candidate re-spread before the
-    vector-fetch fan-out (operators/similarity.py — AQE coalesces the
-    narrow pair rows blind to the fan-out). A re-added hash-pass
-    rebalance would show up as a second RoundRobin and fail here, so
-    the negative A/B result can't silently flip back."""
+    (docs/PERF_NOTES.md r9). r14: the post-DISTINCT candidate re-spread
+    (the one RoundRobin this test used to pin) moved onto the over-gate
+    fetch-join branch only — the LUT rescore has no vector fan-out, so
+    AQE's byte-sized coalescing of the narrow pair rows is correct and
+    qb0's gated plan carries NO round-robin exchange at all. A re-added
+    hash-pass rebalance (or a re-spread on the LUT branch) would show
+    up here, so neither negative result can silently flip back."""
     plan = _plan(spark, sf_dir, "qb0_cosine_pairs_lsh")
-    assert plan.count("RoundRobinPartitioning") == 1
+    assert plan.count("RoundRobinPartitioning") == 0
 
 
 def test_sampled_anchor_filter_below_distinct(spark, sf_dir):
@@ -367,13 +368,15 @@ def test_neardup_decontaminate_reuses_banding_exchange(spark, sf_dir):
 
 
 def test_lsh_rescore_fetch_broadcast_gate(spark, sf_dir):
-    """r9: the exact-rescore vector-fetch joins must broadcast at PLAN
-    time when corpus_rows says the vectors fit the gate, and fail
-    CLOSED to keyed joins when it says they don't (the 100 TB side).
-    The optimizer's own size-estimate broadcast is disabled for the
-    check so the plan shape isolates the HINT — at fixture scale
-    Catalyst would broadcast tiny parquet regardless, which is exactly
-    what a 100 TB corpus cannot rely on."""
+    """r9 gate, r14 form: when corpus_rows says the vectors fit the
+    32 MB gate, the exact rescore now runs as the broadcast-LUT
+    ``mapInPandas`` (NO vector-fetch joins at all — candidates ship two
+    ids per pair and the matrix rides one sc.broadcast); when it says
+    they don't (the 100 TB side), the rescore fails CLOSED to keyed
+    fetch joins with NO broadcast. The optimizer's own size-estimate
+    broadcast is disabled for the check so the plan shape isolates the
+    gate — at fixture scale Catalyst would broadcast tiny parquet
+    regardless, which is exactly what a 100 TB corpus cannot rely on."""
     from rastercube_spark.operators.similarity import lsh_cosine_pairs
     from rastercube_spark.sources.tables import load
 
@@ -389,11 +392,18 @@ def test_lsh_rescore_fetch_broadcast_gate(spark, sf_dir):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         small = plan(corpus_rows=500)
-        # both fetch joins build broadcast sides purely from the hint
-        assert small.count("BroadcastHashJoin") >= 2, small
+        # under the gate: LUT rescore — one MapInPandas; the only join
+        # left is the (tbl, bucket) candidate join (no fetch joins)
+        assert "MapInPandas" in small, small
+        assert "BroadcastHashJoin" not in small, small
+        assert (
+            small.count("SortMergeJoin") + small.count("ShuffledHashJoin") == 1
+        ), small
         big = plan(corpus_rows=10_000_000)  # ~5 GB of vectors: over gate
+        assert "MapInPandas" not in big, big
         assert "BroadcastHashJoin" not in big, big
-        assert big.count("SortMergeJoin") + big.count("ShuffledHashJoin") >= 2, big
+        # candidate join + two keyed vector-fetch joins
+        assert big.count("SortMergeJoin") + big.count("ShuffledHashJoin") == 3, big
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
