@@ -59,8 +59,21 @@ _ORACLES: dict[str, str] = {}
 #            land while the cap holds; at 131 (r14, net-new 0) the
 #            contract stays satisfiable indefinitely.
 #
-# Round 14 changed set — four entries, the exact diff of
-# rastercube_spark.attest.all_hashes() vs the r13 baseline:
+# Round 14 changed set — eleven entries, the exact diff of
+# rastercube_spark.attest.all_hashes() vs the r13 baseline. Seven are
+# the r14 OPTIMIZATION closures (plan changed, values bit-identical —
+# the whole point of the round; OPTIMIZATION_r14.md entries 1-4):
+# q97_lsh_knn / qa2_ivf_knn (scoring UDFs marked non-deterministic so
+# Catalyst stops duplicating the ArrowEvalPython nodes, guide §4.4);
+# q98_cosine_pairs_topk (per-pair UDF → blocked_cosine_pairs GEMM);
+# qb0_cosine_pairs_lsh (LUT rescore under the 32 MB broadcast gate);
+# qb2_semantic_dedup / qc0_balanced_sample (same LUT path via
+# lsh_cosine_pairs, plus the nondet scoring UDFs in their
+# construction-time pair search); qf6_ann_index_audit (closure moved
+# with the shared similarity.py helper edits — its own plan and
+# values are unchanged, plans/r14/qf6_* before==after shape). The
+# other four predate the
+# optimization phase (landed in 6befde9, the r13 mid-build tail):
 # qg8_knn_graph_stats changed because knn_graph_stats grew the
 # persisted-index mode (VERDICT r13 #2 — index=(enc, meta) from
 # build-ann-index --store-vectors reads cid from storage and the
@@ -84,21 +97,29 @@ _ORACLES: dict[str, str] = {}
 # vectors with (same single map-only corpus pass); the default plan
 # and all emitted values are unchanged.
 ATTEST_CHANGED: tuple[str, ...] = (
+    "q97_lsh_knn",
+    "q98_cosine_pairs_topk",
+    "qa2_ivf_knn",
+    "qb0_cosine_pairs_lsh",
+    "qb2_semantic_dedup",
+    "qc0_balanced_sample",
     "qf0_ivfpq_knn",
     "qf4_hybrid_rrf",
+    "qf6_ann_index_audit",
     "qg5_source_score_percentiles",
     "qg8_knn_graph_stats",
 )
 
-# The 46 remaining window slots go oldest-first per tools/
+# The 39 remaining window slots go oldest-first per tools/
 # rotate_window.py's ground-truth reading of the CORRECTNESS_r*
 # artifacts: FIRST the full thirty-six-query r11 cohort at the
 # 2-round staleness ceiling (judged at r13; the tier-2 rule makes
 # this head MANDATORY — VERDICT r13 "What's wrong" #1 names exactly
-# these 36), then the ten oldest r12-attested queries (q10 … q21 in
-# the planner's order) for the remaining slots, pulling the r12
-# cohort's tail forward so r15's mandatory head shrinks to the 12
-# r12-attested queries left over plus whatever r15 changes.
+# these 36), then the three oldest r12-attested queries (q10/q11/q12
+# in the planner's order) for the remaining slots. The r14
+# optimization closures consumed seven of the ten pull-forward slots
+# the original r14 rotation had reserved; the r12 cohort's remaining
+# 19 queries hit the ceiling at r15 and must lead that window.
 ATTEST_STALE: tuple[str, ...] = (
     "q33_running_total",
     "q40_global_topk",
@@ -139,13 +160,6 @@ ATTEST_STALE: tuple[str, ...] = (
     "q10_inner_equi",
     "q11_broadcast_join",
     "q12_sort_merge_join",
-    "q13_left_outer_null",
-    "q14_left_semi",
-    "q15_left_anti",
-    "q16_theta_join",
-    "q18_copartitioned_zip",
-    "q19_range_join",
-    "q21_count_distinct",
 )
 
 ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE
