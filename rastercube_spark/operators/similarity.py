@@ -2116,13 +2116,21 @@ def ann_index_audit(
     chain the oracle's CASE pivot evaluates. The histogram bin is
     floor of one further IEEE division of that identical double.
 
-    Scale shape: both trainings read a bounded id-pruned sample (O(1)
-    in corpus size); the audit proper is ONE Arrow-vectorized pass over
-    the corpus for IVF assignment and ONE for PQ encode+error (each
-    emitting a few integers per row), followed by three map-side-
-    combinable groupBys whose results are index-sized (n_lists + m +
-    a few dozen bins), not corpus-sized. No joins, no pairs, no
-    corpus shuffle — asserted in tests/test_plans.py."""
+    Scale shape (r14, guide §1.2/§2.3 — was THREE full corpus passes:
+    one scan per union branch, the ×3 `_enc_err` in the r14 before-plan
+    sweep): both trainings read a bounded id-pruned sample (O(1) in
+    corpus size); the audit proper is ONE pass over the corpus — a
+    single projection evaluates both Arrow UDFs (IVF assignment + PQ
+    encode/error), every per-row statistic rides one explode of a
+    constant-size (1 + m + 1)-element (part, key, val) array, and the
+    three histograms fall out of one two-level keyed aggregation
+    (groupBy (part, key, val) → groupBy (part, key); the distinct-
+    codeword count is the row count of the first level, so no Expand).
+    Both aggregation keys are index-sized (n_lists + m·pq_cents + a few
+    dozen bins), not corpus-sized; the values are provably identical to
+    the old three-branch union (same count / count-distinct semantics
+    per part). No joins, no pairs, no corpus shuffle, exactly one scan
+    — asserted in tests/test_plans.py."""
     sub_d = dim // m
     cents = train_ivf_centroids(
         emb, dim, n_cents=ivf_cents, n_iters=ivf_iters,
@@ -2131,13 +2139,6 @@ def ann_index_audit(
     sums, cnts = train_pq_codebooks(
         emb, dim, m=m, n_cents=pq_cents, n_iters=pq_iters,
         sample_below=sample_below, id_col=id_col, vec_col=vec_col,
-    )
-
-    ivf_part = (
-        emb.select(ivf_assign(F.col(vec_col), cents).alias("key"))
-        .groupBy("key")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .select(F.lit("ivf_list").alias("part"), F.col("key").cast("int"), "n")
     )
 
     b_cb = emb.sparkSession.sparkContext.broadcast((sums, cnts))
@@ -2169,26 +2170,65 @@ def ann_index_audit(
             err = err + num / (cc[s][code] ** 2)
         return pd.DataFrame({"codes": list(codes), "err": err})
 
-    enc = emb.select(_enc_err(F.col(vec_col)).alias("e")).select(
-        F.col("e.codes").alias("codes"), F.col("e.err").alias("err")
+    # ONE corpus pass: both Arrow UDFs in a single projection, then a
+    # constant-fan-out explode of (part, key, val) rows — the ivf_list
+    # row (key=cid), the m pq_codes rows (key=subspace, val=codeword)
+    # and the pq_err row (key=error bin) per vector.
+    enc = emb.select(
+        _enc_err(F.col(vec_col)).alias("e"),
+        ivf_assign(F.col(vec_col), cents),
     )
-    codes_part = (
-        enc.select(F.posexplode("codes").alias("s", "cid"))
-        .groupBy("s")
-        .agg(F.countDistinct("cid").cast("bigint").alias("n"))
-        .select(F.lit("pq_codes").alias("part"), F.col("s").cast("int"), "n")
-    )
-    err_part = (
-        enc.select(
-            F.floor(F.col("err") / F.lit(err_bin)).cast("int").alias("key")
-        )
-        .groupBy("key")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .select(F.lit("pq_err").alias("part"), "key", "n")
+    rows = enc.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.lit("ivf_list").alias("part"),
+                        F.col("cid").cast("int").alias("key"),
+                        F.lit(None).cast("int").alias("val"),
+                    )
+                ),
+                F.transform(
+                    F.col("e.codes"),
+                    lambda c, s: F.struct(
+                        F.lit("pq_codes").alias("part"),
+                        s.cast("int").alias("key"),
+                        c.cast("int").alias("val"),
+                    ),
+                ),
+                F.array(
+                    F.struct(
+                        F.lit("pq_err").alias("part"),
+                        F.floor(F.col("e.err") / F.lit(err_bin))
+                        .cast("int")
+                        .alias("key"),
+                        F.lit(None).cast("int").alias("val"),
+                    )
+                ),
+            )
+        ).alias("r")
+    ).select("r.part", "r.key", "r.val")
+    # Two-level keyed aggregation, identical values to the old
+    # three-branch union: level 1 collapses duplicate (part, key, val)
+    # triples with their row count; level 2 takes the row count of
+    # level 1 for pq_codes (= COUNT(DISTINCT codeword) per subspace —
+    # val is unique within the group) and the summed count for the two
+    # NULL-val parts (= plain COUNT(*) per key). No Expand, map-side
+    # combinable at both levels, index-sized results.
+    per_val = rows.groupBy("part", "key", "val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
     )
     return (
-        ivf_part.unionByName(codes_part.toDF("part", "key", "n"))
-        .unionByName(err_part)
+        per_val.groupBy("part", "key")
+        .agg(
+            F.sum(
+                F.when(F.col("part") == "pq_codes", F.lit(1)).otherwise(
+                    F.col("c")
+                )
+            )
+            .cast("bigint")
+            .alias("n")
+        )
         .orderBy("part", "key")
     )
 

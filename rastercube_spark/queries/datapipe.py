@@ -3659,10 +3659,12 @@ def qf6(spark, sf_dir):
     direct-ADC recall dies). One (part, key, n) relation, trainings
     identical to qa2/qe2 so the oracle replays everything bit-for-bit.
 
-    100 TB shape (operator docstring): bounded-sample trainings, two
-    Arrow passes over the corpus, three map-side-combinable groupBys
-    with index-sized (not corpus-sized) results; no joins, no pairs,
-    no corpus shuffle. No reference analog — LLM-pipeline surface
+    100 TB shape (operator docstring; r14 single-pass rewrite): bounded-
+    sample trainings, then ONE pass over the corpus — both Arrow UDFs in
+    a single projection, a constant-fan-out explode, and a two-level
+    keyed aggregation with index-sized (not corpus-sized) results; no
+    joins, no pairs, no corpus shuffle, exactly one scan (was three —
+    one per union branch). No reference analog — LLM-pipeline surface
     (builder brief)."""
     from rastercube_spark.operators.similarity import ann_index_audit
 

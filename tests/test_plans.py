@@ -624,10 +624,12 @@ def test_boilerplate_map_side_shingles_takeordered(spark, sf_dir):
 
 
 def test_ann_index_audit_no_joins_no_corpus_shuffle(spark, sf_dir):
-    """qf6: the audit is two Arrow passes + three map-side-combinable
-    groupBys over index-sized keys — NO join of any kind, no pair
-    relation, and the only Generate is the 16-element code posexplode
-    (constant fan-out, not corpus×corpus)."""
+    """qf6 (r14 single-pass shape): the audit reads the corpus EXACTLY
+    ONCE — one scan, one Arrow projection evaluating both UDFs, one
+    constant-fan-out Generate of (part, key, val) rows, two keyed
+    aggregations over index-sized keys. NO join of any kind, no pair
+    relation, no union of re-scanned branches (the r14 before-plan had
+    three full corpus scans, one per union branch)."""
     plan = _plan(spark, sf_dir, "qf6_ann_index_audit")
     for op in (
         "CartesianProduct",
@@ -635,8 +637,11 @@ def test_ann_index_audit_no_joins_no_corpus_shuffle(spark, sf_dir):
         "SortMergeJoin",
         "ShuffledHashJoin",
         "BroadcastHashJoin",
+        "Union",
     ):
         assert op not in plan, op
+    assert plan.count("Scan parquet") == 1, "corpus must be read once"
+    assert plan.count("ArrowEvalPython") == 1, "both UDFs in one stage"
     assert plan.count("Generate") <= 1
     assert "HashAggregate" in plan
 
