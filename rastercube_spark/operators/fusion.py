@@ -55,9 +55,11 @@ def hybrid_rrf(
     leg (RRF's missing-leg contribution is 0).
 
     Scale shape: the corpus id-join is one keyed equi-join (both sides
-    prune to two columns); the lexical leg is qe5's — map-only dl from
-    size(split()), the explode feeds ONLY the term IN-filter, df and
-    the per-(q, term-index) map broadcast; the embedding leg broadcasts
+    prune to two columns); the lexical leg is qe5's — one base
+    projection carries (dl, pre-filtered term array), the explode sees
+    only matching terms and carries dl through its groupBy (two
+    tokenize passes total, no full-corpus dl join), df and the
+    per-(q, term-index) map broadcast; the embedding leg broadcasts
     the |specs|-row query side over one corpus pass (brute-force cosine
     is the recall-1.0 baseline); ``ann_leg=True`` swaps the embedding
     leg onto qf0's IVF×PQ index (VERDICT r12 "Next round" #5 — probe
@@ -93,24 +95,33 @@ def hybrid_rrf(
     all_terms = tuple(dict.fromkeys(tok for _, _, tok in qterm_rows))
     qterms = spark.createDataFrame(qterm_rows, "q_id int, ti int, tok string")
 
-    toks = corpus.select(
+    # r14 (guide §6.2/§2.2): one base projection carries (dl, matched
+    # terms) per document — size() and the HOF filter() share the split
+    # via codegen subexpression elimination — so the corpus is tokenized
+    # twice (stats + tf) instead of four times, and dl rides the tf
+    # groupBy instead of shuffling the full-corpus dl relation into a
+    # join. Same doubles everywhere (dl is constant per group; max()
+    # re-reads it). Mirrors bm25_topk's r14 shape.
+    tk = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = corpus.select(
         "doc_id",
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__tk"),
+        F.size(tk).alias("dl"),
+        F.filter(tk, lambda t: t.isin(*all_terms)).alias("__mt"),
     )
-    dl = toks.select("doc_id", F.size("__tk").alias("dl"))
-    st = dl.agg(
+    st = base.agg(
         (F.sum("dl").cast("double") / F.count("dl").cast("double")).alias(
             "avgdl"
         ),
         F.count("dl").cast("double").alias("n_docs"),
     )
     tf = (
-        toks.select("doc_id", F.explode("__tk").alias("tok"))
-        .where(F.col("tok").isin(*all_terms))
+        base.select("doc_id", "dl", F.explode("__mt").alias("tok"))
         .groupBy("doc_id", "tok")
-        .agg(F.count("*").cast("double").alias("tf"))
+        .agg(F.count("*").cast("double").alias("tf"), F.max("dl").alias("dl"))
     )
-    dfreq = tf.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
+    dfreq = tf.select("tok").groupBy("tok").agg(
+        F.count("*").cast("double").alias("df")
+    )
     sc_expr = (
         (F.col("n_docs") - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
@@ -127,7 +138,6 @@ def hybrid_rrf(
     )
     per_term = (
         tf.join(F.broadcast(dfreq), "tok")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(st))
         .join(F.broadcast(qterms), "tok")
         .where(F.col("doc_id") != F.col("q_id"))

@@ -127,35 +127,43 @@ def bm25_topk(
     MAX per term, coalesce to 0.0 — never a float SUM, whose order the
     engine may permute). Rounded to 6 dp BEFORE ranking, id tie-break.
 
-    Scale shape: document length comes from ``size(split(...))`` — a
-    map-only pass, no explode; the explode feeds ONLY the term filter,
-    which prunes to the query's terms immediately (tf rows ≈ hit docs ×
-    terms); df is a |terms|-row aggregate that broadcasts back; the
-    global top-k is orderBy+limit → TakeOrdered, never a full sort.
-    Tokenization matches the shingle convention (lower, trim, split on
-    runs of whitespace)."""
+    Scale shape (r14, guide §6.2/§2.2): ONE base projection per document
+    carries (dl, matched-terms array) — size() and a HOF filter() over
+    the same split, evaluated once per row by codegen subexpression
+    elimination. avgdl/N aggregate the narrow (doc_id, dl) side of that
+    projection; the explode sees ONLY the pre-filtered array (tf rows ≈
+    hit docs × terms) and carries dl through the groupBy, so the old
+    full-corpus dl relation never shuffles into a join. Two tokenize
+    passes over the corpus total (stats + tf) instead of four; df is a
+    |terms|-row aggregate that broadcasts back; the global top-k is
+    orderBy+limit → TakeOrdered, never a full sort. Tokenization matches
+    the shingle convention (lower, trim, split on runs of whitespace)."""
     # A duplicated term must not score twice (ADVICE r11: the fixed-order
     # addition chain below iterates the tuple, so a repeat would silently
     # double that term's contribution; only the CLI used to dedup).
     terms = tuple(dict.fromkeys(terms))
-    toks = docs.select(
+    tk = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__tk"),
+        F.size(tk).alias("dl"),
+        F.filter(tk, lambda t: t.isin(*terms)).alias("__mt"),
     )
-    dl = toks.select("doc_id", F.size("__tk").alias("dl"))
-    st = dl.agg(
+    st = base.agg(
         (
             F.sum("dl").cast("double") / F.count("dl").cast("double")
         ).alias("avgdl"),
         F.count("dl").cast("double").alias("n_docs"),
     )
     tf = (
-        toks.select("doc_id", F.explode("__tk").alias("tok"))
-        .where(F.col("tok").isin(*terms))
+        base.select("doc_id", "dl", F.explode("__mt").alias("tok"))
         .groupBy("doc_id", "tok")
-        .agg(F.count("*").cast("double").alias("tf"))
+        # dl is constant within a doc's group; max() re-reads it without
+        # joining the full-corpus dl relation back in (identical value)
+        .agg(F.count("*").cast("double").alias("tf"), F.max("dl").alias("dl"))
     )
-    df = tf.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
+    df = tf.select("tok").groupBy("tok").agg(
+        F.count("*").cast("double").alias("df")
+    )
     rarity = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
         F.col("df") + F.lit(0.5)
     )
@@ -176,7 +184,6 @@ def bm25_topk(
     )
     scored = (
         tf.join(F.broadcast(df), "tok")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(st))
         .select("doc_id", "tok", sc.alias("sc"))
     )

@@ -59,10 +59,10 @@ _ORACLES: dict[str, str] = {}
 #            land while the cap holds; at 131 (r14, net-new 0) the
 #            contract stays satisfiable indefinitely.
 #
-# Round 14 changed set — eleven entries, the exact diff of
-# rastercube_spark.attest.all_hashes() vs the r13 baseline. Seven are
+# Round 14 changed set — twelve entries, the exact diff of
+# rastercube_spark.attest.all_hashes() vs the r13 baseline. Eight are
 # the r14 OPTIMIZATION closures (plan changed, values bit-identical —
-# the whole point of the round; OPTIMIZATION_r14.md entries 1-4):
+# the whole point of the round; OPTIMIZATION_r14.md entries 1-4, 7-8):
 # q97_lsh_knn / qa2_ivf_knn (scoring UDFs marked non-deterministic so
 # Catalyst stops duplicating the ArrowEvalPython nodes, guide §4.4);
 # q98_cosine_pairs_topk (per-pair UDF → blocked_cosine_pairs GEMM);
@@ -71,7 +71,13 @@ _ORACLES: dict[str, str] = {}
 # lsh_cosine_pairs, plus the nondet scoring UDFs in their
 # construction-time pair search); qf6_ann_index_audit (closure moved
 # with the shared similarity.py helper edits — its own plan and
-# values are unchanged, plans/r14/qf6_* before==after shape). The
+# values are unchanged, plans/r14/qf6_* before==after shape; then the
+# audit itself folded to ONE corpus scan — one ArrowEvalPython
+# projection, one explode, two-level keyed agg, no Union);
+# qe5_bm25_topk (lexical leg folded to two tokenize passes — dl rides
+# the tf groupBy, the explode sees a pre-filtered array, the
+# full-corpus dl join is gone; qf4's lexical leg shares the rewrite,
+# guide §6.2/§2.2). The
 # other four predate the
 # optimization phase (landed in 6befde9, the r13 mid-build tail):
 # qg8_knn_graph_stats changed because knn_graph_stats grew the
@@ -103,6 +109,7 @@ ATTEST_CHANGED: tuple[str, ...] = (
     "qb0_cosine_pairs_lsh",
     "qb2_semantic_dedup",
     "qc0_balanced_sample",
+    "qe5_bm25_topk",
     "qf0_ivfpq_knn",
     "qf4_hybrid_rrf",
     "qf6_ann_index_audit",
@@ -110,16 +117,16 @@ ATTEST_CHANGED: tuple[str, ...] = (
     "qg8_knn_graph_stats",
 )
 
-# The 39 remaining window slots go oldest-first per tools/
+# The 38 remaining window slots go oldest-first per tools/
 # rotate_window.py's ground-truth reading of the CORRECTNESS_r*
 # artifacts: FIRST the full thirty-six-query r11 cohort at the
 # 2-round staleness ceiling (judged at r13; the tier-2 rule makes
 # this head MANDATORY — VERDICT r13 "What's wrong" #1 names exactly
-# these 36), then the three oldest r12-attested queries (q10/q11/q12
-# in the planner's order) for the remaining slots. The r14
-# optimization closures consumed seven of the ten pull-forward slots
+# these 36), then the two oldest r12-attested queries (q10/q11 in
+# the planner's order) for the remaining slots. The r14
+# optimization closures consumed eight of the ten pull-forward slots
 # the original r14 rotation had reserved; the r12 cohort's remaining
-# 19 queries hit the ceiling at r15 and must lead that window.
+# 20 queries hit the ceiling at r15 and must lead that window.
 ATTEST_STALE: tuple[str, ...] = (
     "q33_running_total",
     "q40_global_topk",
@@ -159,7 +166,6 @@ ATTEST_STALE: tuple[str, ...] = (
     "qr09_chunk_checksum",
     "q10_inner_equi",
     "q11_broadcast_join",
-    "q12_sort_merge_join",
 )
 
 ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE
