@@ -62,7 +62,7 @@ _ORACLES: dict[str, str] = {}
 # Round 14 changed set — twelve entries, the exact diff of
 # rastercube_spark.attest.all_hashes() vs the r13 baseline. Eight are
 # the r14 OPTIMIZATION closures (plan changed, values bit-identical —
-# the whole point of the round; OPTIMIZATION_r14.md entries 1-4, 7-8):
+# the whole point of the round; OPTIMIZATION_r14.md entries 1-4, 8, 9):
 # q97_lsh_knn / qa2_ivf_knn (scoring UDFs marked non-deterministic so
 # Catalyst stops duplicating the ArrowEvalPython nodes, guide §4.4);
 # q98_cosine_pairs_topk (per-pair UDF → blocked_cosine_pairs GEMM);
