@@ -369,3 +369,42 @@ def test_clean_corpus_emits_training_sequences(spark, sf_dir):
     assert p_ch.count("Generate") == p_base.count("Generate") + 1
     for df in (base, chunks):
         df.unpersist()
+
+
+def test_clean_corpus_report_deterministic_under_concurrent_actions(
+    spark, sf_dir
+):
+    """r14 entry 10 pins: the report actions now run from a driver
+    thread pool (fingerprint stats ∥ CC loop, quality agg ∥ flagged
+    count, split counts ∥ chunk totals) and the flagged relation is
+    persisted — none of which may change a single report value. Two
+    full runs with every optional stage enabled must produce the
+    IDENTICAL report dict (values and key order)."""
+    docs = load(spark, sf_dir, "documents")
+    eval_docs = docs.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text"
+    )
+    kw = dict(
+        eval_docs=eval_docs,
+        splits=[("train", 0.8), ("val", 0.1), ("test", 0.1)],
+        chunk_tokens=128,
+    )
+    out1, rep1 = clean_corpus(docs, **kw)
+    out2, rep2 = clean_corpus(docs, **kw)
+    assert rep1 == rep2
+    assert list(rep1) == list(rep2)
+    # key order is part of the report contract (split_counts before
+    # the chunk totals even though its action is deferred for overlap)
+    assert list(rep1) == [
+        "input",
+        "dropped_exact_dup",
+        "dropped_near_dup",
+        "dropped_low_quality",
+        "dropped_contaminated",
+        "kept",
+        "split_counts",
+        "chunks",
+        "chunk_tokens",
+    ]
+    for df in (out1, out2):
+        df.unpersist()

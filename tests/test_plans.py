@@ -477,6 +477,22 @@ def test_bm25_topk_takeordered_broadcast_stats(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
 
 
+def test_bm25_topk_two_pass_lexical_leg(spark, sf_dir):
+    """qe5 (r14 entry 9): the lexical leg tokenizes the corpus exactly
+    TWICE — one base projection feeds both the avgdl/N stats and the
+    pre-filtered tf explode — and dl rides the tf groupBy instead of a
+    full-corpus join, so the plan has at most 3 corpus scans (stats,
+    tf, and the oracle's own doc relation) and exactly one
+    BroadcastHashJoin (df); the old 4-scan shape carried a second
+    (doc-keyed) join for dl."""
+    plan = _plan(spark, sf_dir, "qe5_bm25_topk")
+    assert plan.count("Scan parquet") <= 3, plan.count("Scan parquet")
+    assert plan.count("BroadcastHashJoin") == 1, plan.count(
+        "BroadcastHashJoin"
+    )
+    assert "SortMergeJoin" not in plan
+
+
 def test_dedup_within_watermark_distributed_prefix(spark, sf_dir):
     """q77: the prior-arrival max rides the distributed prefix scan —
     a bucketed window, NEVER a single-task global window — and the
