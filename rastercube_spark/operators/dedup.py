@@ -164,6 +164,46 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     )
 
 
+def lsh_bucket_star_edges(sig: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) STAR edges per LSH band bucket — the
+    connectivity-equivalent replacement for feeding
+    :func:`lsh_candidate_pairs` into connected components (r15, guide
+    §2.4): every member of a (band, bsig) bucket connects to the
+    bucket's MIN doc_id instead of to every other member.
+
+    Equivalence: within one bucket the pair formulation emits the full
+    clique and this emits a star on the same vertex set — both make the
+    bucket one connected blob, and components across buckets are unions
+    of bucket blobs either way, so `min_label_clusters` labels are
+    IDENTICAL (min reachable id over identical components). Buckets
+    with a single member emit nothing, exactly like the pair
+    formulation (no pair ⇒ vertex absent from the label relation).
+
+    Cost: ONE keyed window aggregate over the band relation — the
+    clique path's (band, bsig) self-join (O(Σ bucket²) raw rows) and
+    its full-shuffle DISTINCT pair dedup never happen. Edge rows are
+    bounded by the band relation itself (≤ one per (doc, band)). A
+    window, not groupBy+collect_list, so a degenerate hot bucket
+    spills instead of materializing a giant array per group.
+
+    ONLY for CC consumers: the emitted edge set is NOT the candidate
+    pair set (q92's contract) — near-dup verify joins must keep using
+    lsh_candidate_pairs.
+    """
+    from pyspark.sql import Window
+
+    bdf = band_keys(sig)
+    w = Window.partitionBy("band", "bsig")
+    return (
+        bdf.select(
+            F.col("doc_id").alias("doc_b"),
+            F.min("doc_id").over(w).alias("doc_a"),
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+
+
 def pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     """Exact jaccard for (doc_a, doc_b): |A∩B| / |A∪B|.
 
@@ -868,7 +908,23 @@ def sampled_pair_dup_rate(
     pairs = a.join(b, "bucket").where(F.col("doc_a") < F.col("doc_b")).select(
         "doc_a", "doc_b"
     )
-    n_pairs = pairs.agg(F.count("*").cast("bigint").alias("n_pairs"))
+    # n_pairs = Σ_buckets C(m, 2) over a bucket-count aggregate — the
+    # IDENTICAL integer the pair join's count(*) produced (every
+    # co-bucketed unordered pair is counted exactly once either way;
+    # m·(m−1) is even so the integer div is exact), WITHOUT planning the
+    # bucketing+join lineage a second time just to count its rows
+    # (r15, guide §1.2 — the sampled-pair subtree was the plan's most
+    # expensive branch and appeared twice; an empty corpus sums to NULL,
+    # coalesced to the same 0 the old count produced).
+    n_pairs = (
+        bk.groupBy("bucket")
+        .agg(F.count("*").alias("m"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("m * (m - 1) div 2")), F.lit(0)
+            ).cast("bigint").alias("n_pairs")
+        )
+    )
 
     sh = shingles_df(docs, id_col, text_col, k=k, distinct=True)
     jac = pair_jaccard(sh, pairs)

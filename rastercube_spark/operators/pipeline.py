@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, functions as F
 from rastercube_spark.operators.dedup import (
     content_fingerprint,
     decontaminate,
-    lsh_candidate_pairs,
+    lsh_bucket_star_edges,
     minhash_signatures,
     shingles_df,
 )
@@ -119,8 +119,13 @@ def clean_corpus(
                 F.count(F.lit(1)).alias("n_exact"),
             ).first()
         )
+        # CC input is bucket-STAR edges, not clique pairs (r15, guide
+        # §2.4): components — and therefore keeper labels and every
+        # report count — are identical (lsh_bucket_star_edges
+        # docstring), but the band self-join + DISTINCT pair dedup
+        # drop out of the composite's most expensive action.
         clusters = min_label_clusters(
-            lsh_candidate_pairs(minhash_signatures(sh))
+            lsh_bucket_star_edges(minhash_signatures(sh))
         )
         fp_stats = fp_stats_f.result()
     n_input, n_exact = fp_stats["n_input"], fp_stats["n_exact"]
@@ -136,6 +141,10 @@ def clean_corpus(
     cleaned = near_kept.where(
         quality_score(F.col(text_col)) >= min_quality
     ).persist()
+    # handle to the persisted survivors (the `cleaned` name is
+    # re-bound to the anti-join plan below; unpersisting at the end of
+    # the chunk branch needs the persisted object itself)
+    _cleaned_persisted = cleaned
 
     # one aggregate materializes the near_kept persist and yields BOTH
     # stage counts (quality is a deterministic column expression); when
@@ -263,5 +272,20 @@ def clean_corpus(
             tot = _tot_agg()
         report["chunks"] = tot["n"]
         report["chunk_tokens"] = tot["t"]
+        # the chunk relation is materialized (persisted + aggregated
+        # above), so its upstream persists have served their last
+        # consumer — release them (r15, VERDICT r14 #3: `flagged`
+        # leaked per pipeline run in a long-lived session; near_kept
+        # and the pre-anti-join quality survivors were held for the
+        # same already-materialized lineage)
+        near_kept.unpersist()
+        _cleaned_persisted.unpersist()
+        if flagged is not None:
+            flagged.unpersist()
         return chunks, report
+    # document-level return: the caller's actions re-read the persisted
+    # quality survivors through the (cheap, re-built per action)
+    # broadcast anti-join, so `flagged` and the persists above stay live
+    # as part of the returned relation's lineage; the docstring contract
+    # ("cleaned.unpersist() after consuming") covers the rest.
     return cleaned, report

@@ -531,13 +531,20 @@ def char_langid(
     breaks ties (count DESC, gram ASC); the prediction argmax breaks
     ties (hits DESC, language code ASC) — no floats anywhere.
 
-    100 TB shape: ONE explode of character trigrams feeds a
-    (doc_id, gram) map-side-combinable count; the per-language profile
-    is a tiny (n_langs × profile_size) relation built from a
-    gram-keyed aggregate of that SAME relation and broadcast back; the
-    scoring join is broadcast-hash on gram; every later key is doc_id
-    or the n_langs² confusion cell. The corpus never shuffles on
-    anything wider than (doc_id, gram).
+    100 TB shape: the train/score double pass is the design (learn the
+    profile, then score against it), but NEITHER pass shuffles the
+    corpus on a gram-wide key (r15, guide §2.3 — aggregate before you
+    shuffle): the TRAIN pass aggregates raw gram occurrences straight
+    to (lang, gram) counts (map-side combinable; post-shuffle rows ≈
+    n_langs × distinct grams, never × documents), and the SCORE pass
+    joins the raw occurrences to the broadcast profile FIRST, so its
+    aggregate shuffles pre-combined (doc_id, lang, plang) partials —
+    n_langs columns per document instead of a row per distinct
+    (doc, gram). The old plan materialized the per-(doc_id, gram)
+    count relation as an explicit aggregate in BOTH passes; that
+    intermediate is pure shuffle volume — every consumer only ever
+    needed it re-aggregated coarser, and Σ over a finer grouping equals
+    the direct coarse count exactly (bigints, no floats anywhere).
     """
     from pyspark.sql import Window
 
@@ -547,27 +554,25 @@ def char_langid(
         F.lower(F.col(text_col)).alias("__s"),
     )
     n = F.length("__s")
-    # per-(doc, gram) occurrence counts from ONE explode; the guard keeps
-    # sequence() from going descending on texts shorter than 3 chars
-    dc = (
-        d.select(
-            "doc_id",
-            "lang",
-            F.explode(
-                F.when(
-                    n >= 3,
-                    F.transform(
-                        F.sequence(F.lit(1), n - 2),
-                        lambda i: F.col("__s").substr(i, F.lit(3)),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("gram"),
-        )
-        .groupBy("doc_id", "lang", "gram")
-        .agg(F.count("*").cast("bigint").alias("c"))
+    # raw (doc_id, lang, gram) occurrence rows from ONE explode per
+    # pass; the guard keeps sequence() from going descending on texts
+    # shorter than 3 chars
+    grams = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.when(
+                n >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), n - 2),
+                    lambda i: F.col("__s").substr(i, F.lit(3)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
     )
     # per-language profile: top profile_size grams by (count DESC, gram
-    # ASC) — a tiny relation aggregated from dc and broadcast back.
+    # ASC) — counted DIRECTLY at (lang, gram) granularity (identical
+    # bigint to the old Σ of per-doc counts) and broadcast back.
     # NULL-labeled documents contribute NO profile (a NULL candidate
     # language would ride into the argmax tie-break, where Spark sorts
     # NULLS FIRST and DuckDB NULLS LAST — a latent engine/oracle
@@ -577,21 +582,23 @@ def char_langid(
         F.col("pc").desc(), F.col("gram")
     )
     prof = (
-        dc.where(F.col("lang").isNotNull())
+        grams.where(F.col("lang").isNotNull())
         .groupBy(F.col("lang").alias("plang"), "gram")
-        .agg(F.sum("c").alias("pc"))
+        .agg(F.count("*").cast("bigint").alias("pc"))
         .withColumn("prn", F.row_number().over(w_prof))
         .where(F.col("prn") <= profile_size)
         .select("plang", "gram")
     )
-    # score: hits per (doc, candidate language) = Σ occurrence counts of
-    # the doc's grams that sit in that language's profile; the label
-    # rides along (functionally dependent on doc_id) so the confusion
-    # cell needs no join back to the corpus
+    # score: hits per (doc, candidate language) = number of the doc's
+    # trigram OCCURRENCES that sit in that language's profile — the
+    # broadcast join fans each occurrence to its profile languages and
+    # the count aggregates map-side; the label rides along
+    # (functionally dependent on doc_id) so the confusion cell needs no
+    # join back to the corpus
     hits = (
-        dc.join(F.broadcast(prof), "gram")
+        grams.join(F.broadcast(prof), "gram")
         .groupBy("doc_id", "lang", "plang")
-        .agg(F.sum("c").alias("h"))
+        .agg(F.count("*").cast("bigint").alias("h"))
     )
     w_pred = Window.partitionBy("doc_id").orderBy(
         F.col("h").desc(), F.col("plang")

@@ -4039,17 +4039,25 @@ def qg2(spark, sf_dir):
     not just function words, and flag mislabeled or mixed-language
     slices per (label, prediction) cell.
 
-    100 TB shape (operator docstring): ONE character-trigram explode
-    into a map-side-combinable (doc_id, gram) count; the per-language
-    profile is a tiny aggregate of that SAME relation broadcast back;
-    scoring is a broadcast-hash join on gram; every later key is
-    doc_id or one of n_langs² confusion cells. All counts exact
-    bigints, all ties broken (count DESC/gram ASC; hits DESC/lang
-    ASC) — no floats anywhere. No reference analog — LLM-pipeline
-    surface (builder brief)."""
+    100 TB shape (operator docstring): the train/score double pass is
+    the design; neither pass shuffles the corpus wider than pre-combined
+    (lang, gram) / (doc_id, lang, plang) partial counts; scoring is a
+    broadcast-hash join on gram; every later key is doc_id or one of
+    n_langs² confusion cells. All counts exact bigints, all ties broken
+    (count DESC/gram ASC; hits DESC/lang ASC) — no floats anywhere.
+    The scan spread passes a char-level bytes_per_task: the trigram
+    explode emits ~one row per CHARACTER (~15-20× the word-gram
+    consumers' row volume), so each task should own proportionally
+    fewer input bytes (r15 A/B at sf0.1: the word-level default's
+    3-task spread left the explode compute-bound, ~15% slower). No
+    reference analog — LLM-pipeline surface (builder brief)."""
     from rastercube_spark.operators.text import char_langid
+    from rastercube_spark.sources.tables import load, rebalance_scan
 
-    return char_langid(_docs(spark, sf_dir), profile_size=50)
+    docs = rebalance_scan(
+        load(spark, sf_dir, "documents"), bytes_per_task=32 << 10
+    )
+    return char_langid(docs, profile_size=50)
 
 
 @query(

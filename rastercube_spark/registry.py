@@ -59,123 +59,148 @@ _ORACLES: dict[str, str] = {}
 #            land while the cap holds; at 131 (r14, net-new 0) the
 #            contract stays satisfiable indefinitely.
 #
-# Round 14 changed set — twelve entries, the exact diff of
-# rastercube_spark.attest.all_hashes() vs the r13 baseline. Eight are
-# the r14 OPTIMIZATION closures (plan changed, values bit-identical —
-# the whole point of the round; OPTIMIZATION_r14.md entries 1-4, 8, 9):
-# q97_lsh_knn / qa2_ivf_knn (scoring UDFs marked non-deterministic so
-# Catalyst stops duplicating the ArrowEvalPython nodes, guide §4.4);
-# q98_cosine_pairs_topk (per-pair UDF → blocked_cosine_pairs GEMM);
-# qb0_cosine_pairs_lsh (LUT rescore under the 32 MB broadcast gate);
-# qb2_semantic_dedup / qc0_balanced_sample (same LUT path via
-# lsh_cosine_pairs, plus the nondet scoring UDFs in their
-# construction-time pair search); qf6_ann_index_audit (closure moved
-# with the shared similarity.py helper edits — its own plan and
-# values are unchanged, plans/r14/qf6_* before==after shape; then the
-# audit itself folded to ONE corpus scan — one ArrowEvalPython
-# projection, one explode, two-level keyed agg, no Union);
-# qe5_bm25_topk (lexical leg folded to two tokenize passes — dl rides
-# the tf groupBy, the explode sees a pre-filtered array, the
-# full-corpus dl join is gone; qf4's lexical leg shares the rewrite,
-# guide §6.2/§2.2). The
-# other four predate the
-# optimization phase (landed in 6befde9, the r13 mid-build tail):
-# qg8_knn_graph_stats changed because knn_graph_stats grew the
-# persisted-index mode (VERDICT r13 #2 — index=(enc, meta) from
-# build-ann-index --store-vectors reads cid from storage and the
-# coarse quantizer from the index metadata; the candidate-join core
-# was factored into knn_graph_edges/knn_graph_index_sides); the
-# registered query keeps the inline path, values unchanged
-# (bit-identity test in tests/test_similarity.py);
-# qg5_source_score_percentiles changed because the rank arithmetic
-# generalized from the hard-coded quartiles to any rational p via the
-# division-free cross-multiplied selection (VERDICT r13 #5); the
-# default quartile values and oracle are unchanged (property test vs
-# the naive sort at p ∈ {0.1, 0.9, 0.99, 1.0});
-# qf4_hybrid_rrf changed because hybrid_rrf's ann_leg now takes dim=
-# as a parameter (VERDICT r13 #6 — no driver-side .first()), clamps
-# the ADC shortlist to max(ann_rerank, k_leg), and re-ranks the
-# shortlist by exact cosine so both legs order by the same statistic
-# (ADVICE r13 ×3); the registered query keeps the brute leg, values
-# unchanged;
-# qf0_ivfpq_knn changed because ivfpq_encode gained the extra_cols
-# passthrough save_ann_index(store_vectors=True) projects the raw
-# vectors with (same single map-only corpus pass); the default plan
-# and all emitted values are unchanged.
+# Round 15 changed set. The round's first substantive change —
+# rebalance_scan's spread target going byte-derived instead of
+# cores-derived (sources/tables.py, guide §2.2; VERDICT r14 "Next
+# round" #1's over-partitioning fix) — moves the closure hash of all
+# 46 queries that reach it through _docs()/similarity/aggregations.
+# The window cannot hold 46 on top of the MANDATORY 39-query r12
+# staleness cohort, so: the nine changed queries that were already in
+# this window's stale head attest here (tier 1), qf9/qg2 join them
+# (their own plans are reshaped this round), and the remaining 35
+# carry ATTEST_EXEMPT justifications below — the documented
+# shared-helper escape hatch, backed by the full-surface oracle sweep
+# (tests/test_oracle.py re-verifies all 131 queries vs DuckDB on this
+# exact tree in the driver's own VERIFY pytest run).
 ATTEST_CHANGED: tuple[str, ...] = (
-    "q97_lsh_knn",
-    "q98_cosine_pairs_topk",
-    "qa2_ivf_knn",
-    "qb0_cosine_pairs_lsh",
-    "qb2_semantic_dedup",
-    "qc0_balanced_sample",
-    "qe5_bm25_topk",
-    "qf0_ivfpq_knn",
-    "qf4_hybrid_rrf",
-    "qf6_ann_index_audit",
-    "qg5_source_score_percentiles",
-    "qg8_knn_graph_stats",
+    "q20_tpch_q1_agg",
+    "q96_knn_bruteforce",
+    "qa9_media_knn",
+    "qd3_knn_label_consistency",
+    "qf2_token_surprisal",
+    "qf3_length_histogram",
+    "qf5_boilerplate_ngrams",
+    "qf7_repeated_spans",
+    "qf8_token_budget",
+    "qf9_dup_rate_estimate",
+    "qg2_char_langid",
 )
 
-# The 38 remaining window slots go oldest-first per tools/
+# The remaining window slots go oldest-first per tools/
 # rotate_window.py's ground-truth reading of the CORRECTNESS_r*
-# artifacts: FIRST the full thirty-six-query r11 cohort at the
-# 2-round staleness ceiling (judged at r13; the tier-2 rule makes
-# this head MANDATORY — VERDICT r13 "What's wrong" #1 names exactly
-# these 36), then the two oldest r12-attested queries (q10/q11 in
-# the planner's order) for the remaining slots. The r14
-# optimization closures consumed eight of the ten pull-forward slots
-# the original r14 rotation had reserved; the r12 cohort's remaining
-# 20 queries hit the ceiling at r15 and must lead that window.
+# artifacts: FIRST the full thirty-nine-query r12 cohort at the
+# 2-round staleness ceiling (latest green row r12, newest recorded
+# r14 — the tier-2 rule makes this head MANDATORY and
+# test_rotation_policy_capacity_and_staleness enforces it), then the
+# oldest r13-attested queries (planner order: alphabetical within the
+# equal-aged cohort) for the remaining slots. Every ATTEST_CHANGED
+# entry this round displaces one r13 pull-forward from the TAIL of
+# this list (the r12 head must stay intact).
 ATTEST_STALE: tuple[str, ...] = (
-    "q33_running_total",
-    "q40_global_topk",
-    "q41_per_group_topk",
-    "q50_union_all",
-    "q51_union_distinct",
-    "q52_intersect",
-    "q53_except",
-    "q60_string_funcs",
-    "q61_date_funcs",
-    "q62_math_funcs",
-    "q64_nodata_case",
-    "q66_array_json",
-    "q67_categorical_legend",
-    "q68_type_reinterpret",
-    "q69_landsat_qa",
-    "q70_tumbling_window",
-    "q71_sliding_window",
-    "q72_session_window",
-    "q73_watermark_late_data",
-    "q74_stateful_dedup",
-    "q77_dedup_within_watermark",
-    "q81_grouped_map_udf",
-    "qb3_mixture_sample",
-    "qb4_passage_dedup",
-    "qd4_neardup_decontaminate",
-    "qd6_ngram_novelty",
-    "qd7_split_assign",
-    "qd8_snapshot_overlap",
-    "qe0_embedding_drift",
-    "qe1_containment_audit",
-    "qe3_source_overlap",
-    "qr01_windowed_read_fill",
-    "qr03_availability_semi_join",
-    "qr04_incremental_anti_join",
-    "qr05_date_coverage",
-    "qr09_chunk_checksum",
-    "q10_inner_equi",
-    "q11_broadcast_join",
+    "q12_sort_merge_join",
+    "q13_left_outer_null",
+    "q14_left_semi",
+    "q15_left_anti",
+    "q16_theta_join",
+    "q18_copartitioned_zip",
+    "q19_range_join",
+    "q21_count_distinct",
+    "q23_cube",
+    "q24_grouping_sets",
+    "q25_having",
+    "q26_zonal_stats",
+    "q27_argmax_gather",
+    "q28_zonal_percentile",
+    "q29_salted_agg",
+    "q63_qa_bitops",
+    "q65_affine_transform",
+    "q75_stream_static_join",
+    "q76_stream_stream_join",
+    "qb5_quality_rules",
+    "qb6_quantized_knn",
+    "qb7_group_sample",
+    "qb8_mixture_upsample",
+    "qb9_dataset_report",
+    "qe2_pq_knn",
+    "qe4_embedding_outliers",
+    "qf1_embedding_dim_stats",
+    "qr02_polygon_mask",
+    "qr06_cube_window_agg",
+    "qr07_resample_downsample",
+    "qr08_reproject_nearest",
+    # r13 pull-forwards (equal-aged; planner's alphabetical order) —
+    # the tail shrinks one entry per ATTEST_CHANGED addition
+    "q01_scan_count",
+    "q02_project_filter",
+    "q03_in_null_predicates",
+    "q17_asof_join",
+    "q22_rollup",
+    "q2a_approx_count_distinct",
+    "q2b_approx_quantiles",
+    "q30_ranking",
 )
 
 ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE
 
 # Closure-hash changes NOT rotated into the window, each with its
 # justification — the auditable escape hatch for shared-helper edits
-# that would otherwise force rotating the entire surface. Empty this
-# round: the r6 oracle-spelling exemptions (q92/q93/q95/q99 _h32) were
-# baselined in r6 and their closures are unchanged since.
-ATTEST_EXEMPT: dict[str, str] = {}
+# that would otherwise force rotating the entire surface. r15: the
+# byte-derived rebalance_scan spread (sources/tables.py) reaches 46
+# query closures through the shared _docs()/corpus-scan helpers; the
+# window holds the 11 it can (ATTEST_CHANGED above) and these carry
+# the exemption. The change is PARTITIONING-ONLY — the repartition
+# width of a scan-side spread; no expression, filter, aggregation or
+# ordering changed — and every exempted query's values are re-verified
+# against the DuckDB oracle on this exact tree by the full-surface
+# sweep in tests/test_oracle.py (part of the driver's VERIFY pytest
+# run), so the exemption defers the DRIVER's re-attestation, not the
+# value check.
+_R15_REBALANCE_EXEMPT_REASON = (
+    "r15 rebalance_scan byte-derived spread width (sources/tables.py): "
+    "partitioning-only shared-helper change, values oracle-verified by "
+    "the full tests/test_oracle.py sweep on this tree; window capacity "
+    "held by the mandatory 39-query r12 staleness cohort"
+)
+ATTEST_EXEMPT: dict[str, str] = {
+    name: _R15_REBALANCE_EXEMPT_REASON
+    for name in (
+        "q90_text_metrics",
+        "q91_exact_dedup",
+        "q92_minhash_lsh_pairs",
+        "q93_lsh_jaccard",
+        "q94_ngram_jaccard_topk",
+        "q95_simhash",
+        "q99_winnow_fingerprint",
+        "qa0_multimodal_decode",
+        "qa1_tfidf_topterms",
+        "qa3_dup_clusters",
+        "qa4_dedup_keep",
+        "qa5_repetition_filters",
+        "qa6_sequence_packing",
+        "qa7_pii_redaction",
+        "qa8_frame_sample",
+        "qb1_decontaminate",
+        "qb4_passage_dedup",
+        "qd1_incremental_dedup",
+        "qd2_temperature_mixture",
+        "qd4_neardup_decontaminate",
+        "qd5_token_drift",
+        "qd6_ngram_novelty",
+        "qd8_snapshot_overlap",
+        "qd9_dedup_keep_best",
+        "qe1_containment_audit",
+        "qe3_source_overlap",
+        "qe5_bm25_topk",
+        "qf4_hybrid_rrf",
+        "qg0_semantic_decontaminate",
+        "qg1_chunk_documents",
+        "qg3_template_prefixes",
+        "qg4_source_dup_matrix",
+        "qg5_source_score_percentiles",
+        "qg6_code_detect",
+        "qg7_dup_cluster_histogram",
+    )
+}
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

@@ -65,18 +65,56 @@ def fixture_path(name: str) -> str:
     return f"{FIXTURES_DIR}/{name}.parquet"
 
 
-def rebalance_scan(df: DataFrame) -> DataFrame:
-    """Repartition an under-partitioned scan to the cluster's default
-    parallelism — for compute-heavy consumers (explode/hash/UDF stages).
+# Input bytes one spread task should own after a rebalance (overridable
+# per deployment). Scan-side compressed parquet understates the
+# downstream stage's in-flight volume by the codec ratio (~4-8× for
+# text) times the consumer's row fan-out (3-gram shingles, char
+# trigrams, chunk windows: 3-50×), so 256 KiB of INPUT per task puts
+# the actual exploded stage data in the guide §2.2 partition-sizing
+# band (~8-64 MB/task) instead of hash-spreading kilobytes across the
+# whole cluster. Measured at sf0.1/local[32] (r15, same-instrument
+# medians): byte-derived targets beat repartition(defaultParallelism)
+# on every datapipe query tried — qg3 0.98→0.51, qg7 0.56→0.33,
+# qd9 0.69→0.36, qd2 0.92→0.35, qe5 0.92→0.47, qf5 1.61→0.94,
+# q93 2.19→0.97 — and beat a fixed single partition on the
+# explode-heavy ones (qg2 4.35 single vs 1.86 byte-derived), i.e. the
+# OLD cores-derived target was pure scheduling overhead at small
+# volume while zero spread serializes real compute; bytes track both
+# regimes and scale with the input instead of the box.
+_REBALANCE_BYTES_PER_TASK = 256 << 10
+
+
+def rebalance_scan(
+    df: DataFrame, bytes_per_task: int = _REBALANCE_BYTES_PER_TASK
+) -> DataFrame:
+    """Repartition an under-partitioned scan for compute-heavy consumers
+    (explode/hash/UDF stages) to a BYTE-DERIVED width: enough tasks that
+    each owns ~``bytes_per_task`` of input (default
+    ``_REBALANCE_BYTES_PER_TASK``, sized for word-level explode
+    consumers — callers with a materially larger fan-out, e.g.
+    character-level trigram explodes at ~10-20× the word-gram row
+    volume, pass a proportionally smaller value), never more than the
+    cluster's default parallelism.
 
     A single parquet row-group gives the scan ONE partition, which
     serializes every pre-shuffle stage in the consumer regardless of
     cluster size (observed: the winnowing fingerprint ran its whole
     10M-row explode+hash in one task). The repartition only fires when
     the scan reads at most half the default parallelism in FILES — a
-    no-op on production inputs (many files), a ~cores× parallelism fix
-    on single-file inputs; AQE cannot help here because the bottleneck
+    no-op on production inputs (many files), a parallelism fix on
+    single-file inputs; AQE cannot help here because the bottleneck
     precedes the first exchange.
+
+    The spread WIDTH is derived from the scan's file bytes, not from
+    the core count (r15, guide §2.2 — partition counts must track data
+    size): ``repartition(defaultParallelism)`` pinned 32 tasks onto
+    kilobyte inputs, and because a user-specified repartition is
+    exempt from AQE coalescing, every downstream map stage inherited
+    the 32-way spread; the 8-core bench beat the 32-core bench on 22
+    queries (PERF_r14 scaling block) on exactly these paths. When the
+    file size cannot be stat'ed (non-local filesystem), fall back to
+    the old cores-wide spread — at that point the input is a real
+    multi-file table and the fire condition almost surely no-ops.
 
     The under-partitioned signal is ``len(df.inputFiles())``, NOT
     ``df.rdd.getNumPartitions()``: the ``.rdd`` conversion forces full
@@ -88,12 +126,35 @@ def rebalance_scan(df: DataFrame) -> DataFrame:
     conservative); the quiet case — many tiny files packed into few
     partitions — is the production shape where rebalance was a
     deliberate no-op anyway."""
+    import os
+
     sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    nfiles = len(df.inputFiles())
-    if nfiles and nfiles * 2 <= target:
-        return df.repartition(target)
-    return df
+    cores = sc.defaultParallelism
+    files = df.inputFiles()
+    nfiles = len(files)
+    if not (nfiles and nfiles * 2 <= cores):
+        return df
+    size = 0
+    for p in files:
+        local = p
+        if local.startswith("file://"):
+            local = local[len("file://"):]
+        elif local.startswith("file:"):
+            local = local[len("file:"):]
+        try:
+            size += os.path.getsize(local)
+        except OSError:
+            size = -1
+            break
+    if size < 0:
+        target = cores
+    else:
+        target = min(cores, max(1, -(-size // bytes_per_task)))
+    if target <= nfiles:
+        # the scan already has at least this much parallelism; a
+        # repartition would only add an exchange (and its sort)
+        return df
+    return df.repartition(target)
 
 
 def table_rows(sf_dir: str, name: str) -> int:

@@ -107,19 +107,67 @@ def test_q98_left_side_parallelized(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["q20_tpch_q1_agg", "qd3_knn_label_consistency", "q96_knn_bruteforce"]
+    "name,table",
+    [
+        ("q20_tpch_q1_agg", "lineitem"),
+        ("qd3_knn_label_consistency", "embeddings"),
+        ("q96_knn_bruteforce", "embeddings"),
+    ],
 )
-def test_rebalance_scan_survives_into_plan(spark, sf_dir, name):
+def test_rebalance_scan_survives_into_plan(spark, sf_dir, name, table):
     """The r9 under-partitioned-scan sweep placed ``rebalance_scan`` on
     these queries BY MEASUREMENT (q20 1.52→1.09 s, qd3 1.56→0.68 s at
     sf0.1); this pins the decision mechanically so a refactor can't
-    silently drop the exchange (VERDICT r9 "Next round" #5). Exactly
-    ONE round-robin exchange: the single-file fixture scan rebalanced
-    to cluster width before the compute-heavy pre-shuffle stage — it
-    is the only RoundRobin in each of these plans, so the count also
-    fails if a second, unmeasured rebalance sneaks in."""
+    silently drop the exchange (VERDICT r9 "Next round" #5). r15: the
+    spread WIDTH is byte-derived (guide §2.2 — repartitioning a
+    kilobyte scan to cluster width was pure scheduling overhead,
+    PERF_r14's inverted 8-vs-32-core scaling), so the exchange appears
+    exactly when the input is big enough to spread: ONE round-robin
+    when ceil(bytes / _REBALANCE_BYTES_PER_TASK) > 1, NONE otherwise —
+    and the count still fails if a second, unmeasured rebalance sneaks
+    in."""
+    import math
+    import os as _os
+
+    from rastercube_spark.sources.tables import _REBALANCE_BYTES_PER_TASK
+
+    size = _os.path.getsize(f"{sf_dir}/{table}.parquet")
+    target = min(
+        spark.sparkContext.defaultParallelism,
+        max(1, math.ceil(size / _REBALANCE_BYTES_PER_TASK)),
+    )
     plan = _plan(spark, sf_dir, name)
-    assert plan.count("RoundRobinPartitioning") == 1
+    assert plan.count("RoundRobinPartitioning") == (1 if target > 1 else 0)
+
+
+def test_rebalance_scan_width_tracks_bytes(spark):
+    """r15 unit pin for the byte-derived spread: on a single-file scan,
+    rebalance_scan's output partition count is
+    min(cores, ceil(bytes / _REBALANCE_BYTES_PER_TASK)) when that
+    exceeds 1, and the scan is returned UNTOUCHED (no exchange) when
+    the byte math says one task owns it all — partition counts track
+    data size, not the core count (guide §2.2; VERDICT r14 #1)."""
+    import math
+    import os as _os
+
+    from rastercube_spark.sources.tables import (
+        _REBALANCE_BYTES_PER_TASK,
+        rebalance_scan,
+    )
+
+    cores = spark.sparkContext.defaultParallelism
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        path = f"{sf}/documents.parquet"
+        if not _os.path.exists(path):
+            continue
+        size = _os.path.getsize(path)
+        expect = min(cores, max(1, math.ceil(size / _REBALANCE_BYTES_PER_TASK)))
+        df = spark.read.parquet(path)
+        out = rebalance_scan(df)
+        if expect <= 1:
+            assert out is df, f"{sf}: tiny scan must not be repartitioned"
+        else:
+            assert out.rdd.getNumPartitions() == expect, f"{sf}"
 
 
 def test_lsh_hash_pass_not_rebalanced(spark, sf_dir):
