@@ -567,6 +567,7 @@ def lsh_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_rows: int | None = None,
+    dedup_pairs: bool = True,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold via LSH candidates — the 100 TB
     formulation of q98's near-dup pair search (VERDICT r04 "Next round"
@@ -604,6 +605,12 @@ def lsh_cosine_pairs(
     before. Values are identical either way; only the exchange count
     changes.
     """
+    if not dedup_pairs and k is not None:
+        raise ValueError(
+            "dedup_pairs=False is only valid for k=None edge-set "
+            "consumers (a top-k over duplicated rows would emit "
+            "duplicate pairs)"
+        )
     masks = probe_masks(n_planes, probe_hamming)
     hash_all = lsh_buckets_udf(dim, n_planes, n_tables, seed)
     par = shuffle_partitions(df.sparkSession)
@@ -640,9 +647,22 @@ def lsh_cosine_pairs(
         probes.join(exact, ["tbl", "bucket"])
         .where(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
-        .distinct()
     )
-    if corpus_rows is not None and corpus_rows * dim * 8 <= _FETCH_BROADCAST_BYTES:
+    lut_gated = (
+        corpus_rows is not None
+        and corpus_rows * dim * 8 <= _FETCH_BROADCAST_BYTES
+    )
+    # ``dedup_pairs=False`` (r15, guide §2.4) is for DUPLICATE-INSENSITIVE
+    # consumers ONLY — k=None edge sets feeding connected components,
+    # where a pair emitted once per colliding (table, probe) changes
+    # nothing: it skips the full-shuffle DISTINCT and lets the LUT score
+    # the raw collision rows (two ids each; the GEMM is indifferent to
+    # the dup factor). The vector-fetch JOIN path always dedups — there
+    # the dup factor would fan the two dim-wide fetch joins directly,
+    # the exact cost DISTINCT exists to cut.
+    if dedup_pairs or not lut_gated:
+        cand = cand.distinct()
+    if lut_gated:
         # r14 (guide §8, §2.3): under the same 32 MB gate that used to
         # broadcast the two vector-fetch sides, skip the fetch JOINS
         # entirely — collect (id, vec) once (bounded by the gate, the
@@ -727,6 +747,10 @@ def _lut_rescore(
 
     def score(batches):
         ids_, mat_, nrm_ = bc.value
+        # dict .map measured FASTER than argsort+searchsorted at LUT
+        # sizes the gate admits (14.6 vs 46 ms per 506k lookups at a
+        # 2000-id LUT, r15 microbench) — pandas' dict fast path wins
+        # until the LUT itself is large, and the gate caps it at 32 MB
         index = {i: r for r, i in enumerate(ids_)}  # once per task
         for pdf in batches:
             if len(pdf) == 0:

@@ -704,6 +704,9 @@ def qb2(spark, sf_dir):
         n_planes=planes_for_corpus(n),
         probe_hamming=2,
         corpus_rows=n,
+        # CC input: duplicate edges change no component (r15) — skip
+        # the candidate DISTINCT on the gated LUT path
+        dedup_pairs=False,
     ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
     return (
         min_label_clusters(pairs)
@@ -1975,6 +1978,9 @@ def qc0(spark, sf_dir):
         n_planes=planes_for_corpus(n),
         probe_hamming=2,
         corpus_rows=n,
+        # CC input: duplicate edges change no component (r15) — skip
+        # the candidate DISTINCT on the gated LUT path
+        dedup_pairs=False,
     ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
     clusters = min_label_clusters(pairs).select(
         F.col("doc_id").alias("vec_id"), "cluster_id"

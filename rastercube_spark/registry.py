@@ -84,6 +84,12 @@ ATTEST_CHANGED: tuple[str, ...] = (
     "qf8_token_budget",
     "qf9_dup_rate_estimate",
     "qg2_char_langid",
+    # batch 2: the LSH pair-search family — _lut_rescore's vectorized
+    # id lookup (all three) and the CC-consumer dedup_pairs=False edge
+    # path (qb2/qc0); qb0's own plan keeps the DISTINCT (top-k surface)
+    "qb0_cosine_pairs_lsh",
+    "qb2_semantic_dedup",
+    "qc0_balanced_sample",
 )
 
 # The remaining window slots go oldest-first per tools/
@@ -135,9 +141,6 @@ ATTEST_STALE: tuple[str, ...] = (
     "q03_in_null_predicates",
     "q17_asof_join",
     "q22_rollup",
-    "q2a_approx_count_distinct",
-    "q2b_approx_quantiles",
-    "q30_ranking",
 )
 
 ATTEST_FIRST: tuple[str, ...] = ATTEST_CHANGED + ATTEST_STALE
